@@ -1,13 +1,69 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 is registered here as a
+  * named query over the driver testdata, with (where SQL-expressible) a
+  * DuckDB oracle in [[oracleSql]]. Column names and ORDER BYs match
+  * between the Spark query and the oracle exactly (the driver's compare
+  * sorts columns by name and hashes values).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Insights.topProductsByRevenue(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- BI insight queries (SQL Analysis docx Q1-Q4) ---
+    "q01_top_products" -> ((s, d) => Insights.topProductsByRevenue(s, d)),
+    "q02_monthly_revenue" -> ((s, d) => Insights.monthlyRevenue(s, d)),
+    "q03_revenue_by_store" -> ((s, d) => Insights.revenueByStore(s, d)),
+    "q04_balance_bucket" -> ((s, d) => Insights.revenueByBalanceBucket(s, d)),
+    // --- dashboard KPIs (F4-F8) ---
+    "q05_kpi_summary" -> ((s, d) => Insights.kpiSummary(s, d)),
+    "q06_category_share" -> ((s, d) => Insights.categoryShare(s, d)),
+    // --- warehouse build (dims, surrogate keys, fact, upsert) ---
+    "q07_dim_date" -> ((s, d) => Star.dimDate(s, d).orderBy("date_key")),
+    "q08_dim_store" -> ((s, d) => Star.dimStore(s, d).orderBy("store_key")),
+    // testdata has duplicate (orderkey, linenumber) pairs, so the sort
+    // must tiebreak across the whole payload to be deterministic.
+    "q09_fact_sales" -> ((s, d) => Star.factSales(s, d).orderBy("sales_id",
+      "product_key", "store_key", "date_key", "quantity", "unit_price",
+      "discount_pct")),
+    "q13_date_upsert" -> ((s, d) =>
+      Star.upsertByKey(
+        Star.dimDateFrom(graft.sources.Tables.orders(s, d), "o_orderdate"),
+        Star.dimDateFrom(graft.sources.Tables.lineitem(s, d), "l_shipdate"),
+        "date_key").orderBy("date_key")),
+    // --- data-quality checks (K1-K3) ---
+    "q10_fk_integrity" -> ((s, d) => Validation.fkIntegrity(s, d)),
+    "q11_null_audit" -> ((s, d) => Validation.nullAudit(s, d)),
+    "q12_row_counts" -> ((s, d) => Validation.rowCounts(s, d)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_top_products" -> Insights.topProductsByRevenueSql(),
+    "q02_monthly_revenue" -> Insights.monthlyRevenueSql,
+    "q03_revenue_by_store" -> Insights.revenueByStoreSql,
+    "q04_balance_bucket" -> Insights.revenueByBalanceBucketSql,
+    "q05_kpi_summary" -> Insights.kpiSummarySql,
+    "q06_category_share" -> Insights.categoryShareSql,
+    "q07_dim_date" -> Star.dimDateSql,
+    "q08_dim_store" -> Star.dimStoreSql,
+    "q09_fact_sales" -> Star.factSalesSql,
+    "q13_date_upsert" -> Star.dateUpsertSql,
+    "q10_fk_integrity" -> Validation.fkIntegritySql,
+    "q11_null_audit" -> Validation.nullAuditSql,
+    "q12_row_counts" -> Validation.rowCountsSql,
+  )
 }

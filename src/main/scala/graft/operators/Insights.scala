@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** The reference's BI insight queries (SQL Analysis docx Q1-Q4) and
+  * dashboard KPI measures (Project Documentation docx §5), re-expressed
+  * against the driver testdata star (FIXTURES.md role mapping).
+  *
+  * Money correctness strategy (SURVEY.md §7.4.3): per-row arithmetic stays
+  * in source doubles (deterministic IEEE ops, identical in any engine);
+  * the moment values enter an AGGREGATION they are cast to exact DECIMAL
+  * so the sum is associative and engine/partition-order independent —
+  * double summation would differ between Spark's partial aggregation and
+  * DuckDB's sequential sum in the last ulps. Final aggregate columns are
+  * cast to a fixed DECIMAL(38,4) so schemas line up exactly with the
+  * DuckDB oracle.
+  *
+  * Every query ends in an explicit total ORDER BY (with tiebreak) so
+  * results are row-order deterministic across engines.
+  */
+object Insights {
+
+  /** Exact per-row revenue: extendedprice * (1 - discount), computed in
+    * decimal. l_extendedprice is cents-precise -> DECIMAL(18,2) exact;
+    * l_discount is in hundredths -> DECIMAL(4,2) exact.
+    */
+  def revenueDec: Column =
+    col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)"))
+
+  /** SQL fragment equivalent of [[revenueDec]] for the DuckDB oracle. */
+  val revenueSql: String =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+      "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+
+  private def sumRev: Column =
+    sum(revenueDec).cast("decimal(38,4)").as("revenue")
+
+  /** Q1 — top-5 products by revenue (SQL Analysis docx Q1; SURVEY.md §2
+    * E2+F1+G1+G3+B10). part is the small side -> broadcast hash join; the
+    * top-k plans as TakeOrderedAndProject (no full sort of the groups).
+    */
+  def topProductsByRevenue(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_name").as("product_name"))
+      .agg(sumRev)
+      .orderBy(desc("revenue"), asc("product_name"))
+      .limit(k)
+
+  def topProductsByRevenueSql(k: Int = 5): String =
+    s"""SELECT p_name AS product_name,
+       |       CAST(SUM($revenueSql) AS DECIMAL(38,4)) AS revenue
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_name
+       |ORDER BY revenue DESC, product_name ASC
+       |LIMIT $k""".stripMargin
+
+  /** Q2 — monthly revenue trend (SQL Analysis docx Q2; E3+F2+G2). The
+    * date-dim join collapses to date-part extraction on the fact column —
+    * same results, one less join (dim_date is a pure function of the
+    * date; SURVEY.md §2 note under E).
+    */
+  def monthlyRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(
+        year(col("l_shipdate")).as("sales_year"),
+        month(col("l_shipdate")).as("sales_month"))
+      .agg(sumRev, count(lit(1)).as("n_sales"))
+      .orderBy("sales_year", "sales_month")
+
+  val monthlyRevenueSql: String =
+    s"""SELECT CAST(year(l_shipdate) AS INT) AS sales_year,
+       |       CAST(month(l_shipdate) AS INT) AS sales_month,
+       |       CAST(SUM($revenueSql) AS DECIMAL(38,4)) AS revenue,
+       |       COUNT(*) AS n_sales
+       |FROM lineitem
+       |GROUP BY 1, 2
+       |ORDER BY sales_year, sales_month""".stripMargin
+
+  /** Q3 — revenue by store/region (SQL Analysis docx Q3; E4+F2+G1). The
+    * store dim (supplier⋈nation⋈region) broadcasts onto the fact.
+    */
+  def revenueByStore(spark: SparkSession, sfDir: String): DataFrame = {
+    val store = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name").as("store_name"),
+        col("r_name").as("region"))
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(store), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("store_name", "region")
+      .agg(sumRev)
+      .orderBy(desc("revenue"), asc("store_name"))
+  }
+
+  val revenueByStoreSql: String =
+    s"""SELECT s_name AS store_name, r_name AS region,
+       |       CAST(SUM($revenueSql) AS DECIMAL(38,4)) AS revenue
+       |FROM lineitem
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY s_name, r_name
+       |ORDER BY revenue DESC, store_name ASC""".stripMargin
+
+  /** Customer balance bucket, the H1 CASE-bucket analog (SQL Analysis
+    * docx Q4 buckets age; testdata customers carry acctbal instead).
+    * Strict `<` boundaries keep double comparisons engine-agnostic.
+    */
+  def balanceBucket(c: Column): Column =
+    when(c < 0, "negative")
+      .when(c < 2000, "0-2k")
+      .when(c < 5000, "2k-5k")
+      .when(c < 8000, "5k-8k")
+      .otherwise("8k+")
+
+  /** Q4 — revenue by customer-balance bucket (E5+F3+H1+G1). lineitem ⋈
+    * orders is the one big-big join (shuffle on orderkey); customer then
+    * broadcasts.
+    */
+  def revenueByBalanceBucket(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, sfDir)
+          .select("c_custkey", "c_acctbal")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(balanceBucket(col("c_acctbal")).as("balance_bucket"))
+      .agg(sumRev, count(lit(1)).as("n_sales"))
+      .orderBy(desc("revenue"), asc("balance_bucket"))
+
+  val revenueByBalanceBucketSql: String =
+    s"""SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+       |            WHEN c_acctbal < 2000 THEN '0-2k'
+       |            WHEN c_acctbal < 5000 THEN '2k-5k'
+       |            WHEN c_acctbal < 8000 THEN '5k-8k'
+       |            ELSE '8k+' END AS balance_bucket,
+       |       CAST(SUM($revenueSql) AS DECIMAL(38,4)) AS revenue,
+       |       COUNT(*) AS n_sales
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |GROUP BY 1
+       |ORDER BY revenue DESC, balance_bucket ASC""".stripMargin
+
+  /** Dashboard KPI row (F4-F7): total revenue, order count, distinct
+    * customers, total line count. A single global aggregate — partial
+    * aggregation reduces 100 TB to one row per partition before the
+    * 1-row shuffle. countDistinct is exact, as the reference's KPI is;
+    * `approx_count_distinct` is the knob to flip at extreme cardinality.
+    */
+  def kpiSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(
+        sum(revenueDec).cast("decimal(38,4)").as("total_revenue"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_lines"))
+
+  val kpiSummarySql: String =
+    s"""SELECT CAST(SUM($revenueSql) AS DECIMAL(38,4)) AS total_revenue,
+       |       COUNT(DISTINCT l_orderkey) AS n_orders,
+       |       COUNT(DISTINCT o_custkey) AS n_customers,
+       |       COUNT(*) AS n_lines
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey""".stripMargin
+
+  /** Category revenue mix with share-of-total % (F8; "Electronics 37.78%").
+    * The grand total comes from an empty-frame window aggregate — a
+    * single-row broadcast exchange, not a second scan. Share is computed
+    * in decimal from exact sums: numerator*1000000/denominator as an
+    * integer-scaled ratio, avoiding engine-specific decimal-division
+    * rounding (see pct_ppm = parts-per-million).
+    */
+  def categoryShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy()
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(sum(revenueDec).as("rev"))
+      .withColumn("share_ppm",
+        floor(col("rev") * 1000000 / sum(col("rev")).over(w)).cast("long"))
+      .select(col("brand"), col("rev").cast("decimal(38,4)").as("revenue"),
+        col("share_ppm"))
+      .orderBy(desc("revenue"), asc("brand"))
+  }
+
+  val categoryShareSql: String =
+    s"""WITH b AS (
+       |  SELECT p_brand AS brand, SUM($revenueSql) AS rev
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY p_brand)
+       |SELECT brand, CAST(rev AS DECIMAL(38,4)) AS revenue,
+       |       CAST(FLOOR(rev * 1000000 / SUM(rev) OVER ()) AS BIGINT) AS share_ppm
+       |FROM b
+       |ORDER BY revenue DESC, brand ASC""".stripMargin
+}

@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Star-schema construction over the driver testdata, re-expressing the
+  * reference's warehouse build (`etl/etl.py:109-122,251-306`,
+  * `sql/ddl_oracle.sql:26-85`) with the retail-role mapping of
+  * FIXTURES.md §A: lineitem->fact_sales, part->dim_product,
+  * customer->dim_customer, supplier⋈nation⋈region->dim_store,
+  * dim_date derived from l_shipdate.
+  *
+  * Key design decisions (SURVEY.md §7.3-7.4):
+  *   - Surrogate keys (D3) are `row_number() OVER (ORDER BY natural_id)` —
+  *     deterministic, so a SQL oracle reproduces them exactly. This global
+  *     sort is fine for DIMENSIONS (bounded smallness: parts/customers/
+  *     suppliers are orders of magnitude below the fact). Fact tables never
+  *     get row_number'ed — see [[ScalableKeys]] for the 100 TB-safe
+  *     two-pass id assignment used there.
+  *   - The fact build joins 4 dims. All dims are broadcast (they are the
+  *     small side by construction), so the fact is built in a single
+  *     map-side stage: scan lineitem -> 4 BroadcastHashJoins -> project.
+  *     No shuffle of the 100 TB side at all; this replaces the reference's
+  *     driver-side dict `.map()` join (E1, `etl/etl.py:272-282`).
+  */
+object Star {
+
+  /** dim_product (part; `sql/ddl_oracle.sql:38-49`). */
+  def dimProduct(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.orderBy("product_id")
+    Tables.part(spark, sfDir)
+      .select(
+        col("p_partkey").as("product_id"),
+        col("p_name").as("product_name"),
+        col("p_type").as("category"),
+        col("p_brand").as("brand"),
+        col("p_retailprice").as("price"),
+        col("p_size").as("size_"))
+      .withColumn("product_key", row_number().over(w).cast("long"))
+  }
+
+  /** dim_customer (customer; `sql/ddl_oracle.sql:26-36`). */
+  def dimCustomer(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.orderBy("customer_id")
+    Tables.customer(spark, sfDir)
+      .select(
+        col("c_custkey").as("customer_id"),
+        col("c_name").as("customer_name"),
+        col("c_nationkey").as("nation_id"),
+        col("c_acctbal").as("acctbal"),
+        col("c_mktsegment").as("membership_level"))
+      .withColumn("customer_key", row_number().over(w).cast("long"))
+  }
+
+  /** dim_store (supplier ⋈ nation ⋈ region; `sql/ddl_oracle.sql:52-60`).
+    * nation/region are tiny lookup tables -> broadcast; no shuffle.
+    */
+  def dimStore(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.orderBy("store_id")
+    Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(
+        col("s_suppkey").as("store_id"),
+        col("s_name").as("store_name"),
+        col("n_name").as("city"),
+        col("r_name").as("region"))
+      .withColumn("store_key", row_number().over(w).cast("long"))
+  }
+
+  /** dim_date derived from fact ship dates, exactly as `etl/etl.py:109-120`:
+    * distinct normalized dates (D1, B7) + date parts (B8) + yyyyMMdd int
+    * key (B9), weekday 1=Mon..7=Sun.
+    *
+    * Scale note: distinct-of-dates aggregates 100 TB down to a few
+    * thousand rows; partial aggregation makes the shuffle negligible.
+    */
+  def dimDate(spark: SparkSession, sfDir: String): DataFrame =
+    dimDateFrom(Tables.lineitem(spark, sfDir), "l_shipdate")
+
+  def dimDateFrom(df: DataFrame, dateCol: String): DataFrame =
+    df.select(Cleaning.normalizeDate(col(dateCol)).as("calendar_date"))
+      .distinct()
+      .select(
+        Cleaning.dateKey(col("calendar_date")).as("date_key"),
+        col("calendar_date"),
+        dayofmonth(col("calendar_date")).as("day"),
+        month(col("calendar_date")).as("month"),
+        year(col("calendar_date")).as("year"),
+        quarter(col("calendar_date")).as("quarter"),
+        Cleaning.weekdayMon1(col("calendar_date")).as("weekday"))
+
+  /** fact_sales (`sql/ddl_oracle.sql:74-85`): lineitem + o_custkey, with
+    * the 4 surrogate keys mapped on via broadcast joins (E1 as a real
+    * join), payload projected (B1).
+    *
+    * The orders join is the one non-dim join: at 100 TB both sides are
+    * large, so it is a shuffle hash join on l_orderkey — unavoidable and
+    * key-balanced (orderkey is dense). Everything else broadcasts.
+    */
+  def factSales(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = dimCustomer(spark, sfDir).select("customer_id", "customer_key")
+    val prod = dimProduct(spark, sfDir).select("product_id", "product_key")
+    val store = dimStore(spark, sfDir).select("store_id", "store_key")
+    val dd = dimDate(spark, sfDir).select("calendar_date", "date_key")
+
+    li.join(ord, col("l_orderkey") === col("o_orderkey"), "left")
+      .join(broadcast(cust), col("o_custkey") === col("customer_id"), "left")
+      .join(broadcast(prod), col("l_partkey") === col("product_id"), "left")
+      .join(broadcast(store), col("l_suppkey") === col("store_id"), "left")
+      .join(broadcast(dd),
+        Cleaning.normalizeDate(col("l_shipdate")) === col("calendar_date"),
+        "left")
+      .select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("sales_id"),
+        col("customer_key"),
+        col("product_key"),
+        col("store_key"),
+        col("date_key"),
+        col("l_quantity").cast("int").as("quantity"),
+        col("l_extendedprice").as("unit_price"),
+        (col("l_discount") * 100).as("discount_pct"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("total_amount"))
+  }
+
+  /** DuckDB oracle for [[dimDate]] (ordered by date_key). */
+  val dimDateSql: String =
+    """SELECT CAST(strftime(d, '%Y%m%d') AS INT) AS date_key,
+      |       d AS calendar_date,
+      |       CAST(day(d) AS INT) AS day,
+      |       CAST(month(d) AS INT) AS month,
+      |       CAST(year(d) AS INT) AS year,
+      |       CAST(quarter(d) AS INT) AS quarter,
+      |       CAST(isodow(d) AS INT) AS weekday
+      |FROM (SELECT DISTINCT CAST(l_shipdate AS DATE) AS d FROM lineitem)
+      |ORDER BY date_key""".stripMargin
+
+  /** DuckDB oracle for [[dimStore]] (ordered by store_key). */
+  val dimStoreSql: String =
+    """SELECT s_suppkey AS store_id, s_name AS store_name,
+      |       n_name AS city, r_name AS region,
+      |       CAST(row_number() OVER (ORDER BY s_suppkey) AS BIGINT) AS store_key
+      |FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |ORDER BY store_key""".stripMargin
+
+  /** DuckDB oracle for [[factSales]] (ordered by sales_id). */
+  val factSalesSql: String =
+    """WITH cust AS (SELECT c_custkey,
+      |    CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS customer_key
+      |  FROM customer),
+      |prod AS (SELECT p_partkey,
+      |    CAST(row_number() OVER (ORDER BY p_partkey) AS BIGINT) AS product_key
+      |  FROM part),
+      |store AS (SELECT s_suppkey,
+      |    CAST(row_number() OVER (ORDER BY s_suppkey) AS BIGINT) AS store_key
+      |  FROM supplier)
+      |SELECT l_orderkey * 10 + l_linenumber AS sales_id,
+      |       customer_key, product_key, store_key,
+      |       CAST(strftime(CAST(l_shipdate AS DATE), '%Y%m%d') AS INT) AS date_key,
+      |       CAST(l_quantity AS INT) AS quantity,
+      |       l_extendedprice AS unit_price,
+      |       l_discount * 100 AS discount_pct,
+      |       l_extendedprice * (1 - l_discount) AS total_amount
+      |FROM lineitem
+      |LEFT JOIN orders ON l_orderkey = o_orderkey
+      |LEFT JOIN cust ON o_custkey = c_custkey
+      |LEFT JOIN prod ON l_partkey = p_partkey
+      |LEFT JOIN store ON l_suppkey = s_suppkey
+      |ORDER BY sales_id, product_key, store_key, date_key, quantity,
+      |         unit_price, discount_pct""".stripMargin
+
+  /** DuckDB oracle for the dim_date upsert demo: since every dim_date row
+    * is a pure function of its date, `existing ∪ anti-join(staged)` equals
+    * the dim built over the union of distinct dates.
+    */
+  val dateUpsertSql: String =
+    """SELECT CAST(strftime(d, '%Y%m%d') AS INT) AS date_key,
+      |       d AS calendar_date,
+      |       CAST(day(d) AS INT) AS day,
+      |       CAST(month(d) AS INT) AS month,
+      |       CAST(year(d) AS INT) AS year,
+      |       CAST(quarter(d) AS INT) AS quarter,
+      |       CAST(isodow(d) AS INT) AS weekday
+      |FROM (SELECT CAST(o_orderdate AS DATE) AS d FROM orders
+      |      UNION SELECT CAST(l_shipdate AS DATE) FROM lineitem)
+      |ORDER BY date_key""".stripMargin
+
+  /** Insert-if-absent upsert for dim_date (I1; `etl/etl.py:179-224`):
+    * `existing ∪ (staged ANTI-JOIN existing ON date_key)` — the staged
+    * MERGE WHEN NOT MATCHED THEN INSERT, modeled pure-functionally so a
+    * re-run is a no-op (idempotence, SURVEY.md §7.4.2). No table format
+    * needed; at scale this is an anti-join on the (tiny) dim.
+    */
+  def upsertByKey(existing: DataFrame, staged: DataFrame, key: String): DataFrame =
+    existing.unionByName(
+      staged.join(broadcast(existing.select(key)), Seq(key), "left_anti"))
+}

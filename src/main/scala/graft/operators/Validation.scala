@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Data-quality / validation operators (SURVEY.md §2 group K) — the
+  * reference's only "tests" (`scripts/generate_data.py:286-309`,
+  * `data/validation_report.txt`): row counts per table, FK referential
+  * integrity via anti-join, null-cell totals.
+  *
+  * All checks are single-pass aggregations: the null audit computes every
+  * per-column null count in ONE scan of each table (no per-column jobs),
+  * and the FK checks are broadcast anti-joins against the (small) dims —
+  * at 100 TB each check costs one fact scan, nothing more.
+  */
+object Validation {
+
+  /** K1 — row counts per table (`scripts/generate_data.py:286-291`). */
+  def rowCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val names = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem")
+    names.map { n =>
+      Tables.load(spark, sfDir, n)
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(n).as("table_name"), col("n_rows"))
+    }.reduce(_.unionByName(_)).orderBy("table_name")
+  }
+
+  val rowCountsSql: String =
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem")
+      .map(n => s"SELECT '$n' AS table_name, COUNT(*) AS n_rows FROM $n")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+
+  /** K2 — FK referential integrity (anti-join counts; C6/E7;
+    * `scripts/generate_data.py:299-304`). Expected 0 bad rows each.
+    */
+  def fkIntegrity(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    def orphans(name: String, dim: DataFrame, factKey: String,
+        dimKey: String): DataFrame =
+      li.join(broadcast(dim), col(factKey) === col(dimKey), "left_anti")
+        .agg(count(lit(1)).as("bad_rows"))
+        .select(lit(name).as("fk_check"), col("bad_rows"))
+    orphans("lineitem_orders", Tables.orders(spark, sfDir)
+        .select("o_orderkey"), "l_orderkey", "o_orderkey")
+      .unionByName(orphans("lineitem_part", Tables.part(spark, sfDir)
+        .select("p_partkey"), "l_partkey", "p_partkey"))
+      .unionByName(orphans("lineitem_supplier", Tables.supplier(spark, sfDir)
+        .select("s_suppkey"), "l_suppkey", "s_suppkey"))
+      .orderBy("fk_check")
+  }
+
+  val fkIntegritySql: String =
+    """SELECT 'lineitem_orders' AS fk_check, COUNT(*) AS bad_rows
+      |FROM lineitem WHERE NOT EXISTS
+      |  (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+      |UNION ALL
+      |SELECT 'lineitem_part', COUNT(*) FROM lineitem WHERE NOT EXISTS
+      |  (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+      |UNION ALL
+      |SELECT 'lineitem_supplier', COUNT(*) FROM lineitem WHERE NOT EXISTS
+      |  (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)
+      |ORDER BY fk_check""".stripMargin
+
+  /** K3/F9 — null-cell totals per table (`scripts/generate_data.py:294-296`):
+    * sum over all columns of null indicators, one scan per table.
+    */
+  def nullAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val names = Seq("customer", "supplier", "part", "orders", "lineitem")
+    names.map { n =>
+      val df = Tables.load(spark, sfDir, n)
+      val nullCells = df.columns
+        .map(c => sum(col(c).isNull.cast("long")))
+        .reduce(_ + _)
+      df.agg(nullCells.as("null_cells"))
+        .select(lit(n).as("table_name"), col("null_cells"))
+    }.reduce(_.unionByName(_)).orderBy("table_name")
+  }
+
+  val nullAuditSql: String = {
+    def tbl(n: String, cols: Seq[String]): String = {
+      val expr = cols
+        .map(c => s"SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"SELECT '$n' AS table_name, CAST($expr AS BIGINT) AS null_cells FROM $n"
+    }
+    Seq(
+      tbl("customer", Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")),
+      tbl("supplier", Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal")),
+      tbl("part", Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")),
+      tbl("orders", Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")),
+      tbl("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"))
+    ).mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+  }
+}

@@ -1,0 +1,184 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Table catalog: explicit schemas + readers for the driver testdata
+  * (TPC-H-ish star, FIXTURES.md §A) and for reference-shaped retail CSVs
+  * (FIXTURES.md §B; reference `etl/etl.py:50-58` reads CSVs with inferred
+  * dtypes — we declare schemas explicitly instead, which at 100 TB avoids a
+  * full-scan inference pass and guarantees stable types across files).
+  *
+  * Covers SURVEY.md §2 A1 (CSV scan), A2 (CSV sink), A5 (table scan),
+  * A6 (typed sink schema).
+  */
+object Tables {
+
+  // --------------------------------------------------------------------
+  // Driver testdata schemas (parquet). Declaring them (rather than relying
+  // on footer merge) keeps reads deterministic and lets a 1000-file scan
+  // skip schema reconciliation.
+  // --------------------------------------------------------------------
+
+  val regionSchema: StructType = StructType(Seq(
+    StructField("r_regionkey", IntegerType),
+    StructField("r_name", StringType)))
+
+  val nationSchema: StructType = StructType(Seq(
+    StructField("n_nationkey", IntegerType),
+    StructField("n_name", StringType),
+    StructField("n_regionkey", IntegerType)))
+
+  val customerSchema: StructType = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  val supplierSchema: StructType = StructType(Seq(
+    StructField("s_suppkey", LongType),
+    StructField("s_name", StringType),
+    StructField("s_nationkey", IntegerType),
+    StructField("s_acctbal", DoubleType)))
+
+  val partSchema: StructType = StructType(Seq(
+    StructField("p_partkey", LongType),
+    StructField("p_name", StringType),
+    StructField("p_brand", StringType),
+    StructField("p_type", StringType),
+    StructField("p_size", IntegerType),
+    StructField("p_retailprice", DoubleType)))
+
+  val ordersSchema: StructType = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampType),
+    StructField("o_orderpriority", StringType)))
+
+  val lineitemSchema: StructType = StructType(Seq(
+    StructField("l_orderkey", LongType),
+    StructField("l_partkey", LongType),
+    StructField("l_suppkey", LongType),
+    StructField("l_linenumber", IntegerType),
+    StructField("l_quantity", DoubleType),
+    StructField("l_extendedprice", DoubleType),
+    StructField("l_discount", DoubleType),
+    StructField("l_tax", DoubleType),
+    StructField("l_returnflag", StringType),
+    StructField("l_linestatus", StringType),
+    StructField("l_shipdate", TimestampType)))
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  val embeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  private val schemas: Map[String, StructType] = Map(
+    "region" -> regionSchema, "nation" -> nationSchema,
+    "customer" -> customerSchema, "supplier" -> supplierSchema,
+    "part" -> partSchema, "orders" -> ordersSchema,
+    "lineitem" -> lineitemSchema, "events" -> eventsSchema,
+    "documents" -> documentsSchema, "embeddings" -> embeddingsSchema)
+
+  /** Parquet table scan with declared schema (SURVEY.md §2 A5 analog). */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  // --------------------------------------------------------------------
+  // Retail CSV shapes (reference inputs; `etl/etl.py:50-58`, FIXTURES.md §B)
+  // --------------------------------------------------------------------
+
+  val customersCsvSchema: StructType = StructType(Seq(
+    StructField("customer_id", StringType),  // raw strings; coercion is an
+    StructField("first_name", StringType),   // explicit op (Cleaning.scala),
+    StructField("last_name", StringType),    // mirroring pandas read+to_numeric
+    StructField("gender", StringType),
+    StructField("age", StringType),
+    StructField("city", StringType),
+    StructField("state", StringType),
+    StructField("membership_level", StringType)))
+
+  val productsCsvSchema: StructType = StructType(Seq(
+    StructField("product_id", StringType),
+    StructField("product_name", StringType),
+    StructField("category", StringType),
+    StructField("sub_category", StringType),
+    StructField("brand", StringType),
+    StructField("price", StringType),
+    StructField("cost", StringType),
+    StructField("color", StringType),
+    StructField("size", StringType)))
+
+  val storesCsvSchema: StructType = StructType(Seq(
+    StructField("store_id", StringType),
+    StructField("store_name", StringType),
+    StructField("city", StringType),
+    StructField("state", StringType),
+    StructField("region", StringType),
+    StructField("store_type", StringType)))
+
+  val salesCsvSchema: StructType = StructType(Seq(
+    StructField("sales_id", StringType),
+    StructField("customer_id", StringType),
+    StructField("product_id", StringType),
+    StructField("store_id", StringType),
+    StructField("quantity", StringType),
+    StructField("sales_date", StringType),   // dd-MM-yyyy strings
+    StructField("discount_pct", StringType),
+    StructField("unit_price", StringType),
+    StructField("total_amount", StringType)))
+
+  /** CSV scan (SURVEY.md §2 A1): header row, declared schema, PERMISSIVE
+    * mode reproduces pandas' read-then-coerce behavior (`etl/etl.py:50-58`).
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .schema(schema)
+      .csv(path)
+
+  /** CSV staging sink (SURVEY.md §2 A2; `etl/etl.py:127-137`). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Parquet sink, append (SURVEY.md §2 A3 — the JDBC batch append becomes
+    * a partitioned parquet append; per-job atomicity via the output
+    * committer replaces the reference's explicit transaction, I3).
+    */
+  def appendParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("append").parquet(path)
+
+  /** Parquet sink, replace (SURVEY.md §2 A4; `etl/etl.py:199-207`). */
+  def overwriteParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+}

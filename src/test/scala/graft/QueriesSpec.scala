@@ -1,0 +1,34 @@
+package graft
+
+/** Contract checks for the driver-facing query registry. */
+class QueriesSpec extends SparkSpec {
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every registered query runs and returns rows on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf0001).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("every oracleSql key has a matching query") {
+    val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(extra.isEmpty, s"oracleSql without query: $extra")
+  }
+
+  test("q01 top-5: exactly 5 rows, strictly ordered by revenue desc") {
+    val rows = SparkEntry.queries("q01_top_products")(spark, sf0001)
+      .select("revenue").collect().map(_.getDecimal(0))
+    assert(rows.length === 5)
+    assert(rows.sliding(2).forall { case Array(a, b) => a.compareTo(b) >= 0 })
+  }
+
+  test("q10 FK integrity: zero orphans in the generated data") {
+    val bad = SparkEntry.queries("q10_fk_integrity")(spark, sf0001)
+      .select("bad_rows").collect().map(_.getLong(0)).sum
+    assert(bad === 0)
+  }
+}
