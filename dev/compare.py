@@ -41,11 +41,20 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             n_fail += 1; continue
         gt = [str(t) for t in got.dtypes]; wt = [str(t) for t in want.dtypes]
+        def eq(x, y):
+            if isinstance(x, (list, tuple)) or "ndarray" in type(x).__name__:
+                xs, ys = list(x), list(y)
+                return len(xs) == len(ys) and all(eq(a, b) for a, b in zip(xs, ys))
+            try:
+                if x == y: return True
+            except Exception:
+                pass
+            return str(x) == str(y)
         mismatch = []
         for c in gc:
             a, b = got[c].tolist(), want[c].tolist()
             for i, (x, y) in enumerate(zip(a, b)):
-                if x != y and str(x) != str(y):
+                if not eq(x, y):
                     mismatch.append((c, i, x, y))
                     if len(mismatch) > 3: break
             if len(mismatch) > 3: break

@@ -46,6 +46,29 @@ object SparkEntry {
     "q10_fk_integrity" -> ((s, d) => Validation.fkIntegrity(s, d)),
     "q11_null_audit" -> ((s, d) => Validation.nullAudit(s, d)),
     "q12_row_counts" -> ((s, d) => Validation.rowCounts(s, d)),
+    // --- deduplication (exact, MinHash+LSH, SimHash) ---
+    "q14_dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
+    "q15_minhash_signatures" -> ((s, d) => Dedup.minhashSignatures(s, d)),
+    "q16_neardup_pairs" -> ((s, d) => Dedup.neardupPairs(s, d)),
+    "q17_simhash" -> ((s, d) => Dedup.simhash(s, d)),
+    "q18_simhash_neardup" -> ((s, d) => Dedup.simhashNeardup(s, d)),
+    // --- text analysis ---
+    "q19_text_stats" -> ((s, d) => TextAnalysis.textStats(s, d)),
+    "q20_language_id" -> ((s, d) => TextAnalysis.languageId(s, d)),
+    "q21_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
+    // --- similarity search over embeddings ---
+    "q22_embed_stats" -> ((s, d) => Similarity.embedStats(s, d)),
+    "q23_knn_bruteforce" -> ((s, d) => Similarity.knnBruteForce(s, d)),
+    "q24_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
+    "q25_embed_neardup" -> ((s, d) => Similarity.embeddingNeardup(s, d, 0.4)),
+    // --- event-stream analytics (batch form) ---
+    "q26_events_hourly" -> ((s, d) => Events.hourlyByType(s, d)),
+    "q27_events_sliding" -> ((s, d) => Events.slidingHourly(s, d)),
+    "q28_events_sessions" -> ((s, d) => Events.sessionize(s, d)),
+    "q29_events_daily" -> ((s, d) => Events.dailyTypeRollup(s, d)),
+    // --- multimodal binary-column plumbing (decode step is a stub) ---
+    "q30_media_features" -> ((s, d) => Multimodal.mediaFeatures(s, d)),
+    "q31_media_rollup" -> ((s, d) => Multimodal.mediaKindRollup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -65,5 +88,23 @@ object SparkEntry {
     "q10_fk_integrity" -> Validation.fkIntegritySql,
     "q11_null_audit" -> Validation.nullAuditSql,
     "q12_row_counts" -> Validation.rowCountsSql,
+    "q14_dedup_exact" -> Dedup.exactDedupSql,
+    "q15_minhash_signatures" -> Dedup.minhashSignaturesSql,
+    "q16_neardup_pairs" -> Dedup.neardupPairsSql(),
+    "q17_simhash" -> Dedup.simhashSql,
+    "q18_simhash_neardup" -> Dedup.simhashNeardupSql(),
+    "q19_text_stats" -> TextAnalysis.textStatsSql,
+    "q20_language_id" -> TextAnalysis.languageIdSql,
+    "q21_fingerprints" -> TextAnalysis.fingerprintsSql,
+    "q22_embed_stats" -> Similarity.embedStatsSql,
+    "q23_knn_bruteforce" -> Similarity.knnBruteForceSql(),
+    "q24_ann_lsh" -> Similarity.annLshSql(),
+    "q25_embed_neardup" -> Similarity.embeddingNeardupSql(0.4),
+    "q26_events_hourly" -> Events.hourlyByTypeSql,
+    "q27_events_sliding" -> Events.slidingHourlySql,
+    "q28_events_sessions" -> Events.sessionizeSql(),
+    "q29_events_daily" -> Events.dailyTypeRollupSql,
+    "q30_media_features" -> Multimodal.mediaFeaturesSql,
+    "q31_media_rollup" -> Multimodal.mediaKindRollupSql,
   )
 }

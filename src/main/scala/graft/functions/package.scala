@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+
+/** Column-API surface for graft's native Catalyst expressions
+  * (TextHashExprs.scala). Each function produces values identical to a
+  * pure-SQL composition (and therefore to the DuckDB oracles) — see the
+  * expression scaladocs.
+  */
+package object functions {
+
+  /** MinHash signature (array<long>, k hashes) of a text column. */
+  def minhash_sig(c: Column, numHashes: Int): Column =
+    toColumn(MinHashSigExpr(toExpression(c), numHashes))
+
+  /** Word 3-shingles (array<string>) of a text column. */
+  def word_shingles(c: Column): Column =
+    toColumn(WordShinglesExpr(toExpression(c)))
+
+  /** 60-bit SimHash of a text column. */
+  def simhash60(c: Column): Column =
+    toColumn(SimHash60Expr(toExpression(c)))
+
+  /** Min-8-gram rolling fingerprint of a text column. */
+  def mingram_fp(c: Column): Column =
+    toColumn(MinGramFpExpr(toExpression(c)))
+
+  /** Cosine similarity (double) of two array<float> columns. */
+  def cosine_sim(a: Column, b: Column): Column =
+    toColumn(CosineSimExpr(toExpression(a), toExpression(b)))
+
+  /** 16-bit sign-hyperplane LSH signature of an array<float> column. */
+  def lsh_sig(c: Column, planes: Array[Array[Int]]): Column =
+    toColumn(LshSigExpr(toExpression(c), planes))
+}

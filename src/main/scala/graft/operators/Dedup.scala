@@ -1,0 +1,259 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Deduplication operators for training-data pipelines over `documents`
+  * (SURVEY.md §7.5 + builder prompt): exact hash dedup, MinHash+LSH
+  * near-dup, SimHash, n-gram Jaccard verification.
+  *
+  * Scale design: every per-document computation (shingles, signatures,
+  * simhash) is a narrow map built from codegen'd higher-order array
+  * functions — one pass over the corpus, no UDFs. The only shuffles are
+  * (a) the groupBy on content hash for exact dedup and (b) the
+  * band-bucket exchange for LSH candidate generation, both of which
+  * reduce data massively before the shuffle (a signature row is ~200
+  * bytes regardless of document size). Candidate verification computes
+  * true Jaccard ONLY on LSH-colliding pairs — the O(n²) pairwise join is
+  * never materialized. All hashes are md5-derived (portable to the
+  * DuckDB oracle, and stable across engines/runs).
+  */
+object Dedup {
+
+  /** Number of MinHash hash functions and LSH banding (16 = 4 bands x 4
+    * rows: catches Jaccard >~ 0.7 with high probability).
+    */
+  val NumHashes = 16
+  val Bands = 4
+  val RowsPerBand = 4
+
+  // ---------- shared SQL fragments (Spark expr dialect) ----------
+
+  /** Word 3-shingles of normalized text (Spark SQL fragment).
+    * try_element_at handles docs shorter than 3 tokens (ANSI-safe).
+    */
+  val shinglesExprSpark: String = {
+    val tok = "split(lower(trim(text)), '\\\\s+')"
+    s"""transform(sequence(1, greatest(size($tok) - 2, 1)),
+       |  i -> concat_ws(' ', try_element_at($tok, i),
+       |                  try_element_at($tok, i + 1),
+       |                  try_element_at($tok, i + 2)))""".stripMargin
+  }
+
+  /** Same shingles in DuckDB dialect (1-based list indexing; out-of-range
+    * returns NULL which concat_ws skips — same semantics as above).
+    */
+  val shinglesExprDuck: String = {
+    val tok = "string_split_regex(lower(trim(text)), '\\s+')"
+    s"""list_transform(range(1, greatest(len($tok) - 2, 1) + 1),
+       |  i -> concat_ws(' ', $tok[CAST(i AS INT)],
+       |                  $tok[CAST(i + 1 AS INT)],
+       |                  $tok[CAST(i + 2 AS INT)]))""".stripMargin
+  }
+
+  /** Exact dedup by content hash (D2 + builder "exact (hash-groupBy)"):
+    * canonical keeper = min doc_id per md5(normalized text).
+    */
+  def exactDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(md5(lower(trim(col("text"))).cast("binary")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("n_copies"))
+      .orderBy("text_hash")
+
+  val exactDedupSql: String =
+    """SELECT md5(lower(trim(text))) AS text_hash,
+      |       min(doc_id) AS keep_doc_id,
+      |       count(*) AS n_copies
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY text_hash""".stripMargin
+
+  /** MinHash signatures: sig[j] = min over shingles of h_j(shingle),
+    * h_j = 60-bit md5 hash seeded by j. One pass, map-side only,
+    * computed by the native [[graft.functions.MinHashSigExpr]] (a pure
+    * SQL HOF composition produces identical values ~30x slower; the
+    * DuckDB oracle below documents the exact semantics).
+    */
+  def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
+    minhashSignaturesRaw(spark, sfDir).orderBy("doc_id")
+
+  /** Signature computation without the presentation sort (plan building
+    * block — a mid-pipeline global sort would be pure waste).
+    */
+  def minhashSignaturesRaw(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      graft.functions.minhash_sig(col("text"), NumHashes).as("minhash"))
+
+  val minhashSignaturesSql: String =
+    s"""SELECT doc_id,
+       |  list_transform(range(0, $NumHashes), j ->
+       |    list_min(list_transform($shinglesExprDuck,
+       |      s -> CAST(('0x' || substr(md5(j || '|' || s), 1, 15)) AS BIGINT))))
+       |    AS minhash
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  /** Near-duplicate pairs via MinHash LSH + exact Jaccard verification:
+    * 1. signature -> `Bands` band keys (hash of `RowsPerBand` minhashes);
+    * 2. explode bands, shuffle on (band_idx, band_key) — only docs
+    *    agreeing on a whole band collide;
+    * 3. self-join within buckets (doc_a < doc_b), distinct;
+    * 4. verify candidates with true 3-shingle Jaccard >= `threshold`.
+    *
+    * At 100 TB: the exploded band table is 4 rows x ~24 bytes per doc;
+    * bucket joins are local to each band-key partition; the quadratic
+    * blowup is bounded by bucket size (skewed mega-buckets would signal
+    * boilerplate text — cap with a bucket-size filter if needed).
+    */
+  def neardupPairs(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.5): DataFrame = {
+    // The repartition is a deliberate plan barrier: it materializes each
+    // signature exactly once before banding. Without it, project
+    // collapsing + filter pushdown inline the (expensive) minhash
+    // computation into every band expression — observed 5x recompute.
+    // posexplode_outer (not posexplode) avoids the generator's implicit
+    // `size(bands) > 0` filter, which would likewise re-evaluate the
+    // bands under the scan. Bands are always non-empty, so semantics
+    // are identical.
+    val sigs = minhashSignaturesRaw(spark, sfDir)
+      .repartition(col("doc_id"))
+    val banded = sigs.select(
+        col("doc_id"),
+        expr(
+          s"""transform(sequence(0, ${Bands - 1}), b ->
+             |  md5(CAST(concat_ws(',', CAST(b AS STRING),
+             |    CAST(try_element_at(minhash, b * $RowsPerBand + 1) AS STRING),
+             |    CAST(try_element_at(minhash, b * $RowsPerBand + 2) AS STRING),
+             |    CAST(try_element_at(minhash, b * $RowsPerBand + 3) AS STRING),
+             |    CAST(try_element_at(minhash, b * $RowsPerBand + 4) AS STRING)) AS BINARY)))""".stripMargin)
+          .as("bands"))
+      .select(col("doc_id"),
+        posexplode_outer(col("bands")).as(Seq("band_idx", "band_key")))
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sh = Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      array_distinct(graft.functions.word_shingles(col("text"))).as("sh"))
+    cands
+      .join(sh.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("sh", "sh_b"), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def neardupPairsSql(threshold: Double = 0.5): String =
+    s"""WITH sigs AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, $NumHashes), j ->
+       |      list_min(list_transform($shinglesExprDuck,
+       |        s -> CAST(('0x' || substr(md5(j || '|' || s), 1, 15)) AS BIGINT))))
+       |      AS minhash
+       |  FROM documents),
+       |banded AS (
+       |  SELECT doc_id, b.band_idx,
+       |    md5(band_idx || ',' || minhash[band_idx * $RowsPerBand + 1]
+       |      || ',' || minhash[band_idx * $RowsPerBand + 2]
+       |      || ',' || minhash[band_idx * $RowsPerBand + 3]
+       |      || ',' || minhash[band_idx * $RowsPerBand + 4]) AS band_key
+       |  FROM sigs, (SELECT UNNEST(range(0, $Bands)) AS band_idx) b),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id),
+       |sh AS (
+       |  SELECT doc_id, list_distinct($shinglesExprDuck) AS sh FROM documents)
+       |SELECT doc_a, doc_b,
+       |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |    / len(list_distinct(sa.sh || sb.sh)) AS jaccard
+       |FROM cands
+       |JOIN sh sa ON sa.doc_id = doc_a
+       |JOIN sh sb ON sb.doc_id = doc_b
+       |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |    / len(list_distinct(sa.sh || sb.sh)) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** 60-bit SimHash over whitespace tokens: per bit i, sum +-1 votes of
+    * each token-hash's bit i; bit set iff the vote is positive. One
+    * map-side pass (token hashes computed once per doc).
+    */
+  def simhash(spark: SparkSession, sfDir: String): DataFrame =
+    simhashRaw(spark, sfDir).orderBy("doc_id")
+
+  def simhashRaw(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      graft.functions.simhash60(col("text")).as("simhash"))
+
+  val simhashSql: String =
+    """SELECT doc_id,
+      |  CAST(list_sum(list_transform(range(0, 60), i ->
+      |    CASE WHEN list_sum(list_transform(
+      |        string_split_regex(lower(trim(text)), '\s+'),
+      |        t -> CASE WHEN (CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) >> i) & 1 = 1
+      |             THEN 1 ELSE -1 END)) > 0
+      |    THEN CAST(1 AS BIGINT) << i ELSE 0 END)) AS BIGINT) AS simhash
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** SimHash near-dup pairs: LSH on 4 bands of 15 bits (two near-dups
+    * must agree exactly on at least one band), verified by Hamming
+    * distance <= maxHamming. Same shuffle shape as MinHash LSH.
+    */
+  def simhashNeardup(spark: SparkSession, sfDir: String,
+      maxHamming: Int = 6): DataFrame = {
+    // same barrier + outer-explode pattern as neardupPairs (see there)
+    val sh = simhashRaw(spark, sfDir).repartition(col("doc_id"))
+    val banded = sh.select(col("doc_id"), col("simhash"),
+        explode_outer(expr(
+          """transform(sequence(0, 3),
+            |  b -> concat(CAST(b AS STRING), ':',
+            |    CAST((simhash >> (b * 15)) & 32767 AS STRING)))""".stripMargin))
+          .as("band_key"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def simhashNeardupSql(maxHamming: Int = 6): String =
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    list_sum(list_transform(range(0, 60), i ->
+       |      CASE WHEN list_sum(list_transform(
+       |          string_split_regex(lower(trim(text)), '\\s+'),
+       |          t -> CASE WHEN (CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) >> i) & 1 = 1
+       |               THEN 1 ELSE -1 END)) > 0
+       |      THEN CAST(1 AS BIGINT) << i ELSE 0 END)) AS simhash
+       |  FROM documents),
+       |banded AS (
+       |  SELECT doc_id, simhash,
+       |    b || ':' || ((simhash >> (b * 15)) & 32767) AS band_key
+       |  FROM sh, (SELECT UNNEST(range(0, 4)) AS b))
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS INT) AS hamming
+       |FROM banded a JOIN banded b
+       |  ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= $maxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+}

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Event-stream analytics over the `events` table (SURVEY.md §7.5),
+  * batch form — the Structured Streaming form of the same operators
+  * lives in [[graft.streaming.EventStreams]] and shares semantics:
+  * Spark's `window()`/`session_window()` produce identical buckets in
+  * batch and streaming, so these batch queries double as the
+  * correctness oracle for the streaming path.
+  *
+  * Money/values aggregate in exact decimal (see Insights scaladoc);
+  * window starts are epoch-aligned, matching the DuckDB oracle's
+  * date_trunc/epoch arithmetic.
+  */
+object Events {
+
+  private def sumValue = sum(col("value").cast("decimal(28,10)"))
+    .cast("decimal(38,10)").as("sum_value")
+
+  private val sumValueSql =
+    "CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS sum_value"
+
+  /** Tumbling 1-hour windows per event type: count + value sum.
+    * `window(ts, '1 hour')` buckets exactly like date_trunc('hour').
+    */
+  def hourlyByType(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sumValue)
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  /** Oracle note: the parquet `ts` is nanosecond precision; Spark reads
+    * it truncated to microseconds, so every oracle casts
+    * `CAST(ts AS TIMESTAMP)` (us, no TZ) to agree.
+    */
+  val hourlyByTypeSql: String =
+    s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       |       event_type,
+       |       COUNT(*) AS n_events, $sumValueSql
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY window_start, event_type""".stripMargin
+
+  /** Sliding windows: 1-hour length, 15-minute slide. Spark emits one row
+    * per (event, covering window) — each event lands in 4 windows with
+    * epoch-aligned starts; the oracle reproduces that with an explicit
+    * k=0..3 offset unnest.
+    */
+  def slidingHourly(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n_events"), sumValue)
+      .select(col("window.start").as("window_start"), col("n_events"),
+        col("sum_value"))
+      .orderBy("window_start")
+
+  val slidingHourlySql: String =
+    s"""SELECT make_timestamp(
+       |         ((CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 900) AS BIGINT) - k)
+       |          * 900) * 1000000) AS window_start,
+       |       COUNT(*) AS n_events, $sumValueSql
+       |FROM events, (SELECT UNNEST(range(0, 4)) AS k)
+       |GROUP BY 1
+       |ORDER BY window_start""".stripMargin
+
+  /** Sessionization with a 30-minute inactivity gap (the classic
+    * lag -> gap-flag -> running-sum session id), then per-session
+    * aggregates. One shuffle: the window partition by user.
+    *
+    * At 100 TB this is the right shape: sessions are computed entirely
+    * within each user's partition (no cross-user data movement), and
+    * user_id is high-cardinality so partitions balance. The streaming
+    * equivalent (session_window + watermark) is in EventStreams.
+    */
+  def sessionize(spark: SparkSession, sfDir: String,
+      gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapSec = gapMinutes * 60
+    Tables.events(spark, sfDir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      // gap measured in exact fractional seconds (timestamp->double is
+      // micros/1e6 in both engines; unix_timestamp would truncate)
+      .withColumn("new_session",
+        (col("prev_ts").isNull ||
+          col("ts").cast("double") - col("prev_ts").cast("double") > gapSec)
+          .cast("int"))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sumValue)
+      .orderBy("user_id", "session_seq")
+  }
+
+  def sessionizeSql(gapMinutes: Int = 30): String = {
+    val gapSec = gapMinutes * 60
+    s"""WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+       |                   event_type, value FROM events),
+       |flagged AS (
+       |  SELECT *,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR epoch(ts) - epoch(lag(ts) OVER w) > $gapSec
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM ev
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sessions AS (
+       |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+       |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+       |  FROM flagged)
+       |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       |       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       |       COUNT(*) AS n_events, $sumValueSql
+       |FROM sessions
+       |GROUP BY user_id, session_seq
+       |ORDER BY user_id, session_seq""".stripMargin
+  }
+
+  /** Per-type daily funnel-ish rollup with distinct users — exercises
+    * date bucketing + countDistinct on the event stream.
+    */
+  def dailyTypeRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sumValue)
+      .orderBy("event_date", "event_type")
+
+  val dailyTypeRollupSql: String =
+    s"""SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date, event_type,
+       |       COUNT(*) AS n_events,
+       |       COUNT(DISTINCT user_id) AS n_users, $sumValueSql
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY event_date, event_type""".stripMargin
+}

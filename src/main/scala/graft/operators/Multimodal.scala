@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Multimodal-column plumbing (builder prompt §multimodal): media as
+  * opaque `binary` columns with typed metadata, processed partition-wise.
+  *
+  * The decode step is a clearly-marked STUB (this container has no
+  * image/audio codecs): [[fakeDecode]] derives deterministic
+  * pseudo-features from an md5 of the payload. Everything AROUND the
+  * stub is real and tested — the schema contract, the binary column
+  * handling, the partition-wise batched execution shape (mapPartitions
+  * over an iterator == one "batch" per partition, the same contract a
+  * Pandas-UDF `mapInPandas` has in PySpark), and the downstream
+  * aggregation plumbing.
+  *
+  * Scale notes: decode is the textbook case for partition-wise
+  * processing — per-element codec setup amortizes across the partition
+  * iterator; binary payloads never pass through a shuffle (features are
+  * extracted map-side, payload column dropped immediately after);
+  * `spark.sql.files.maxPartitionBytes` bounds decoder memory.
+  */
+object Multimodal {
+
+  /** Typed record for a media blob + metadata. */
+  case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte],
+    source: String)
+
+  /** Extracted features (what a real image/audio decoder would emit:
+    * dimensions / duration / channel stats — here md5-derived fakes).
+    */
+  case class MediaFeatures(media_id: Long, kind: String, byte_len: Int,
+    width: Int, height: Int, f0: Double, f1: Double, f2: Double, f3: Double)
+
+  /** Fabricate a media table from `documents` (text bytes stand in for
+    * image/audio payloads — deterministic, schema-correct).
+    */
+  def mediaFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id").as("media_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("kind"),
+        col("text").cast("binary").as("payload"),
+        col("source"))
+      .as[MediaRecord]
+  }
+
+  /** STUB decoder ??? — stands in for e.g. javax.imageio / ffmpeg.
+    * Deterministic: features are bytes of md5(payload), so the DuckDB
+    * oracle can reproduce them from SQL md5. A real deployment swaps
+    * ONLY this function; the partition-wise plumbing stays.
+    */
+  private def fakeDecode(payload: Array[Byte]): (Int, Int, Double, Double, Double, Double) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(payload).map(_ & 0xff)
+    // fake "dimensions" and channel statistics from digest bytes
+    (64 + d(0) * 4, 64 + d(1) * 4,
+      d(2) / 255.0, d(3) / 255.0, d(4) / 255.0, d(5) / 255.0)
+  }
+
+  /** Partition-wise feature extraction: one decoder instance per
+    * partition, iterator-in/iterator-out (the JVM analog of
+    * `mapInPandas` batch processing).
+    */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition setup would go here (codec init, model load, ...)
+      it.map { m =>
+        val (w, h, f0, f1, f2, f3) = fakeDecode(m.payload)
+        MediaFeatures(m.media_id, m.kind, m.payload.length, w, h, f0, f1, f2, f3)
+      }
+    }
+  }
+
+  /** Registered query: build media -> extract features -> drop payload.
+    * Emitted sorted by media_id; the DuckDB oracle recomputes the same
+    * md5-derived features in SQL.
+    */
+  def mediaFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    extractFeatures(mediaFromDocuments(spark, sfDir))
+      .toDF()
+      .orderBy("media_id")
+
+  val mediaFeaturesSql: String =
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |       WHEN doc_id % 3 = 1 THEN 'audio'
+      |       ELSE 'video' END AS kind,
+      |  CAST(strlen(text) AS INT) AS byte_len,
+      |  CAST(64 + CAST(('0x' || substr(md5(text), 1, 2)) AS INT) * 4 AS INT) AS width,
+      |  CAST(64 + CAST(('0x' || substr(md5(text), 3, 2)) AS INT) * 4 AS INT) AS height,
+      |  CAST(('0x' || substr(md5(text), 5, 2)) AS INT) / 255.0 AS f0,
+      |  CAST(('0x' || substr(md5(text), 7, 2)) AS INT) / 255.0 AS f1,
+      |  CAST(('0x' || substr(md5(text), 9, 2)) AS INT) / 255.0 AS f2,
+      |  CAST(('0x' || substr(md5(text), 11, 2)) AS INT) / 255.0 AS f3
+      |FROM documents
+      |ORDER BY media_id""".stripMargin
+
+  /** Downstream rollup over extracted features (proves features flow
+    * into ordinary relational ops after the stub boundary).
+    */
+  def mediaKindRollup(spark: SparkSession, sfDir: String): DataFrame =
+    mediaFeatures(spark, sfDir)
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("byte_len")).as("total_bytes"),
+        sum(col("width").cast("decimal(18,0)")).cast("decimal(38,0)")
+          .as("sum_width"))
+      .orderBy("kind")
+
+  val mediaKindRollupSql: String =
+    """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |            WHEN doc_id % 3 = 1 THEN 'audio'
+      |            ELSE 'video' END AS kind,
+      |       COUNT(*) AS n_media,
+      |       CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+      |       CAST(SUM(64 + CAST(('0x' || substr(md5(text), 1, 2)) AS INT) * 4)
+      |         AS DECIMAL(38,0)) AS sum_width
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY kind""".stripMargin
+}

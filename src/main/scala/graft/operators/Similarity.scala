@@ -1,0 +1,275 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (array<float>, 64-dim)
+  * — SURVEY.md §7.5 / builder prompt: brute-force cosine top-k as the
+  * correctness baseline, sign-hyperplane LSH bucketing as the scale
+  * path, and cosine near-dup detection.
+  *
+  * Determinism contract with the DuckDB oracle: dot products are left
+  * folds over double-cast floats starting at 0.0 — Spark
+  * `aggregate(zip_with(...), 0d, +)` and DuckDB
+  * `list_reduce(list_transform(...), +)` produce the identical IEEE
+  * operation sequence, so cosines match bit-for-bit and rankings agree.
+  *
+  * Scale design: brute-force is O(Q*N) — fine when Q (query batch) is
+  * small and broadcast; the LSH variant buckets vectors by a 16-bit
+  * hyperplane signature so each query only scans its bucket (~N/65536 of
+  * the corpus), the classic recall-vs-cost trade. Neither path ever
+  * collects vectors to the driver.
+  */
+object Similarity {
+
+  val Dim = 64
+  val NumPlanes = 16
+
+  /** Spark SQL fragment: cosine similarity between two float-array
+    * columns, computed as an exact left fold in double.
+    */
+  def cosineExprSpark(a: String, b: String): String =
+    s"""(aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+       |   CAST(0 AS DOUBLE), (acc, v) -> acc + v))
+       | / (sqrt(aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+       |   CAST(0 AS DOUBLE), (acc, v) -> acc + v))
+       |  * sqrt(aggregate(transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+       |   CAST(0 AS DOUBLE), (acc, v) -> acc + v)))""".stripMargin
+
+  /** DuckDB equivalent of [[cosineExprSpark]] (prepend 0.0 so the fold
+    * starts at the same initial value).
+    */
+  def cosineExprDuck(a: String, b: String): String =
+    s"""(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(range(1, $Dim + 1),
+       |      i -> CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE))),
+       |    (acc, v) -> acc + v))
+       | / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |      (acc, v) -> acc + v))
+       |  * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |      (acc, v) -> acc + v)))""".stripMargin
+
+  /** Per-vector stats: dimension and L2 norm (sanity surface for the
+    * embedding column; one map-side pass).
+    */
+  def embedStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir).select(
+        col("vec_id"), col("label"),
+        size(col("embedding")).as("dim"),
+        expr("""sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               |  CAST(0 AS DOUBLE), (acc, v) -> acc + v))""".stripMargin)
+          .as("l2_norm"))
+      .orderBy("vec_id")
+
+  val embedStatsSql: String =
+    s"""SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim,
+       |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |    (acc, v) -> acc + v)) AS l2_norm
+       |FROM embeddings
+       |ORDER BY vec_id""".stripMargin
+
+  /** Brute-force cosine top-k: for each query vector (vec_id < nQueries),
+    * rank ALL other vectors by cosine desc (tiebreak vec_id asc), keep k.
+    *
+    * Plan shape: the tiny query set broadcasts; candidates stream
+    * through a BroadcastNestedLoopJoin; per-query ranking is a window
+    * over ~N rows. The 100 TB variant swaps the ranking window for
+    * TakeOrderedAndProject per query or the LSH bucketing below.
+    */
+  def knnBruteForce(spark: SparkSession, sfDir: String, nQueries: Int = 10,
+      k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val cands = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cosine"), asc("neighbor_id"))
+    broadcast(queries).crossJoin(cands)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", graft.functions.cosine_sim(col("q_emb"), col("c_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
+  def knnBruteForceSql(nQueries: Int = 10, k: Int = 5): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+       |           FROM embeddings WHERE vec_id < $nQueries),
+       |scored AS (
+       |  SELECT query_id, e.vec_id AS neighbor_id,
+       |    ${cosineExprDuck("q_emb", "e.embedding")} AS cosine
+       |  FROM q, embeddings e
+       |  WHERE e.vec_id <> query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, cosine
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Deterministic sign-hyperplane coefficients: plane p, dim d ->
+    * +1/-1 from the low bit of the portable 60-bit md5 hash of "p:d".
+    * Computed once on the driver (md5 is md5 everywhere — same numbers
+    * as the DuckDB oracle derives in SQL).
+    */
+  lazy val planeSigns: Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(NumPlanes, Dim) { (p, d) =>
+      val hex = md.digest(s"$p:$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      if ((java.lang.Long.parseLong(hex, 16) & 1L) == 1L) 1 else -1
+    }
+  }
+
+  /** Spark SQL fragment: 16-bit LSH signature of a float-array column
+    * under [[planeSigns]] (embedded as a literal nested array — the
+    * "broadcast the plane matrix" pattern; no per-row hashing).
+    */
+  def lshSigExprSpark(embCol: String): String = {
+    val planesLit = planeSigns.map(_.mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
+    s"""aggregate(sequence(0, ${NumPlanes - 1}), 0, (acc, p) ->
+       |  acc + IF(
+       |    aggregate(zip_with($embCol, try_element_at($planesLit, p + 1),
+       |        (x, c) -> CAST(x AS DOUBLE) * CAST(c AS DOUBLE)),
+       |      CAST(0 AS DOUBLE), (a, v) -> a + v) > 0,
+       |    CAST(pow(2, p) AS INT), 0))""".stripMargin
+  }
+
+  /** DuckDB equivalent of [[lshSigExprSpark]] — derives the same plane
+    * signs from md5 in SQL.
+    */
+  def lshSigExprDuck(embCol: String): String =
+    s"""list_sum(list_transform(range(0, $NumPlanes), p ->
+       |  CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, $Dim + 1), i ->
+       |        CAST($embCol[CAST(i AS INT)] AS DOUBLE) *
+       |        (CASE WHEN CAST(('0x' || substr(md5(p || ':' || (i - 1)), 1, 15)) AS BIGINT) & 1 = 1
+       |          THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END))),
+       |      (acc, v) -> acc + v) > 0
+       |  THEN CAST(2 ** p AS BIGINT) ELSE 0 END))""".stripMargin
+
+  /** LSH-bucketed approximate top-k (multi-band OR matching): the 16-bit
+    * signature splits into 4 bands of 4 bits; a candidate is scored iff
+    * it agrees with the query on at least one whole band. At scale each
+    * band bucket holds ~N/16 of the corpus, and only bucket-local pairs
+    * are scored — the classic recall/cost dial (more bands = higher
+    * recall, more candidates). Recall is measured against
+    * [[knnBruteForce]] in the test suite.
+    */
+  def annLsh(spark: SparkSession, sfDir: String, nQueries: Int = 10,
+      k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .withColumn("sig", graft.functions.lsh_sig(col("embedding"), planeSigns))
+    val bandExpr =
+      """transform(sequence(0, 3),
+        |  b -> concat(CAST(b AS STRING), ':',
+        |    CAST((sig >> (b * 4)) & 15 AS STRING)))""".stripMargin
+    val banded = emb
+      .select(col("vec_id"), col("embedding"),
+        explode(expr(bandExpr)).as("band_key"))
+    val queries = banded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("band_key"))
+    val cands = banded.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"), col("band_key"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cosine"), asc("neighbor_id"))
+    broadcast(queries).join(cands, Seq("band_key"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("q_emb"), col("c_emb"))
+      .distinct()
+      .withColumn("cosine", graft.functions.cosine_sim(col("q_emb"), col("c_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
+  def annLshSql(nQueries: Int = 10, k: Int = 5): String =
+    s"""WITH sigs AS (
+       |  SELECT vec_id, embedding, ${lshSigExprDuck("embedding")} AS sig
+       |  FROM embeddings),
+       |banded AS (
+       |  SELECT vec_id, embedding,
+       |    b || ':' || ((sig >> (b * 4)) & 15) AS band_key
+       |  FROM sigs, (SELECT UNNEST(range(0, 4)) AS b)),
+       |cands AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |    q.embedding AS q_emb, e.embedding AS c_emb
+       |  FROM banded q JOIN banded e
+       |    ON q.band_key = e.band_key AND e.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $nQueries),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    ${cosineExprDuck("q_emb", "c_emb")} AS cosine
+       |  FROM cands),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, cosine
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Embedding near-duplicate pairs: cosine >= threshold, candidates
+    * restricted to pairs agreeing on at least one 4-bit LSH band (truly
+    * near-identical vectors agree on nearly every hyperplane sign, so
+    * band recall is ~1 at high thresholds). The O(n²) cross join never
+    * happens — only band-local pairs are scored.
+    *
+    * Note: the driver's synthetic embeddings have NO true near-dups (max
+    * pairwise cosine ~0.48), so the registered query uses a demo
+    * threshold of 0.4; production near-dup filtering would use ~0.95.
+    */
+  def embeddingNeardup(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.95): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .withColumn("sig", graft.functions.lsh_sig(col("embedding"), planeSigns))
+    val banded = emb.select(col("vec_id"), col("embedding"),
+      explode(expr(
+        """transform(sequence(0, 3),
+          |  b -> concat(CAST(b AS STRING), ':',
+          |    CAST((sig >> (b * 4)) & 15 AS STRING)))""".stripMargin))
+        .as("band_key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band_key") === col("b.band_key") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.embedding").as("e_a"), col("b.embedding").as("e_b"))
+      .distinct()
+      .withColumn("cosine", graft.functions.cosine_sim(col("e_a"), col("e_b")))
+      .filter(col("cosine") >= threshold)
+      .select("vec_a", "vec_b", "cosine")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  def embeddingNeardupSql(threshold: Double = 0.95): String =
+    s"""WITH sigs AS (
+       |  SELECT vec_id, embedding, ${lshSigExprDuck("embedding")} AS sig
+       |  FROM embeddings),
+       |banded AS (
+       |  SELECT vec_id, embedding,
+       |    b || ':' || ((sig >> (b * 4)) & 15) AS band_key
+       |  FROM sigs, (SELECT UNNEST(range(0, 4)) AS b)),
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    a.embedding AS e_a, b.embedding AS e_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band_key = b.band_key AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, ${cosineExprDuck("e_a", "e_b")} AS cosine
+       |FROM pairs
+       |WHERE ${cosineExprDuck("e_a", "e_b")} >= $threshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+}

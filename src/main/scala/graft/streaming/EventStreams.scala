@@ -1,0 +1,139 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming form of the event analytics (SURVEY.md §7.5):
+  * the same windowed aggregations as [[graft.operators.Events]], plus
+  * watermarked late-data handling, session windows, and a custom
+  * stateful sessionizer via flatMapGroupsWithState.
+  *
+  * Batch/stream parity: `window()` and `session_window` bucket
+  * identically in both modes, so the batch queries in
+  * operators.Events serve as the correctness oracle for these —
+  * exercised in StreamingSpec by feeding the same parquet through a
+  * MemoryStream and diffing results.
+  *
+  * Scale design: state is keyed by (window x type) or user — state
+  * store size is bounded by watermark eviction; a 1000-executor
+  * deployment shards state by key hash, and the 10-minute watermark
+  * bounds per-key state lifetime.
+  */
+/** Mutable-free session accumulator (top-level: Spark's state encoder
+  * generates accessor calls that require a public, outer-scope-free
+  * class — a private nested case class fails Janino compilation).
+  */
+case class SessionState(start: Long, end: Long, n: Long, total: Double)
+
+object EventStreams {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+    session_end: Timestamp, n_events: Long, sum_value: Double)
+
+  /** Timestamp -> epoch micros (Timestamp.getTime is ms-precision; the
+    * nanos field carries the full fraction — batch operators compare at
+    * microsecond precision, so the stateful path must too).
+    */
+  private def micros(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def toTimestamp(us: Long): Timestamp = {
+    val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Tumbling 1-hour windowed counts/sums per event type with a
+    * 10-minute watermark (drops events >10 min late, bounds state).
+    */
+  def hourlyByType(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,10)")).cast("decimal(38,10)")
+          .as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Built-in session windows: 30-minute gap, watermarked. */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,10)")).cast("decimal(38,10)")
+          .as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Custom stateful sessionization with flatMapGroupsWithState —
+    * the escape hatch for session semantics `session_window` can't
+    * express (here: emit a session when the inactivity gap passes,
+    * carrying exact first/last event times rather than gap-padded
+    * window bounds). EventTimeTimeout + watermark evicts state for
+    * quiet users.
+    */
+  def sessionizeStateful(events: Dataset[Event],
+      gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60 * 1000000L
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, toTimestamp(s.start),
+              toTimestamp(s.end), s.n, s.total))
+          } else {
+            // events within a micro-batch are not ordered; sort this
+            // group's slice (bounded by batch size per user)
+            val sorted = rows.toArray.sortBy(e => (micros(e.ts), e.event_id))
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = micros(e.ts)
+              cur match {
+                case Some(s) if t - s.end <= gapUs =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t),
+                    s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, toTimestamp(s.start),
+                    toTimestamp(s.end), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // timeout is wall-watermark based: ms precision suffices
+              state.setTimeoutTimestamp((s.end + gapUs) / 1000L)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Wire a streaming DataFrame from parquet (file-source streaming —
+    * how a production deployment would tail an events directory).
+    */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(graft.sources.Tables.eventsSchema)
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+}

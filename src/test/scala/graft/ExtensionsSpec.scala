@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Semantics checks for the training-data extension operators:
+  * dedup, similarity search, text analysis, multimodal plumbing.
+  */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minhash LSH finds the planted near-duplicates (jaccard >= 0.9 pairs)") {
+    val pairs = Dedup.neardupPairs(spark, sf0001)
+      .filter($"jaccard" >= 0.9).count()
+    assert(pairs >= 20, s"expected the planted ~28 near-dup pairs, got $pairs")
+  }
+
+  test("minhash signature approximates jaccard: sig agreement high for near-dups") {
+    val sigs = Dedup.minhashSignatures(spark, sf0001)
+    val near = Dedup.neardupPairs(spark, sf0001).filter($"jaccard" >= 0.9)
+      .select("doc_a", "doc_b")
+    val agreement = near
+      .join(sigs.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("minhash", "mh_a"), "doc_a")
+      .join(sigs.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("minhash", "mh_b"), "doc_b")
+      .select((expr(
+        "size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), b -> b))")
+        .cast("double") / 16.0).as("agree"))
+      .agg(avg("agree")).as[Double].head()
+    assert(agreement > 0.8, s"minhash agreement $agreement too low for 0.9+ jaccard")
+  }
+
+  test("simhash hamming distance small for near-dups, large for random pairs") {
+    val sh = Dedup.simhash(spark, sf0001)
+    val near = Dedup.neardupPairs(spark, sf0001).filter($"jaccard" >= 0.9)
+    val withSh = near
+      .join(sh.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("simhash", "sh_a"), "doc_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("simhash", "sh_b"), "doc_b")
+      .select(expr("bit_count(sh_a ^ sh_b)").cast("double").as("h"))
+      .agg(avg("h")).as[Double].head()
+    assert(withSh < 8.0, s"near-dup avg hamming $withSh should be small")
+    // random pairs: clearly separated from near-dups (the synthetic docs
+    // share a small vocabulary, so expect ~18 of 60 bits, not ~30)
+    val randomPairs = sh.as("a").crossJoin(sh.as("b"))
+      .filter($"a.doc_id" + 137 === $"b.doc_id")
+      .select(expr("bit_count(a.simhash ^ b.simhash)").cast("double").as("h"))
+      .agg(avg("h")).as[Double].head()
+    assert(randomPairs > 10.0, s"random-pair avg hamming $randomPairs suspiciously low")
+  }
+
+  test("exact dedup: distinct texts at sf0.001 -> every group has 1 copy") {
+    val d = Dedup.exactDedup(spark, sf0001)
+    assert(d.count() === 500)
+    assert(d.filter($"n_copies" > 1).count() === 0)
+  }
+
+  test("ANN-LSH recall vs brute force at k=5 is usable (> 0.4 on random data)") {
+    val bf = Similarity.knnBruteForce(spark, sf0001)
+      .select("query_id", "neighbor_id")
+    val ann = Similarity.annLsh(spark, sf0001)
+      .select("query_id", "neighbor_id")
+    val hits = bf.intersect(ann).count()
+    val recall = hits.toDouble / bf.count()
+    assert(recall > 0.4, s"ANN recall $recall too low")
+  }
+
+  test("knn ranks are 1..k per query with non-increasing cosine") {
+    val r = Similarity.knnBruteForce(spark, sf0001, nQueries = 3, k = 4)
+      .select("query_id", "rank", "cosine")
+      .as[(Long, Int, Double)].collect().groupBy(_._1)
+    r.values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to 4))
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._3 >= b._3
+        case _ => true
+      })
+    }
+  }
+
+  test("language id: predicted matches argmax of stopword hits; en docs dominated by en hits") {
+    val lid = TextAnalysis.languageId(spark, sf0001)
+    val bad = lid.filter(
+      $"predicted_lang" === "en" && $"hits_en" < greatest($"hits_de",
+        $"hits_es", $"hits_fr")).count()
+    assert(bad === 0)
+  }
+
+  test("text stats: ratios bounded, token counts positive") {
+    val stats = TextAnalysis.textStats(spark, sf0001)
+    assert(stats.filter($"punct_ratio" < 0 || $"punct_ratio" > 1).count() === 0)
+    assert(stats.filter($"stopword_ratio" < 0 || $"stopword_ratio" > 1).count() === 0)
+    assert(stats.filter($"n_tokens" <= 0).count() === 0)
+    assert(stats.filter($"quality_score" < 0 || $"quality_score" > 1).count() === 0)
+  }
+
+  test("fingerprints: equal for identical text, min-gram stable") {
+    val fp = TextAnalysis.fingerprints(spark, sf0001)
+    assert(fp.count() === 500)
+    assert(fp.select("doc_fp").distinct().count() === 500) // all texts distinct
+  }
+
+  test("multimodal: features deterministic, payload never nulls, batch shape correct") {
+    val feats = operators.Multimodal.mediaFeatures(spark, sf0001)
+    assert(feats.count() === 500)
+    assert(feats.filter($"width" < 64 || $"width" > 64 + 255 * 4).count() === 0)
+    assert(feats.filter($"f0" < 0 || $"f0" > 1).count() === 0)
+    // determinism: running twice gives identical frames
+    val again = operators.Multimodal.mediaFeatures(spark, sf0001)
+    assert(feats.exceptAll(again).count() === 0)
+  }
+
+  test("events sessionize: session bounds ordered, gaps respected") {
+    val s = Events.sessionize(spark, sf0001)
+    assert(s.filter($"session_end" < $"session_start").count() === 0)
+    // consecutive sessions of the same user must be separated by > 30 min
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("session_seq")
+    val viol = s.withColumn("prev_end", lag($"session_end", 1).over(w))
+      .filter($"prev_end".isNotNull &&
+        $"session_start".cast("double") - $"prev_end".cast("double") <= 1800.0)
+      .count()
+    assert(viol === 0)
+  }
+}

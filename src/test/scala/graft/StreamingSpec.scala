@@ -1,0 +1,85 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.operators.Events
+import graft.sources.Tables
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+/** Batch/stream parity: the streaming operators must produce the same
+  * buckets as their batch twins in operators.Events (SURVEY.md §7.5).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eventData: Seq[Event] =
+    Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().toSeq
+
+  test("streaming hourly windows == batch hourly windows") {
+    val stream = MemoryStream[Event](spark, 1)
+    stream.addData(eventData)
+    val q = EventStreams.hourlyByType(stream.toDF())
+      .writeStream.format("memory").queryName("hourly_out")
+      .outputMode(OutputMode.Complete).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    val got = spark.table("hourly_out")
+      .orderBy("window_start", "event_type")
+      .select("window_start", "event_type", "n_events", "sum_value")
+      .collect()
+    val want = Events.hourlyByType(spark, sf0001)
+      .select("window_start", "event_type", "n_events", "sum_value")
+      .collect()
+    assert(got.length === want.length)
+    assert(got.sameElements(want))
+  }
+
+  test("stateful sessionizer closes sessions on watermark timeout, matching batch") {
+    val data = eventData
+    val stream = MemoryStream[Event](spark, 2)
+    val q = EventStreams.sessionizeStateful(stream.toDS())
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(data)
+      q.processAllAvailable()
+      // sentinel far-future event pushes the watermark past every gap,
+      // timing out (and emitting) all open sessions except its own
+      val maxTs = data.map(_.ts.getTime).max
+      stream.addData(Event(-1L, new Timestamp(maxTs + 86400000L), -1L, "x", 0.0))
+      q.processAllAvailable()
+      stream.addData(Event(-2L, new Timestamp(maxTs + 2 * 86400000L), -1L, "x", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("sessions_out").filter($"user_id" >= 0)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .orderBy("user_id", "session_start").collect()
+    val want = Events.sessionize(spark, sf0001)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .orderBy("user_id", "session_start").collect()
+    assert(got.length === want.length,
+      s"streaming sessions ${got.length} != batch ${want.length}")
+    assert(got.sameElements(want))
+  }
+
+  test("session_window streaming runs and covers every user") {
+    val stream = MemoryStream[Event](spark, 3)
+    stream.addData(eventData)
+    val q = EventStreams.sessionWindows(stream.toDF())
+      .writeStream.format("memory").queryName("swin_out")
+      .outputMode(OutputMode.Complete).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val users = spark.table("swin_out").select("user_id").distinct().count()
+    val wantUsers = Tables.events(spark, sf0001)
+      .select("user_id").distinct().count()
+    assert(users === wantUsers)
+  }
+}
