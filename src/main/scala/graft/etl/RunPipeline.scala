@@ -13,33 +13,38 @@ import org.apache.spark.sql.SparkSession
   */
 object RunPipeline {
   def main(args: Array[String]): Unit = {
-    val base = args.headOption.getOrElse("/tmp/graft_retail")
+    // layered config (L): CLI arg beats env (GRAFT_*) beats defaults
+    val conf = GraftConfig.load()
+    val (rawDir, stagingDir, warehouseDir, reportPath) = args.headOption match {
+      case Some(base) => (s"$base/raw", s"$base/staging", s"$base/warehouse",
+        s"$base/validation_report.txt")
+      case None => (conf.inputDir, conf.stagingDir, conf.warehouseDir,
+        s"${conf.warehouseDir}/validation_report.txt")
+    }
     val baseRows = args.lift(1).map(_.toLong).getOrElse(1000L)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(s"local[${conf.shufflePartitions}]")
       .appName("graft-retail-etl")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", conf.shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (!Catalog.pathExists(spark, s"$base/raw/customers")) {
-      println(s"[etl] generating seeded raw CSVs under $base/raw")
-      RetailDataGen.writeAll(spark, s"$base/raw", baseRows)
+    if (!Catalog.pathExists(spark, s"$rawDir/customers")) {
+      println(s"[etl] generating seeded raw CSVs under $rawDir")
+      RetailDataGen.writeAll(spark, rawDir, baseRows)
     }
-    val wh = Pipeline.run(spark, s"$base/raw", s"$base/staging",
-      s"$base/warehouse")
+    Pipeline.run(spark, rawDir, stagingDir, warehouseDir)
 
-    val (c, p, s, sl) = Pipeline.extractAndClean(spark, s"$base/raw")
+    val (c, p, s, sl) = Pipeline.extractAndClean(spark, rawDir)
     val report = ValidationReport.validate(c, p, s, sl)
-    ValidationReport.writeReport(report, s"$base/validation_report.txt")
+    ValidationReport.writeReport(report, reportPath)
     println(report.render)
 
     Seq("dim_customer", "dim_product", "dim_store", "dim_date", "fact_sales")
       .foreach { t =>
-        val n = spark.read.parquet(s"$base/warehouse/$t").count()
+        val n = spark.read.parquet(s"$warehouseDir/$t").count()
         println(s"[etl] loaded $t: $n rows")
       }
     spark.stop()

@@ -163,12 +163,19 @@ object Insights {
         col("l_orderkey") === col("o_orderkey"))
       .agg(
         sum(revenueDec).cast("decimal(38,4)").as("total_revenue"),
+        // F6 avg order amount: decimal sum -> double -> divide. Exact
+        // cross-engine while sum*10^4 < 2^53 (decimal->double is a
+        // single correctly-rounded conversion in both engines).
+        (sum(revenueDec).cast("double") / count(lit(1)))
+          .as("avg_line_amount"),
         countDistinct(col("l_orderkey")).as("n_orders"),
         countDistinct(col("o_custkey")).as("n_customers"),
         count(lit(1)).as("n_lines"))
 
   val kpiSummarySql: String =
     s"""SELECT CAST(SUM($revenueSql) AS DECIMAL(38,4)) AS total_revenue,
+       |       CAST(CAST(SUM($revenueSql) AS DOUBLE) / COUNT(*) AS DOUBLE)
+       |         AS avg_line_amount,
        |       COUNT(DISTINCT l_orderkey) AS n_orders,
        |       COUNT(DISTINCT o_custkey) AS n_customers,
        |       COUNT(*) AS n_lines

@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.{Insights, Star}
+
+/** Physical-plan quality gates (the "would this survive 100x scale-up"
+  * checks): pushdown reaches the scans, small sides broadcast, top-k
+  * avoids global sorts, the fact build never shuffles the fact except
+  * on the orders join.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q01: part side broadcasts; top-k plans as TakeOrderedAndProject") {
+    val p = plan(Insights.topProductsByRevenue(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k should plan as TakeOrderedAndProject, got:\n$p")
+    assert(!p.contains("SortMergeJoin"), "dim join degraded to SMJ")
+  }
+
+  test("q01: scan reads only needed columns and prunes with filters") {
+    val qe = Insights.topProductsByRevenue(spark, sf0001).queryExecution
+    // sparkPlan, not executedPlan: AQE wraps the latter before execution
+    val scans = qe.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val liScan = scans.find(_.toString.contains("lineitem")).get
+    val readCols = liScan.requiredSchema.fieldNames.toSet
+    assert(readCols === Set("l_partkey", "l_extendedprice", "l_discount"),
+      s"lineitem scan should read 3 columns, got $readCols")
+  }
+
+  test("fact build: every dim join is a broadcast hash join") {
+    val p = plan(Star.factSales(spark, sf0001))
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(nBroadcast >= 4, s"expected >=4 broadcast joins, got $nBroadcast in:\n$p")
+  }
+
+  test("monthly trend: partial aggregation before the shuffle") {
+    val p = plan(Insights.monthlyRevenue(spark, sf0001))
+    assert(p.contains("HashAggregate"), p)
+    // partial -> exchange -> final: two HashAggregates around one Exchange
+    val nAgg = "HashAggregate".r.findAllIn(p).length
+    assert(nAgg >= 2, s"expected partial+final HashAggregate, got $nAgg")
+  }
+
+  test("filters push down to parquet (PushedFilters non-empty on filtered scan)") {
+    import org.apache.spark.sql.functions._
+    val df = graft.sources.Tables.lineitem(spark, sf0001)
+      .filter(col("l_quantity") > 10)
+      .select("l_orderkey")
+    val scan = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(scan.metadata("PushedFilters").contains("GreaterThan(l_quantity"),
+      s"filter not pushed: ${scan.metadata("PushedFilters")}")
+  }
+
+  test("config layering: env beats props beats defaults; validation rejects junk") {
+    val c1 = graft.etl.GraftConfig.load(env = Map.empty)
+    assert(c1.writeBatchSize === 5000)
+    val c2 = graft.etl.GraftConfig.load(
+      props = Map("graft.write.batch.size" -> "100"), env = Map.empty)
+    assert(c2.writeBatchSize === 100)
+    val c3 = graft.etl.GraftConfig.load(
+      props = Map("graft.write.batch.size" -> "100"),
+      env = Map("GRAFT_WRITE_BATCH_SIZE" -> "7"))
+    assert(c3.writeBatchSize === 7)
+    intercept[IllegalArgumentException] {
+      graft.etl.GraftConfig.load(
+        props = Map("graft.shuffle.partitions" -> "-1"), env = Map.empty)
+    }
+  }
+}

@@ -70,6 +70,23 @@ class StreamingSpec extends SparkSpec {
     assert(got.sameElements(want))
   }
 
+  test("file-source streaming: readEventStream tails parquet and matches batch counts") {
+    // file-source streaming requires a directory to tail
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = EventStreams.readEventStream(spark, dir.toString)
+    val q = stream.groupBy("event_type").count()
+      .writeStream.format("memory").queryName("fs_out")
+      .outputMode(OutputMode.Complete).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("fs_out").orderBy("event_type").collect()
+    val want = Tables.events(spark, sf0001).groupBy("event_type").count()
+      .orderBy("event_type").collect()
+    assert(got.sameElements(want))
+  }
+
   test("session_window streaming runs and covers every user") {
     val stream = MemoryStream[Event](spark, 3)
     stream.addData(eventData)
