@@ -69,6 +69,11 @@ object SparkEntry {
     // --- multimodal binary-column plumbing (decode step is a stub) ---
     "q30_media_features" -> ((s, d) => Multimodal.mediaFeatures(s, d)),
     "q31_media_rollup" -> ((s, d) => Multimodal.mediaKindRollup(s, d)),
+    // --- round-2 additions: JSON props, blocking Jaccard, IVF ANN ---
+    "q32_events_props" -> ((s, d) => Events.propsRollup(s, d)),
+    "q33_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    // rows-only check: KMeans assignments aren't SQL-reproducible
+    "q34_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -106,5 +111,8 @@ object SparkEntry {
     "q29_events_daily" -> Events.dailyTypeRollupSql,
     "q30_media_features" -> Multimodal.mediaFeaturesSql,
     "q31_media_rollup" -> Multimodal.mediaKindRollupSql,
+    "q32_events_props" -> Events.propsRollupSql,
+    "q33_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(),
+    // q34_ann_ivf intentionally omitted: rows-only check (KMeans)
   )
 }

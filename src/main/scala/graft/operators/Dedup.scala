@@ -188,6 +188,57 @@ object Dedup {
        |    / len(list_distinct(sa.sh || sb.sh)) >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Standalone n-gram Jaccard near-dup detection (no MinHash): blocking
+    * on exact token count (near-identical docs almost always agree), then
+    * exact 3-shingle Jaccard within each block. Complements the MinHash
+    * path: zero hash error, but blocking recall depends on the edit
+    * profile — the classic precision/recall trade between the two.
+    *
+    * Scale shape: the block join shuffles on token count (bounded
+    * cardinality ~ document length range); block sizes cap the pair
+    * blowup. For corpora with huge equal-length blocks, sub-block on a
+    * cheap content band (e.g. first-token hash).
+    */
+  def ngramJaccardPairs(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.8): DataFrame = {
+    // Single-minhash blocking: two docs are candidates iff they share
+    // the same minimum shingle hash (h_0, the first MinHash function).
+    // P(same block) == Jaccard, so recall ~= threshold; blocks are
+    // near-uniform in size (a min-hash is ~a random shingle), keeping
+    // the pair blowup linear. Exact Jaccard scores the candidates.
+    val sh = Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      element_at(graft.functions.minhash_sig(col("text"), 1), 1).as("block"),
+      array_distinct(graft.functions.word_shingles(col("text"))).as("sh"))
+    sh.as("a").join(sh.as("b"),
+        col("a.block") === col("b.block") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def ngramJaccardPairsSql(threshold: Double = 0.8): String =
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    list_min(list_transform($shinglesExprDuck,
+       |      s -> CAST(('0x' || substr(md5('0|' || s), 1, 15)) AS BIGINT)))
+       |      AS block,
+       |    list_distinct($shinglesExprDuck) AS sh
+       |  FROM documents)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / len(list_distinct(a.sh || b.sh)) AS jaccard
+       |FROM sh a JOIN sh b
+       |  ON a.block = b.block AND a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / len(list_distinct(a.sh || b.sh)) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** 60-bit SimHash over whitespace tokens: per bit i, sum +-1 votes of
     * each token-hash's bit i; bit set iff the vote is positive. One
     * map-side pass (token hashes computed once per doc).

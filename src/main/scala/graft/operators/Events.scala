@@ -137,6 +137,31 @@ object Events {
         sumValue)
       .orderBy("event_date", "event_type")
 
+  /** JSON property extraction + rollup (semi-structured scalar funcs over
+    * the `props` JSON column): per event type, stats of `props.k`.
+    * get_json_object is codegen'd; at scale prefer from_json with an
+    * explicit schema once the shape is fixed — this op demonstrates the
+    * schema-on-read path.
+    */
+  def propsRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k").cast("long")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  val propsRollupSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+      |       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+      |       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val dailyTypeRollupSql: String =
     s"""SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date, event_type,
        |       COUNT(*) AS n_events,

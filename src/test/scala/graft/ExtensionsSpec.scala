@@ -68,6 +68,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(recall > 0.4, s"ANN recall $recall too low")
   }
 
+  test("IVF ANN: recall vs brute force beats plain LSH expectations (> 0.5)") {
+    val bf = Similarity.knnBruteForce(spark, sf0001)
+      .select("query_id", "neighbor_id")
+    val ivf = Similarity.annIvf(spark, sf0001)
+      .select("query_id", "neighbor_id")
+    val recall = bf.intersect(ivf).count().toDouble / bf.count()
+    assert(recall > 0.5, s"IVF recall $recall too low")
+  }
+
+  test("ngram jaccard blocking finds high-sim pairs with exact scores") {
+    val pairs = Dedup.ngramJaccardPairs(spark, sf0001)
+    assert(pairs.count() > 0)
+    assert(pairs.filter($"jaccard" < 0.8 || $"jaccard" > 1.0).count() === 0)
+  }
+
   test("knn ranks are 1..k per query with non-increasing cosine") {
     val r = Similarity.knnBruteForce(spark, sf0001, nQueries = 3, k = 4)
       .select("query_id", "rank", "cosine")

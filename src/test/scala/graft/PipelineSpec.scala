@@ -103,6 +103,14 @@ class PipelineSpec extends SparkSpec {
     Catalog.dropTable(spark, "graft_cat_test")
   }
 
+  test("parquet append sink accumulates batches (A3)") {
+    val dir = Files.createTempDirectory("graft_append").toString + "/t"
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    Tables.appendParquet(df, dir)
+    Tables.appendParquet(df, dir)
+    assert(spark.read.parquet(dir).count() === 4)
+  }
+
   test("ScalableKeys: dense sequential ids without a global sort") {
     val df = spark.range(0, 10000).toDF("v").repartition(8)
     val withIds = ScalableKeys.withSequentialIds(df, "id", startAt = 100)
