@@ -59,6 +59,33 @@ class PlanSpec extends SparkSpec {
       s"filter not pushed: ${scan.metadata("PushedFilters")}")
   }
 
+  test("bucketed co-located join plans with zero shuffle exchanges") {
+    import graft.sources.{Bucketing, Tables}
+    graft.etl.Catalog.dropTable(spark, "b_lineitem")
+    graft.etl.Catalog.dropTable(spark, "b_orders")
+    Seq("b_lineitem", "b_orders").foreach(t => graft.etl.Catalog.deletePath(
+      spark, spark.conf.get("spark.sql.warehouse.dir") + s"/$t"))
+    Bucketing.writeBucketed(
+      Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity")
+        .withColumnRenamed("l_orderkey", "k"), "b_lineitem", "k", 8)
+    Bucketing.writeBucketed(
+      Tables.orders(spark, sf0001).select("o_orderkey", "o_custkey")
+        .withColumnRenamed("o_orderkey", "k"), "b_orders", "k", 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketing.coLocatedJoin(spark, "b_lineitem", "b_orders", "k")
+      val p = joined.queryExecution.sparkPlan.toString
+      assert(!p.contains("Exchange"),
+        s"bucketed join should not shuffle:\n$p")
+      assert(joined.count() === Tables.lineitem(spark, sf0001).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      graft.etl.Catalog.dropTable(spark, "b_lineitem")
+      graft.etl.Catalog.dropTable(spark, "b_orders")
+    }
+  }
+
   test("config layering: env beats props beats defaults; validation rejects junk") {
     val c1 = graft.etl.GraftConfig.load(env = Map.empty)
     assert(c1.writeBatchSize === 5000)
