@@ -33,6 +33,23 @@ object BucketDemo {
     println(s"[bucket-demo] plan contains Exchange: ${plan.contains("Exchange")}")
     println(s"[bucket-demo] joined rows: ${joined.count()}")
     println(plan.linesIterator.take(8).mkString("\n"))
+
+    // partitioned-write pruning demo (the other half of J4)
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_partdemo").toString
+    Tables.writePartitioned(
+      Tables.lineitem(spark, sfDir)
+        .withColumn("ship_year", year(col("l_shipdate"))),
+      s"$dir/li", "ship_year")
+    val q = spark.read.parquet(s"$dir/li")
+      .filter(col("ship_year") === 1995).select("l_orderkey")
+    val scan = q.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    println(s"[part-demo] rows for 1995: ${q.count()}")
+    println(s"[part-demo] PartitionFilters: ${scan.metadata("PartitionFilters")}")
+    println(s"[part-demo] partition dirs read: " +
+      scan.relation.location.listFiles(scan.partitionFilters, Nil).length)
     spark.stop()
   }
 }

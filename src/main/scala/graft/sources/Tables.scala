@@ -191,4 +191,12 @@ object Tables {
   /** Parquet sink, replace (SURVEY.md §2 A4; `etl/etl.py:199-207`). */
   def overwriteParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
+
+  /** Hive-partitioned parquet sink (SURVEY.md §2 J4's pruning half:
+    * directory partitioning replaces the reference's fact-FK indexes for
+    * date/categorical predicates — a filter on the partition column
+    * prunes whole directories before any IO).
+    */
+  def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
 }

@@ -59,6 +59,26 @@ class PlanSpec extends SparkSpec {
       s"filter not pushed: ${scan.metadata("PushedFilters")}")
   }
 
+  test("partitioned write: partition filter prunes directories at the scan") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Tables
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.writePartitioned(
+      Tables.lineitem(spark, sf0001)
+        .withColumn("ship_year", year(col("l_shipdate"))),
+      s"$dir/li", "ship_year")
+    val df = spark.read.parquet(s"$dir/li").filter(col("ship_year") === 1995)
+    val scan = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(scan.metadata("PartitionFilters").contains("ship_year"),
+      s"no partition filter: ${scan.metadata("PartitionFilters")}")
+    assert(df.count() > 0)
+    // pruned scan must touch only the one matching partition directory
+    assert(scan.relation.location.listFiles(scan.partitionFilters, Nil)
+      .length === 1)
+  }
+
   test("bucketed co-located join plans with zero shuffle exchanges") {
     import graft.sources.{Bucketing, Tables}
     graft.etl.Catalog.dropTable(spark, "b_lineitem")

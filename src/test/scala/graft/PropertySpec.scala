@@ -1,0 +1,82 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.HashUtil
+
+/** Property tests (SURVEY.md §5): arithmetic invariants of the derived
+  * money columns, idempotence, and native-expression/SQL hash agreement.
+  * Uses raw ScalaCheck generators sampled under fixed seeds (the
+  * scalatest-scalacheck bridge artifact is not in the offline cache).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("derived amounts: 0 <= unit_price <= price, total >= 0, for qty>0 and disc in [0,100]") {
+    val cases = samples(for {
+      price <- Gen.choose(0.01, 100000.0)
+      disc <- Gen.choose(0.0, 100.0)
+      qty <- Gen.choose(1, 5)
+    } yield (price, disc, qty), 25)
+    val df = cases.toDF("price", "discount_pct", "quantity")
+    val rows = graft.operators.Cleaning.withDerivedAmounts(df)
+      .select("price", "unit_price", "total_amount", "quantity").collect()
+    rows.foreach { r =>
+      val (price, unit, total, qty) =
+        (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getInt(3))
+      assert(unit >= 0.0 && unit <= price + 0.005)
+      assert(total >= 0.0)
+      assert(math.abs(total - BigDecimal(unit * qty)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+        s"total $total != round(unit*qty) for $r")
+    }
+  }
+
+  test("native md5Hash60 == Spark SQL conv(substr(md5(..),1,15),16,10) for arbitrary strings") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val strs = samples(Gen.asciiPrintableStr, 30).filter(_.nonEmpty)
+    val sql = strs.toDF("t")
+      .selectExpr("t",
+        "CAST(conv(substr(md5(CAST(t AS BINARY)), 1, 15), 16, 10) AS BIGINT) AS h")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    strs.foreach { s =>
+      assert(HashUtil.md5Hash60(md, s) === sql(s), s"hash mismatch for '$s'")
+    }
+  }
+
+  test("native tokens/shingles == Spark SQL split semantics") {
+    val gen = Gen.nonEmptyListOf(
+      Gen.oneOf("the", "fast", "key", "a", "Zx", "9q")).map(_.mkString(" "))
+    samples(gen, 20).foreach { s =>
+      val nativeToks = HashUtil.tokens(s).toSeq
+      val sqlToks = Seq(s).toDF("t")
+        .selectExpr("split(lower(trim(t)), '\\\\s+')")
+        .head().getSeq[String](0)
+      assert(nativeToks === sqlToks, s"token mismatch for '$s'")
+      val nShingles = HashUtil.shingles3(HashUtil.tokens(s)).length
+      assert(nShingles === math.max(nativeToks.length - 2, 1))
+    }
+  }
+
+  test("upsertByKey is idempotent and keyed-distinct for arbitrary key sets") {
+    val cases = samples(for {
+      existing <- Gen.listOf(Gen.choose(1, 50))
+      staged <- Gen.listOf(Gen.choose(1, 50))
+    } yield (existing.distinct, staged.distinct), 8)
+    cases.foreach { case (existing, staged) =>
+      val e = existing.toDF("k")
+      val s = staged.toDF("k")
+      val once = graft.operators.Star.upsertByKey(e, s, "k")
+      val twice = graft.operators.Star.upsertByKey(once, s, "k")
+      val got = once.select("k").as[Int].collect().sorted.toSeq
+      val want = (existing ++ staged.diff(existing)).sorted
+      assert(got === want)
+      assert(twice.count() === once.count())
+    }
+  }
+}
