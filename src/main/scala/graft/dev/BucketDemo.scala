@@ -50,6 +50,16 @@ object BucketDemo {
     println(s"[part-demo] PartitionFilters: ${scan.metadata("PartitionFilters")}")
     println(s"[part-demo] partition dirs read: " +
       scan.relation.location.listFiles(scan.partitionFilters, Nil).length)
+
+    // SQL-registered native functions (graft.functions.GraftExtensions)
+    graft.functions.GraftExtensions.registerAll(spark)
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .createOrReplaceTempView("docs")
+    spark.sql(
+      """SELECT graft_simhash60(text) AS sh, graft_mingram_fp(text) AS fp,
+        |       size(graft_minhash(text, 16)) AS k
+        |FROM docs LIMIT 3""".stripMargin)
+      .collect().foreach(r => println(s"[sql-fn-demo] $r"))
     spark.stop()
   }
 }

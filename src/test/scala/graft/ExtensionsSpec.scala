@@ -129,6 +129,31 @@ class ExtensionsSpec extends SparkSpec {
     assert(feats.exceptAll(again).count() === 0)
   }
 
+  test("SQL function registration: graft_* callable from spark.sql") {
+    graft.functions.GraftExtensions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT graft_simhash60('the fast key') AS sh,
+        |       graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                    array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c,
+        |       size(graft_minhash('a b c d e', 4)) AS mk,
+        |       graft_mingram_fp('abcdefghij') AS fp
+        |""".stripMargin).head()
+    assert(r.getDouble(1) === 1.0)
+    assert(r.getInt(2) === 4)
+    // same values as the Column-API forms
+    import graft.functions._
+    val viaApi = spark.range(1).select(
+      simhash60(lit("the fast key")).as("sh"),
+      mingram_fp(lit("abcdefghij")).as("fp")).head()
+    assert(r.getLong(0) === viaApi.getLong(0))
+    assert(r.getLong(3) === viaApi.getLong(1))
+  }
+
+  test("GraftExtensions (spark.sql.extensions mode) injects without error") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext) // must not throw
+  }
+
   test("events sessionize: session bounds ordered, gaps respected") {
     val s = Events.sessionize(spark, sf0001)
     assert(s.filter($"session_end" < $"session_start").count() === 0)
