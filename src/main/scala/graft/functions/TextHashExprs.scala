@@ -39,10 +39,12 @@ object HashUtil {
   }
 
   /** Whitespace tokens of lower(trim(text)) — exactly Spark SQL
-    * `split(lower(trim(text)), '\\s+')`.
+    * `split(lower(trim(text)), '\\s+')`. Locale.ROOT: Spark's lower()
+    * is locale-independent; default-locale toLowerCase would diverge
+    * under e.g. tr_TR ('I' -> dotless i).
     */
   def tokens(text: String): Array[String] =
-    text.trim.toLowerCase.split("\\s+", -1)
+    text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
 
   /** Word 3-shingles, mirroring the SQL fragment in Dedup: shingle i
     * (0-based, count = max(n-2, 1)) joins tokens i, i+1, i+2, skipping
@@ -165,7 +167,8 @@ case class MinGramFpExpr(child: Expression, gram: Int = 8)
 
   override protected def nullSafeEval(input: Any): Any = {
     val md = MessageDigest.getInstance("MD5")
-    val t = input.asInstanceOf[UTF8String].toString.trim.toLowerCase
+    val t = input.asInstanceOf[UTF8String].toString.trim
+      .toLowerCase(java.util.Locale.ROOT)
     val n = math.max(t.length - (gram - 1), 1)
     var best = Long.MaxValue
     var i = 0
