@@ -122,19 +122,28 @@ object Insights {
       .when(c < 8000, "5k-8k")
       .otherwise("8k+")
 
-  /** Q4 — revenue by customer-balance bucket (E5+F3+H1+G1). lineitem ⋈
-    * orders is the one big-big join (shuffle on orderkey); customer then
-    * broadcasts.
+  /** Q4 — revenue by customer-balance bucket (E5+F3+H1+G1).
+    *
+    * Scale shape: the fact is pre-aggregated by orderkey BEFORE the
+    * orders join (partial-aggregation-below-join, which Catalyst does
+    * not derive on its own) — the big-big shuffle then carries one row
+    * per order instead of one per lineitem (~4x less at TPC-H shape,
+    * and the ratio is the win at 100 TB). customer broadcasts onto the
+    * order-grain result. Results are identical to the direct 3-way
+    * join + group (the oracle states the direct form).
     */
   def revenueByBalanceBucket(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(revenueDec).as("order_rev"), count(lit(1)).as("order_lines"))
       .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(Tables.customer(spark, sfDir)
           .select("c_custkey", "c_acctbal")),
         col("o_custkey") === col("c_custkey"))
       .groupBy(balanceBucket(col("c_acctbal")).as("balance_bucket"))
-      .agg(sumRev, count(lit(1)).as("n_sales"))
+      .agg(sum(col("order_rev")).cast("decimal(38,4)").as("revenue"),
+        sum(col("order_lines")).as("n_sales"))
       .orderBy(desc("revenue"), asc("balance_bucket"))
 
   val revenueByBalanceBucketSql: String =
@@ -157,20 +166,30 @@ object Insights {
     * 1-row shuffle. countDistinct is exact, as the reference's KPI is;
     * `approx_count_distinct` is the knob to flip at extreme cardinality.
     */
-  def kpiSummary(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.lineitem(spark, sfDir)
+  def kpiSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    // Scale shape: revenue/order-count/line-count need NO join (they are
+    // lineitem-local); only the distinct-customer KPI touches orders,
+    // and it joins the pre-distinct orderkey set (order grain), not the
+    // raw fact. One countDistinct per aggregate also avoids the Expand
+    // multiplier a multi-distinct aggregate plans into.
+    val li = Tables.lineitem(spark, sfDir)
+    val liKpis = li.agg(
+      sum(revenueDec).cast("decimal(38,4)").as("total_revenue"),
+      // F6 avg order amount: decimal sum -> double -> divide. Exact
+      // cross-engine while sum*10^4 < 2^53 (decimal->double is a
+      // single correctly-rounded conversion in both engines).
+      (sum(revenueDec).cast("double") / count(lit(1)))
+        .as("avg_line_amount"),
+      countDistinct(col("l_orderkey")).as("n_orders"),
+      count(lit(1)).as("n_lines"))
+    val custKpi = li.select("l_orderkey").distinct()
       .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
-      .agg(
-        sum(revenueDec).cast("decimal(38,4)").as("total_revenue"),
-        // F6 avg order amount: decimal sum -> double -> divide. Exact
-        // cross-engine while sum*10^4 < 2^53 (decimal->double is a
-        // single correctly-rounded conversion in both engines).
-        (sum(revenueDec).cast("double") / count(lit(1)))
-          .as("avg_line_amount"),
-        countDistinct(col("l_orderkey")).as("n_orders"),
-        countDistinct(col("o_custkey")).as("n_customers"),
-        count(lit(1)).as("n_lines"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"))
+    liKpis.crossJoin(custKpi)
+      .select("total_revenue", "avg_line_amount", "n_orders", "n_customers",
+        "n_lines")
+  }
 
   val kpiSummarySql: String =
     s"""SELECT CAST(SUM($revenueSql) AS DECIMAL(38,4)) AS total_revenue,
