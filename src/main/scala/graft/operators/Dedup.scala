@@ -84,9 +84,11 @@ object Dedup {
     * block — a mid-pipeline global sort would be pure waste).
     */
   def minhashSignaturesRaw(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir).select(
-      col("doc_id"),
-      graft.functions.minhash_sig(col("text"), NumHashes).as("minhash"))
+    Tables.withMinParallelism(Tables.documents(spark, sfDir),
+        spark.sparkContext.defaultParallelism)
+      .select(
+        col("doc_id"),
+        graft.functions.minhash_sig(col("text"), NumHashes).as("minhash"))
 
   val minhashSignaturesSql: String =
     s"""SELECT doc_id,
@@ -206,10 +208,12 @@ object Dedup {
     // P(same block) == Jaccard, so recall ~= threshold; blocks are
     // near-uniform in size (a min-hash is ~a random shingle), keeping
     // the pair blowup linear. Exact Jaccard scores the candidates.
-    val sh = Tables.documents(spark, sfDir).select(
-      col("doc_id"),
-      element_at(graft.functions.minhash_sig(col("text"), 1), 1).as("block"),
-      array_distinct(graft.functions.word_shingles(col("text"))).as("sh"))
+    val sh = Tables.withMinParallelism(Tables.documents(spark, sfDir),
+        spark.sparkContext.defaultParallelism)
+      .select(
+        col("doc_id"),
+        element_at(graft.functions.minhash_sig(col("text"), 1), 1).as("block"),
+        array_distinct(graft.functions.word_shingles(col("text"))).as("sh"))
     sh.as("a").join(sh.as("b"),
         col("a.block") === col("b.block") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -247,9 +251,11 @@ object Dedup {
     simhashRaw(spark, sfDir).orderBy("doc_id")
 
   def simhashRaw(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir).select(
-      col("doc_id"),
-      graft.functions.simhash60(col("text")).as("simhash"))
+    Tables.withMinParallelism(Tables.documents(spark, sfDir),
+        spark.sparkContext.defaultParallelism)
+      .select(
+        col("doc_id"),
+        graft.functions.simhash60(col("text")).as("simhash"))
 
   val simhashSql: String =
     """SELECT doc_id,

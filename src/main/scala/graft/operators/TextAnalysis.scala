@@ -145,7 +145,8 @@ object TextAnalysis {
     * exact duplicates.
     */
   def fingerprints(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir).select(
+    Tables.withMinParallelism(Tables.documents(spark, sfDir),
+        spark.sparkContext.defaultParallelism).select(
         col("doc_id"),
         md5Hash60(lower(trim(col("text")))).as("doc_fp"),
         graft.functions.mingram_fp(col("text")).as("min_gram_fp"))

@@ -192,6 +192,19 @@ object Tables {
   def overwriteParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** Ensure at least `min` partitions before CPU-heavy per-row work.
+    *
+    * The driver testdata ships one row group per parquet file, so a scan
+    * stage is ONE task no matter the split config — an expensive
+    * projection fused into it runs single-threaded. At 100 TB the input
+    * has thousands of row groups and this is a no-op (the partition
+    * count check costs only a file listing); the round-robin shuffle
+    * only fires for pathologically under-split inputs, where shuffling
+    * the raw rows is cheaper than serial compute.
+    */
+  def withMinParallelism(df: DataFrame, min: Int): DataFrame =
+    if (df.rdd.getNumPartitions >= min) df else df.repartition(min)
+
   /** Hive-partitioned parquet sink (SURVEY.md §2 J4's pruning half:
     * directory partitioning replaces the reference's fact-FK indexes for
     * date/categorical predicates — a filter on the partition column
