@@ -74,6 +74,7 @@ object SparkEntry {
     "q33_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     // rows-only check: KMeans assignments aren't SQL-reproducible
     "q34_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
+    "q35_media_frames" -> ((s, d) => Multimodal.mediaFrames(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -114,5 +115,6 @@ object SparkEntry {
     "q32_events_props" -> Events.propsRollupSql,
     "q33_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(),
     // q34_ann_ivf intentionally omitted: rows-only check (KMeans)
+    "q35_media_frames" -> Multimodal.mediaFramesSql,
   )
 }

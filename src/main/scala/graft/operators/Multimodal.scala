@@ -79,6 +79,52 @@ object Multimodal {
     }
   }
 
+  /** Resized media (STUB resize ???): a real implementation would decode,
+    * scale to (targetW, targetH), re-encode. The stub derives the output
+    * payload deterministically (truncate/cycle bytes to a size
+    * proportional to the target area) so the batch plumbing — binary in,
+    * binary out, metadata updated, partition-wise — is fully exercised.
+    */
+  case class ResizedMedia(media_id: Long, kind: String, width: Int,
+    height: Int, payload: Array[Byte])
+
+  def resizeStub(media: Dataset[MediaRecord], targetW: Int,
+      targetH: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition codec/scaler init would go here
+      it.map { m =>
+        val outLen = math.max(1, (targetW.toLong * targetH / 64).toInt)
+        val out = Array.tabulate[Byte](outLen)(i =>
+          m.payload(i % math.max(m.payload.length, 1)))
+        ResizedMedia(m.media_id, m.kind, targetW, targetH, out)
+      }
+    }
+  }
+
+  /** Frame sampling (STUB frame decode ???): a real implementation pulls
+    * every k-th frame from a video payload. The stub slices the payload
+    * into `frameSize`-byte pseudo-frames and emits every `step`-th one —
+    * a one-to-many partition-wise expansion (the flatMap shape real
+    * frame extraction has), with frame index + offset metadata.
+    */
+  case class MediaFrame(media_id: Long, frame_idx: Int, byte_offset: Int,
+    frame_bytes: Array[Byte])
+
+  def sampleFramesStub(media: Dataset[MediaRecord], frameSize: Int = 64,
+      step: Int = 4): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { m =>
+      val n = math.max(m.payload.length / frameSize, 1)
+      (0 until n by step).map { f =>
+        val off = f * frameSize
+        val end = math.min(off + frameSize, m.payload.length)
+        MediaFrame(m.media_id, f, off,
+          m.payload.slice(off, math.max(end, off + 1)))
+      }
+    }
+  }
+
   /** Registered query: build media -> extract features -> drop payload.
     * Emitted sorted by media_id; the DuckDB oracle recomputes the same
     * md5-derived features in SQL.
@@ -102,6 +148,38 @@ object Multimodal {
       |  CAST(('0x' || substr(md5(text), 11, 2)) AS INT) / 255.0 AS f3
       |FROM documents
       |ORDER BY media_id""".stripMargin
+
+  /** Registered query over the frame sampler: per-frame metadata +
+    * content hash (payload bytes are ASCII text here, so the DuckDB
+    * oracle reproduces frames with substr+md5).
+    */
+  def mediaFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    sampleFramesStub(mediaFromDocuments(spark, sfDir))
+      .map { f =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hash = md.digest(f.frame_bytes).map("%02x".format(_)).mkString
+        (f.media_id, f.frame_idx, f.byte_offset, f.frame_bytes.length, hash)
+      }
+      .toDF("media_id", "frame_idx", "byte_offset", "frame_len", "frame_hash")
+      .orderBy("media_id", "frame_idx")
+  }
+
+  val mediaFramesSql: String =
+    """WITH videos AS (
+      |  SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 2),
+      |frames AS (
+      |  SELECT media_id,
+      |         CAST(f AS INT) AS frame_idx,
+      |         CAST(f * 64 AS INT) AS byte_offset,
+      |         substr(text, CAST(f * 64 + 1 AS INT), 64) AS frame
+      |  FROM videos,
+      |       LATERAL UNNEST(range(0, greatest(strlen(text) // 64, 1), 4)) t(f))
+      |SELECT media_id, frame_idx, byte_offset,
+      |       CAST(strlen(frame) AS INT) AS frame_len,
+      |       md5(frame) AS frame_hash
+      |FROM frames
+      |ORDER BY media_id, frame_idx""".stripMargin
 
   /** Downstream rollup over extracted features (proves features flow
     * into ordinary relational ops after the stub boundary).

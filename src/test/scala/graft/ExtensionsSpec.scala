@@ -154,6 +154,28 @@ class ExtensionsSpec extends SparkSpec {
     new graft.functions.GraftExtensions().apply(ext) // must not throw
   }
 
+  test("multimodal resize stub: deterministic payloads sized to target area") {
+    val media = operators.Multimodal.mediaFromDocuments(spark, sf0001)
+    val resized = operators.Multimodal.resizeStub(media, 128, 128)
+    assert(resized.count() === 500)
+    val lens = resized.collect().map(_.payload.length).distinct
+    assert(lens.toSeq === Seq(128 * 128 / 64))
+    val again = operators.Multimodal.resizeStub(media, 128, 128)
+      .collect().sortBy(_.media_id).map(_.payload.toSeq)
+    val first = resized.collect().sortBy(_.media_id).map(_.payload.toSeq)
+    assert(first.sameElements(again))
+  }
+
+  test("multimodal frame sampling: every step-th pseudo-frame of videos, with offsets") {
+    val media = operators.Multimodal.mediaFromDocuments(spark, sf0001)
+    val frames = operators.Multimodal.sampleFramesStub(media)
+    val nVideos = media.filter(_.kind == "video").count()
+    assert(frames.count() >= nVideos) // at least frame 0 per video
+    val bad = frames.filter(f =>
+      f.frame_idx % 4 != 0 || f.byte_offset != f.frame_idx * 64).count()
+    assert(bad === 0)
+  }
+
   test("events sessionize: session bounds ordered, gaps respected") {
     val s = Events.sessionize(spark, sf0001)
     assert(s.filter($"session_end" < $"session_start").count() === 0)
