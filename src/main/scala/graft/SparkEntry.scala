@@ -72,7 +72,6 @@ object SparkEntry {
     // --- round-2 additions: JSON props, blocking Jaccard, IVF ANN ---
     "q32_events_props" -> ((s, d) => Events.propsRollup(s, d)),
     "q33_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
-    // rows-only check: KMeans assignments aren't SQL-reproducible
     "q34_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
     "q35_media_frames" -> ((s, d) => Multimodal.mediaFrames(s, d)),
   )
@@ -114,7 +113,7 @@ object SparkEntry {
     "q31_media_rollup" -> Multimodal.mediaKindRollupSql,
     "q32_events_props" -> Events.propsRollupSql,
     "q33_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(),
-    // q34_ann_ivf intentionally omitted: rows-only check (KMeans)
+    "q34_ann_ivf" -> Similarity.annIvfSql(),
     "q35_media_frames" -> Multimodal.mediaFramesSql,
   )
 }

@@ -197,6 +197,10 @@ case class CosineSimExpr(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
+    // fail loudly on dimension mismatch — a silent min-length dot product
+    // would return a plausible-but-wrong cosine
+    require(y.numElements() == n,
+      s"graft_cosine: dimension mismatch ($n vs ${y.numElements()})")
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
@@ -210,6 +214,54 @@ case class CosineSimExpr(left: Expression, right: Expression)
     i = 0
     while (i < n) { val v = y.getFloat(i).toDouble; ny += v * v; i += 1 }
     java.lang.Double.valueOf(dot / (math.sqrt(nx) * math.sqrt(ny)))
+  }
+}
+
+/** Nearest-centroid assignment: index (0-based) of the centroid with the
+  * highest cosine similarity to the input vector, ties broken toward the
+  * lowest index — exactly `row_number() OVER (ORDER BY cosine DESC,
+  * cluster ASC) = 1` over a centroid cross join, which is what the DuckDB
+  * oracle states. Per-centroid cosine uses the same left-fold-in-double
+  * as [[CosineSimExpr]], so assignments are engine-identical.
+  *
+  * Scale shape: the centroid table is a literal (k rows, collected once
+  * at plan build — the IVF coarse-quantizer analog of broadcasting a
+  * fitted model); assignment is one narrow map-side pass, no shuffle.
+  */
+case class ArgMaxCosineExpr(child: Expression, centroids: Array[Array[Float]])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override protected def withNewChildInternal(c: Expression): ArgMaxCosineExpr =
+    copy(child = c)
+  override def prettyName: String = "graft_argmax_cosine"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    // the query-vector norm is constant across centroids and cancels in
+    // the argmax ONLY with exact math; cosines must be computed the full
+    // way so float rounding matches the oracle's per-pair cosine
+    var nx = 0.0
+    var i = 0
+    while (i < n) { val x = v.getFloat(i).toDouble; nx += x * x; i += 1 }
+    val xNorm = math.sqrt(nx)
+    var best = -1
+    var bestCos = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      require(cent.length == n,
+        s"graft_argmax_cosine: dimension mismatch ($n vs ${cent.length})")
+      var dot = 0.0; var ny = 0.0
+      i = 0
+      while (i < n) { dot += v.getFloat(i).toDouble * cent(i).toDouble; i += 1 }
+      i = 0
+      while (i < n) { val y = cent(i).toDouble; ny += y * y; i += 1 }
+      val cos = dot / (xNorm * math.sqrt(ny))
+      if (cos > bestCos) { bestCos = cos; best = c }
+      c += 1
+    }
+    java.lang.Integer.valueOf(best)
   }
 }
 

@@ -33,4 +33,8 @@ package object functions {
   /** 16-bit sign-hyperplane LSH signature of an array<float> column. */
   def lsh_sig(c: Column, planes: Array[Array[Int]]): Column =
     toColumn(LshSigExpr(toExpression(c), planes))
+
+  /** Index of the nearest centroid by cosine (IVF coarse assignment). */
+  def argmax_cosine(c: Column, centroids: Array[Array[Float]]): Column =
+    toColumn(ArgMaxCosineExpr(toExpression(c), centroids))
 }

@@ -57,7 +57,8 @@ object Dedup {
     * canonical keeper = min doc_id per md5(normalized text).
     */
   def exactDedup(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    Tables.withMinParallelism(Tables.documents(spark, sfDir),
+        spark.sparkContext.defaultParallelism)
       .groupBy(md5(lower(trim(col("text"))).cast("binary")).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_doc_id"),
         count(lit(1)).as("n_copies"))
@@ -77,8 +78,16 @@ object Dedup {
     * SQL HOF composition produces identical values ~30x slower; the
     * DuckDB oracle below documents the exact semantics).
     */
+  /** Registered (harness-facing) form: the signature rendered as one
+    * comma-joined string column — array-typed result columns crash the
+    * driver's pandas sort (round-1 q15 `unhashable type` failure), so
+    * registered outputs are scalars only. Pipeline code composes on
+    * [[minhashSignaturesRaw]], which keeps the native array.
+    */
   def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
-    minhashSignaturesRaw(spark, sfDir).orderBy("doc_id")
+    minhashSignaturesRaw(spark, sfDir)
+      .select(col("doc_id"), concat_ws(",", col("minhash")).as("minhash"))
+      .orderBy("doc_id")
 
   /** Signature computation without the presentation sort (plan building
     * block — a mid-pipeline global sort would be pure waste).
@@ -92,9 +101,9 @@ object Dedup {
 
   val minhashSignaturesSql: String =
     s"""SELECT doc_id,
-       |  list_transform(range(0, $NumHashes), j ->
+       |  array_to_string(list_transform(range(0, $NumHashes), j ->
        |    list_min(list_transform($shinglesExprDuck,
-       |      s -> CAST(('0x' || substr(md5(j || '|' || s), 1, 15)) AS BIGINT))))
+       |      s -> CAST(('0x' || substr(md5(j || '|' || s), 1, 15)) AS BIGINT)))), ',')
        |    AS minhash
        |FROM documents
        |ORDER BY doc_id""".stripMargin

@@ -19,11 +19,14 @@ import graft.sources.Tables
   */
 object Events {
 
+  // Exact decimal SUM internally; DOUBLE presentation (one correctly-
+  // rounded conversion per engine — bit-identical; a DECIMAL output
+  // column renders differently in Spark vs DuckDB, see Insights scaladoc).
   private def sumValue = sum(col("value").cast("decimal(28,10)"))
-    .cast("decimal(38,10)").as("sum_value")
+    .cast("double").as("sum_value")
 
   private val sumValueSql =
-    "CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS sum_value"
+    "CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value"
 
   /** Tumbling 1-hour windows per event type: count + value sum.
     * `window(ts, '1 hour')` buckets exactly like date_trunc('hour').

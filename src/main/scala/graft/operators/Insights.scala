@@ -16,8 +16,12 @@ import graft.sources.Tables
   * so the sum is associative and engine/partition-order independent —
   * double summation would differ between Spark's partial aggregation and
   * DuckDB's sequential sum in the last ulps. Final aggregate columns are
-  * cast to a fixed DECIMAL(38,4) so schemas line up exactly with the
-  * DuckDB oracle.
+  * then cast to DOUBLE for PRESENTATION: both engines perform one
+  * correctly-rounded decimal→double conversion of the same exact value,
+  * so the rendered float64 is bit-identical — whereas a DECIMAL output
+  * column renders differently per engine (Spark parquet → exact Decimal
+  * objects, DuckDB fetchdf → float64), which failed the round-1 harness
+  * hash compare on every decimal-typed output.
   *
   * Every query ends in an explicit total ORDER BY (with tiebreak) so
   * results are row-order deterministic across engines.
@@ -38,7 +42,7 @@ object Insights {
       "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))"
 
   private def sumRev: Column =
-    sum(revenueDec).cast("decimal(38,4)").as("revenue")
+    sum(revenueDec).cast("double").as("revenue")
 
   /** Q1 — top-5 products by revenue (SQL Analysis docx Q1; SURVEY.md §2
     * E2+F1+G1+G3+B10). part is the small side -> broadcast hash join; the
@@ -55,7 +59,7 @@ object Insights {
 
   def topProductsByRevenueSql(k: Int = 5): String =
     s"""SELECT p_name AS product_name,
-       |       CAST(SUM($revenueSql) AS DECIMAL(38,4)) AS revenue
+       |       CAST(SUM($revenueSql) AS DOUBLE) AS revenue
        |FROM lineitem JOIN part ON l_partkey = p_partkey
        |GROUP BY p_name
        |ORDER BY revenue DESC, product_name ASC
@@ -77,7 +81,7 @@ object Insights {
   val monthlyRevenueSql: String =
     s"""SELECT CAST(year(l_shipdate) AS INT) AS sales_year,
        |       CAST(month(l_shipdate) AS INT) AS sales_month,
-       |       CAST(SUM($revenueSql) AS DECIMAL(38,4)) AS revenue,
+       |       CAST(SUM($revenueSql) AS DOUBLE) AS revenue,
        |       COUNT(*) AS n_sales
        |FROM lineitem
        |GROUP BY 1, 2
@@ -103,7 +107,7 @@ object Insights {
 
   val revenueByStoreSql: String =
     s"""SELECT s_name AS store_name, r_name AS region,
-       |       CAST(SUM($revenueSql) AS DECIMAL(38,4)) AS revenue
+       |       CAST(SUM($revenueSql) AS DOUBLE) AS revenue
        |FROM lineitem
        |JOIN supplier ON l_suppkey = s_suppkey
        |JOIN nation ON s_nationkey = n_nationkey
@@ -142,7 +146,7 @@ object Insights {
           .select("c_custkey", "c_acctbal")),
         col("o_custkey") === col("c_custkey"))
       .groupBy(balanceBucket(col("c_acctbal")).as("balance_bucket"))
-      .agg(sum(col("order_rev")).cast("decimal(38,4)").as("revenue"),
+      .agg(sum(col("order_rev")).cast("double").as("revenue"),
         sum(col("order_lines")).as("n_sales"))
       .orderBy(desc("revenue"), asc("balance_bucket"))
 
@@ -152,7 +156,7 @@ object Insights {
        |            WHEN c_acctbal < 5000 THEN '2k-5k'
        |            WHEN c_acctbal < 8000 THEN '5k-8k'
        |            ELSE '8k+' END AS balance_bucket,
-       |       CAST(SUM($revenueSql) AS DECIMAL(38,4)) AS revenue,
+       |       CAST(SUM($revenueSql) AS DOUBLE) AS revenue,
        |       COUNT(*) AS n_sales
        |FROM lineitem
        |JOIN orders ON l_orderkey = o_orderkey
@@ -174,7 +178,7 @@ object Insights {
     // multiplier a multi-distinct aggregate plans into.
     val li = Tables.lineitem(spark, sfDir)
     val liKpis = li.agg(
-      sum(revenueDec).cast("decimal(38,4)").as("total_revenue"),
+      sum(revenueDec).cast("double").as("total_revenue"),
       // F6 avg order amount: decimal sum -> double -> divide. Exact
       // cross-engine while sum*10^4 < 2^53 (decimal->double is a
       // single correctly-rounded conversion in both engines).
@@ -192,7 +196,7 @@ object Insights {
   }
 
   val kpiSummarySql: String =
-    s"""SELECT CAST(SUM($revenueSql) AS DECIMAL(38,4)) AS total_revenue,
+    s"""SELECT CAST(SUM($revenueSql) AS DOUBLE) AS total_revenue,
        |       CAST(CAST(SUM($revenueSql) AS DOUBLE) / COUNT(*) AS DOUBLE)
        |         AS avg_line_amount,
        |       COUNT(DISTINCT l_orderkey) AS n_orders,
@@ -217,7 +221,7 @@ object Insights {
       .agg(sum(revenueDec).as("rev"))
       .withColumn("share_ppm",
         floor(col("rev") * 1000000 / sum(col("rev")).over(w)).cast("long"))
-      .select(col("brand"), col("rev").cast("decimal(38,4)").as("revenue"),
+      .select(col("brand"), col("rev").cast("double").as("revenue"),
         col("share_ppm"))
       .orderBy(desc("revenue"), asc("brand"))
   }
@@ -227,7 +231,7 @@ object Insights {
        |  SELECT p_brand AS brand, SUM($revenueSql) AS rev
        |  FROM lineitem JOIN part ON l_partkey = p_partkey
        |  GROUP BY p_brand)
-       |SELECT brand, CAST(rev AS DECIMAL(38,4)) AS revenue,
+       |SELECT brand, CAST(rev AS DOUBLE) AS revenue,
        |       CAST(FLOOR(rev * 1000000 / SUM(rev) OVER ()) AS BIGINT) AS share_ppm
        |FROM b
        |ORDER BY revenue DESC, brand ASC""".stripMargin

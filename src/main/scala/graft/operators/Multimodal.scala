@@ -189,8 +189,9 @@ object Multimodal {
       .groupBy("kind")
       .agg(count(lit(1)).as("n_media"),
         sum(col("byte_len")).as("total_bytes"),
-        sum(col("width").cast("decimal(18,0)")).cast("decimal(38,0)")
-          .as("sum_width"))
+        // widths are small ints: a BIGINT sum is exact and renders
+        // identically in both engines (decimal output types don't)
+        sum(col("width").cast("long")).as("sum_width"))
       .orderBy("kind")
 
   val mediaKindRollupSql: String =
@@ -200,7 +201,7 @@ object Multimodal {
       |       COUNT(*) AS n_media,
       |       CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
       |       CAST(SUM(64 + CAST(('0x' || substr(md5(text), 1, 2)) AS INT) * 4)
-      |         AS DECIMAL(38,0)) AS sum_width
+      |         AS BIGINT) AS sum_width
       |FROM documents
       |GROUP BY 1
       |ORDER BY kind""".stripMargin

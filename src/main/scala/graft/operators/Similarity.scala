@@ -224,41 +224,51 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
 
   /** IVF (inverted-file) approximate top-k: coarse-quantize the corpus
-    * with seeded KMeans (k clusters), then search each query only in its
+    * against k seed centroids, then search each query only in its
     * `nprobe` nearest clusters. The second scale path next to LSH:
-    * data-adaptive buckets (better recall on clustered corpora) at the
-    * cost of a training pass. No DuckDB oracle — KMeans assignments are
-    * not SQL-reproducible — so the driver records a rows-only check;
-    * recall vs [[knnBruteForce]] is asserted in the test suite.
+    * data-adaptive buckets (better recall on clustered corpora) than
+    * fixed hyperplanes.
     *
-    * Scale notes: training samples the corpus (KMeans on 100 TB trains
-    * on a fraction); assignment is one map-side pass; the candidate
-    * search shuffles only (query x nprobe-cluster) pairs, each cluster
-    * ~N/k vectors.
+    * The coarse quantizer is a DETERMINISTIC sample quantizer: the k
+    * corpus vectors with the smallest md5(vec_id) — a seeded uniform
+    * sample, the same family as k-means|| initialization without the
+    * Lloyd iterations (a router, not a clustering deliverable). Unlike a
+    * fitted KMeans it is fully SQL-expressible, so the DuckDB oracle can
+    * verify assignments cell-exact (round 1 shipped a KMeans fit INSIDE
+    * the query on coalesce(4) — 15s/25% of the bench and no oracle; this
+    * replaces it).
+    *
+    * Scale notes: seed selection is one TakeOrdered pass (k rows to the
+    * driver — the "fetch the fitted model" analog, bounded by k);
+    * assignment is one map-side pass over a literal centroid table (no
+    * shuffle); the candidate search joins only (query x nprobe-cluster)
+    * pairs, each cluster ~N/k vectors. Swapping the sample quantizer for
+    * trained KMeans centroids changes ONLY the `seeds` collect.
     */
   def annIvf(spark: SparkSession, sfDir: String, nQueries: Int = 10,
       k: Int = 5, nClusters: Int = 16, nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val emb = Tables.embeddings(spark, sfDir)
-      .withColumn("features",
-        array_to_vector(col("embedding").cast("array<double>")))
-    // coarse quantizer: few iterations suffice (it's a router, not a
-    // clustering deliverable); at 100 TB fit on a sample, not the corpus
-    val model = new KMeans().setK(nClusters).setSeed(42L)
-      .setMaxIter(8)
-      .setFeaturesCol("features").setPredictionCol("cluster")
-      .fit(emb.coalesce(4))
-    val assigned = model.transform(emb)
-      .select(col("vec_id"), col("embedding"), col("cluster"))
+    // bounded k-row collect: the quantizer table (TakeOrderedAndProject)
+    val seeds: Array[(Int, Array[Float])] = emb
+      .select(col("vec_id"), col("embedding"),
+        md5(col("vec_id").cast("string").cast("binary")).as("seed_key"))
+      .orderBy(asc("seed_key"), asc("vec_id"))
+      .limit(nClusters)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) =>
+        (i, r.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+      }
+    val centroids = seeds.map(_._2)
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      graft.functions.argmax_cosine(col("embedding"), centroids).as("cluster"))
 
     // centroid table (k rows) to route queries to nprobe nearest clusters
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.map(_.toFloat))
-    }.toSeq
-    val centDf = spark.createDataFrame(centroids)
+    val centDf = spark.createDataFrame(
+      seeds.toSeq.map { case (i, c) => (i, c.toSeq) })
       .toDF("cluster", "centroid")
-    val queries = assigned.filter(col("vec_id") < nQueries)
+      .select(col("cluster"), col("centroid").cast("array<float>"))
+    val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val wProbe = Window.partitionBy("query_id")
       .orderBy(desc("c_sim"), asc("cluster"))
@@ -281,6 +291,52 @@ object Similarity {
         col("cosine"))
       .orderBy("query_id", "rank")
   }
+
+  /** DuckDB oracle for [[annIvf]] — the sample quantizer, assignment
+    * argmax, probe routing, and in-cluster ranking stated directly in
+    * SQL (assignment ties break toward the lowest cluster index, exactly
+    * [[graft.functions.ArgMaxCosineExpr]]'s rule).
+    */
+  def annIvfSql(nQueries: Int = 10, k: Int = 5, nClusters: Int = 16,
+      nprobe: Int = 4): String =
+    s"""WITH seeds AS (
+       |  SELECT CAST(row_number() OVER (
+       |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT)
+       |           AS cluster,
+       |         embedding AS centroid
+       |  FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT $nClusters),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cluster FROM (
+       |    SELECT e.vec_id, e.embedding, s.cluster,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosineExprDuck("e.embedding", "s.centroid")} DESC,
+       |                 s.cluster ASC) AS rn
+       |    FROM embeddings e CROSS JOIN seeds s)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, q_emb, cluster FROM (
+       |    SELECT q.vec_id AS query_id, q.embedding AS q_emb, s.cluster,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosineExprDuck("q.embedding", "s.centroid")} DESC,
+       |                 s.cluster ASC) AS pr
+       |    FROM embeddings q CROSS JOIN seeds s
+       |    WHERE q.vec_id < $nQueries)
+       |  WHERE pr <= $nprobe),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    ${cosineExprDuck("p.q_emb", "a.embedding")} AS cosine
+       |  FROM probes p JOIN assigned a
+       |    ON a.cluster = p.cluster AND a.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, cosine
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
 
   /** Embedding near-duplicate pairs: cosine >= threshold, candidates
     * restricted to pairs agreeing on at least one 4-bit LSH band (truly

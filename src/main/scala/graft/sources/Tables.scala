@@ -14,6 +14,15 @@ import org.apache.spark.sql.types._
   */
 object Tables {
 
+  /** Session configs every graft entrypoint needs; apply at builder time:
+    * `Tables.graftConfigs.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }`.
+    */
+  val graftConfigs: Seq[(String, String)] = Seq(
+    // events.parquet ts is INT64 TIMESTAMP(NANOS); read as raw nanos
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // cross-engine determinism: all timestamps interpreted in UTC
+    "spark.sql.session.timeZone" -> "UTC")
+
   // --------------------------------------------------------------------
   // Driver testdata schemas (parquet). Declaring them (rather than relying
   // on footer merge) keeps reads deterministic and lets a 1000-file scan
@@ -114,8 +123,15 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  /** Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set ONCE at
+    * session construction (Verify/Bench/tests via [[graftSession]]) —
+    * mutating session conf inside a reader would be a global side effect
+    * on unrelated reads in the same session.
+    */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "set spark.sql.legacy.parquet.nanosAsLong=true at session build " +
+        "(events.parquet stores ts as TIMESTAMP(NANOS); see Tables.graftConfigs)")
     load(s, d, "events")
       .withColumn("ts",
         org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))

@@ -57,7 +57,7 @@ object EventStreams {
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(28,10)")).cast("decimal(38,10)")
+        sum(col("value").cast("decimal(28,10)")).cast("double")
           .as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
@@ -68,7 +68,7 @@ object EventStreams {
       .withWatermark("ts", "10 minutes")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(28,10)")).cast("decimal(38,10)")
+        sum(col("value").cast("decimal(28,10)")).cast("double")
           .as("sum_value"))
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
@@ -130,7 +130,8 @@ object EventStreams {
     * how a production deployment would tail an events directory).
     */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "set spark.sql.legacy.parquet.nanosAsLong=true at session build")
     spark.readStream
       .schema(graft.sources.Tables.eventsSchema)
       .parquet(dir)

@@ -17,7 +17,7 @@ class ExtensionsSpec extends SparkSpec {
   }
 
   test("minhash signature approximates jaccard: sig agreement high for near-dups") {
-    val sigs = Dedup.minhashSignatures(spark, sf0001)
+    val sigs = Dedup.minhashSignaturesRaw(spark, sf0001)
     val near = Dedup.neardupPairs(spark, sf0001).filter($"jaccard" >= 0.9)
       .select("doc_a", "doc_b")
     val agreement = near

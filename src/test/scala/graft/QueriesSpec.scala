@@ -21,9 +21,28 @@ class QueriesSpec extends SparkSpec {
 
   test("q01 top-5: exactly 5 rows, strictly ordered by revenue desc") {
     val rows = SparkEntry.queries("q01_top_products")(spark, sf0001)
-      .select("revenue").collect().map(_.getDecimal(0))
+      .select("revenue").collect().map(_.getDouble(0))
     assert(rows.length === 5)
-    assert(rows.sliding(2).forall { case Array(a, b) => a.compareTo(b) >= 0 })
+    assert(rows.sliding(2).forall { case Array(a, b) => a >= b })
+  }
+
+  test("no registered query emits an array-typed column (harness contract)") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val arrayCols = fn(spark, sf0001).schema.fields
+        .filter(_.dataType.typeName == "array").map(_.name)
+      assert(arrayCols.isEmpty, s"$name has array columns: ${arrayCols.toSeq}")
+    }
+  }
+
+  test("no registered query emits a decimal-typed column (harness contract)") {
+    // DECIMAL outputs render differently in Spark parquet vs DuckDB
+    // fetchdf (round-1: 10 queries red on this alone); aggregate in
+    // exact decimal internally, present as double/long.
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val decCols = fn(spark, sf0001).schema.fields
+        .filter(_.dataType.typeName.startsWith("decimal")).map(_.name)
+      assert(decCols.isEmpty, s"$name has decimal columns: ${decCols.toSeq}")
+    }
   }
 
   test("q10 FK integrity: zero orphans in the generated data") {

@@ -13,12 +13,14 @@ trait SparkSpec extends AnyFunSuite {
 
 object SparkSpec {
   lazy val session: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[16]")
-      .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    val s = graft.sources.Tables.graftConfigs
+      .foldLeft(SparkSession.builder()
+        .master("local[16]")
+        .appName("graft-test")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")) {
+        case (b, (k, v)) => b.config(k, v)
+      }
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
