@@ -157,6 +157,11 @@ case class SimHash60Expr(child: Expression)
 
 /** Min-gram fingerprint: min over all 8-char grams g of lower(trim(text))
   * of md5Hash60(g) — identical to TextAnalysis.fingerprints' min_gram_fp.
+  *
+  * ORACLE CONTRACT — gram boundaries count UTF-16 code units here vs
+  * Unicode code points in DuckDB's substr: identical for BMP text
+  * without surrogate pairs (driver testdata is ASCII); astral-plane
+  * characters would shift gram windows between the two engines.
   */
 case class MinGramFpExpr(child: Expression, gram: Int = 8)
     extends UnaryExpression with CodegenFallback {

@@ -150,8 +150,15 @@ object Multimodal {
       |ORDER BY media_id""".stripMargin
 
   /** Registered query over the frame sampler: per-frame metadata +
-    * content hash (payload bytes are ASCII text here, so the DuckDB
-    * oracle reproduces frames with substr+md5).
+    * content hash.
+    *
+    * ORACLE CONTRACT — ASCII only: the sampler slices the payload by
+    * BYTES (correct for real binary media), while the DuckDB oracle's
+    * `substr` slices the source text by CHARACTERS. The two agree iff
+    * the stand-in text payload is single-byte (the driver testdata is
+    * ASCII). Multibyte payloads would diverge — by design the byte
+    * semantics is the one a real decoder keeps; only the SQL oracle is
+    * limited.
     */
   def mediaFrames(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Distributed surrogate-key assignment for tables too large for a
@@ -35,4 +36,19 @@ object ScalableKeys {
       StructField(idCol, LongType, nullable = false))
     spark.createDataFrame(indexed, schema)
   }
+
+  /** Dense 1-based rank by a unique key — value-identical to
+    * `row_number() OVER (ORDER BY keyCol)` but WITHOUT the
+    * single-partition window funnel: range-repartition on the key
+    * (partition i's keys all sort before partition i+1's), sort within
+    * each partition, then per-partition sequential ids + broadcast
+    * offsets via [[withSequentialIds]]. Each partition sorts
+    * independently; nothing serializes through one task, so the same
+    * code holds at 100× dim cardinality. Requires `keyCol` unique and
+    * non-null (dim natural keys are both).
+    */
+  def withRankByKey(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    withSequentialIds(
+      df.repartitionByRange(col(keyCol)).sortWithinPartitions(col(keyCol)),
+      idCol, startAt = 1L)
 }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -14,12 +13,11 @@ import graft.sources.Tables
   * dim_date derived from l_shipdate.
   *
   * Key design decisions (SURVEY.md §7.3-7.4):
-  *   - Surrogate keys (D3) are `row_number() OVER (ORDER BY natural_id)` —
-  *     deterministic, so a SQL oracle reproduces them exactly. This global
-  *     sort is fine for DIMENSIONS (bounded smallness: parts/customers/
-  *     suppliers are orders of magnitude below the fact). Fact tables never
-  *     get row_number'ed — see [[ScalableKeys]] for the 100 TB-safe
-  *     two-pass id assignment used there.
+  *   - Surrogate keys (D3) are dense ranks by natural id — value-identical
+  *     to `row_number() OVER (ORDER BY natural_id)` (which is what the SQL
+  *     oracles state), but computed via [[ScalableKeys.withRankByKey]]
+  *     (range-repartition + in-partition sort + offset ids) so NO table,
+  *     dim or fact, ever funnels through a single-partition window.
   *   - The fact build joins 4 dims. All dims are broadcast (they are the
   *     small side by construction), so the fact is built in a single
   *     map-side stage: scan lineitem -> 4 BroadcastHashJoins -> project.
@@ -29,49 +27,46 @@ import graft.sources.Tables
 object Star {
 
   /** dim_product (part; `sql/ddl_oracle.sql:38-49`). */
-  def dimProduct(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.orderBy("product_id")
-    Tables.part(spark, sfDir)
-      .select(
-        col("p_partkey").as("product_id"),
-        col("p_name").as("product_name"),
-        col("p_type").as("category"),
-        col("p_brand").as("brand"),
-        col("p_retailprice").as("price"),
-        col("p_size").as("size_"))
-      .withColumn("product_key", row_number().over(w).cast("long"))
-  }
+  def dimProduct(spark: SparkSession, sfDir: String): DataFrame =
+    ScalableKeys.withRankByKey(
+      Tables.part(spark, sfDir)
+        .select(
+          col("p_partkey").as("product_id"),
+          col("p_name").as("product_name"),
+          col("p_type").as("category"),
+          col("p_brand").as("brand"),
+          col("p_retailprice").as("price"),
+          col("p_size").as("size_")),
+      "product_id", "product_key")
 
   /** dim_customer (customer; `sql/ddl_oracle.sql:26-36`). */
-  def dimCustomer(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.orderBy("customer_id")
-    Tables.customer(spark, sfDir)
-      .select(
-        col("c_custkey").as("customer_id"),
-        col("c_name").as("customer_name"),
-        col("c_nationkey").as("nation_id"),
-        col("c_acctbal").as("acctbal"),
-        col("c_mktsegment").as("membership_level"))
-      .withColumn("customer_key", row_number().over(w).cast("long"))
-  }
+  def dimCustomer(spark: SparkSession, sfDir: String): DataFrame =
+    ScalableKeys.withRankByKey(
+      Tables.customer(spark, sfDir)
+        .select(
+          col("c_custkey").as("customer_id"),
+          col("c_name").as("customer_name"),
+          col("c_nationkey").as("nation_id"),
+          col("c_acctbal").as("acctbal"),
+          col("c_mktsegment").as("membership_level")),
+      "customer_id", "customer_key")
 
   /** dim_store (supplier ⋈ nation ⋈ region; `sql/ddl_oracle.sql:52-60`).
     * nation/region are tiny lookup tables -> broadcast; no shuffle.
     */
-  def dimStore(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.orderBy("store_id")
-    Tables.supplier(spark, sfDir)
-      .join(broadcast(Tables.nation(spark, sfDir)),
-        col("s_nationkey") === col("n_nationkey"))
-      .join(broadcast(Tables.region(spark, sfDir)),
-        col("n_regionkey") === col("r_regionkey"))
-      .select(
-        col("s_suppkey").as("store_id"),
-        col("s_name").as("store_name"),
-        col("n_name").as("city"),
-        col("r_name").as("region"))
-      .withColumn("store_key", row_number().over(w).cast("long"))
-  }
+  def dimStore(spark: SparkSession, sfDir: String): DataFrame =
+    ScalableKeys.withRankByKey(
+      Tables.supplier(spark, sfDir)
+        .join(broadcast(Tables.nation(spark, sfDir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(spark, sfDir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(
+          col("s_suppkey").as("store_id"),
+          col("s_name").as("store_name"),
+          col("n_name").as("city"),
+          col("r_name").as("region")),
+      "store_id", "store_key")
 
   /** dim_date derived from fact ship dates, exactly as `etl/etl.py:109-120`:
     * distinct normalized dates (D1, B7) + date parts (B8) + yyyyMMdd int
@@ -205,4 +200,34 @@ object Star {
   def upsertByKey(existing: DataFrame, staged: DataFrame, key: String): DataFrame =
     existing.unionByName(
       staged.join(broadcast(existing.select(key)), Seq(key), "left_anti"))
+
+  /** Full MERGE semantics (E6 + I1; `etl/etl.py:166-224`): staged rows
+    * WIN on matched keys (UPDATE), unmatched staged rows INSERT, existing
+    * rows without a staged match survive. Pure-functionally:
+    * `staged ∪ (existing ANTI-JOIN staged ON key)` — idempotent (re-running
+    * the same staged batch is a no-op), and the recompute-and-overwrite
+    * shape Delta/Iceberg MERGE compiles to.
+    *
+    * Scale: one anti-join, shuffle-on-key both sides (or broadcast when
+    * the staged batch is small — left to AQE); no row-by-row driver loop.
+    * If staged carries duplicate keys, pre-dedup with keep-newest:
+    * [[keepNewestByKey]].
+    */
+  def mergeByKey(existing: DataFrame, staged: DataFrame, key: String): DataFrame =
+    staged.unionByName(
+      existing.join(staged.select(key), Seq(key), "left_anti"))
+
+  /** Keep the newest row per key (by `versionCol` desc, ties broken
+    * deterministically by the remaining columns) — the staged-batch
+    * pre-dedup for [[mergeByKey]]. max_by-style aggregation, not a
+    * global window: shuffles once on the key.
+    */
+  def keepNewestByKey(df: DataFrame, key: String, versionCol: String): DataFrame = {
+    val others = df.columns.filterNot(_ == key)
+    val ordered = struct(col(versionCol) +: others.filterNot(_ == versionCol)
+      .map(col): _*)
+    df.groupBy(col(key))
+      .agg(max_by(struct(others.map(col): _*), ordered).as("_newest"))
+      .select(col(key) +: others.map(c => col(s"_newest.$c").as(c)): _*)
+  }
 }

@@ -208,6 +208,53 @@ object Tables {
   def overwriteParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  // --------------------------------------------------------------------
+  // JDBC source/sink (SURVEY.md §2 A3/A5 as REAL JDBC — the reference
+  // loads staged CSVs into Oracle over JDBC with a 5000-row batch,
+  // `etl/etl.py:143-160,266-269`, `etl/config.ini:26`)
+  // --------------------------------------------------------------------
+
+  /** JDBC table scan (A5). For large tables pass `partitionColumn` +
+    * bounds so the read parallelizes into `numPartitions` range-bounded
+    * queries — a single-connection JDBC read is the classic 100 TB
+    * anti-pattern (one task pulls everything).
+    */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+      props: Map[String, String] = Map.empty,
+      fetchSize: Int = 5000,
+      partitionColumn: Option[String] = None,
+      lowerBound: Long = 0L, upperBound: Long = 0L,
+      numPartitions: Int = 8): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("fetchsize", fetchSize)
+      .options(props)
+    partitionColumn.fold(base) { c =>
+      base.option("partitionColumn", c)
+        .option("lowerBound", lowerBound)
+        .option("upperBound", upperBound)
+        .option("numPartitions", numPartitions)
+    }.load()
+  }
+
+  /** JDBC batch sink (A3): executeBatch every `batchSize` rows, exactly
+    * the reference's `cursor.executemany` batching (5000,
+    * `etl/config.ini:26`). One connection per partition — writer
+    * parallelism = input partitions; `df.repartition(n)` is the knob.
+    */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      mode: String = "append",
+      props: Map[String, String] = Map.empty,
+      batchSize: Int = 5000): Unit =
+    df.write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("batchsize", batchSize)
+      .options(props)
+      .mode(mode)
+      .save()
+
   /** Ensure at least `min` partitions before CPU-heavy per-row work.
     *
     * The driver testdata ships one row group per parquet file, so a scan

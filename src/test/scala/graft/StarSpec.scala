@@ -26,6 +26,39 @@ class StarSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("rank-by-key equals the single-partition row_number it replaces") {
+    import org.apache.spark.sql.expressions.Window
+    val base = graft.sources.Tables.customer(spark, sf0001)
+      .select($"c_custkey", $"c_name")
+    val viaWindow = base.withColumn("k",
+      row_number().over(Window.orderBy("c_custkey")).cast("long"))
+    val viaRank = graft.operators.ScalableKeys
+      .withRankByKey(base, "c_custkey", "k")
+    assert(viaWindow.exceptAll(viaRank).isEmpty &&
+      viaRank.exceptAll(viaWindow).isEmpty)
+  }
+
+  test("mergeByKey: staged updates matched rows, inserts new, keeps rest; idempotent") {
+    val existing = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("id", "name", "v")
+    val staged = Seq((2L, "b2", 21), (4L, "d", 40)).toDF("id", "name", "v")
+    val merged = Star.mergeByKey(existing, staged, "id")
+      .orderBy("id").as[(Long, String, Int)].collect()
+    assert(merged === Array((1L, "a", 10), (2L, "b2", 21), (3L, "c", 30),
+      (4L, "d", 40)))
+    val again = Star.mergeByKey(Star.mergeByKey(existing, staged, "id"),
+      staged, "id").orderBy("id").as[(Long, String, Int)].collect()
+    assert(again === merged)
+  }
+
+  test("keepNewestByKey picks the highest-version row per key") {
+    val df = Seq((1L, 1, "old"), (1L, 3, "new"), (1L, 2, "mid"),
+      (2L, 7, "only")).toDF("id", "ver", "payload")
+    val got = Star.keepNewestByKey(df, "id", "ver")
+      .orderBy("id").as[(Long, Int, String)].collect()
+    assert(got === Array((1L, 3, "new"), (2L, 7, "only")))
+  }
+
   test("upsert is idempotent: applying staged twice adds nothing") {
     val existing = Star.dimDateFrom(
       graft.sources.Tables.orders(spark, sf0001), "o_orderdate")
