@@ -74,6 +74,10 @@ object SparkEntry {
     "q33_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "q34_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
     "q35_media_frames" -> ((s, d) => Multimodal.mediaFrames(s, d)),
+    // --- round-3: CSV cleaning chains over dirty fixtures (B2-B6, C1-C4) ---
+    "q36_clean_sales" -> ((s, d) => CleanCsv.cleanSalesCsv(s, d)),
+    "q37_clean_products" -> ((s, d) => CleanCsv.cleanProductsCsv(s, d)),
+    "q38_clean_customers" -> ((s, d) => CleanCsv.cleanCustomersCsv(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -115,5 +119,8 @@ object SparkEntry {
     "q33_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(),
     "q34_ann_ivf" -> Similarity.annIvfSql(),
     "q35_media_frames" -> Multimodal.mediaFramesSql,
+    "q36_clean_sales" -> CleanCsv.cleanSalesCsvSql,
+    "q37_clean_products" -> CleanCsv.cleanProductsCsvSql,
+    "q38_clean_customers" -> CleanCsv.cleanCustomersCsvSql,
   )
 }

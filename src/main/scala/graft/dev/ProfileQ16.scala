@@ -7,11 +7,10 @@ import org.apache.spark.sql.functions._
 object ProfileQ16 {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.sources.Tables.graftSession(
+      SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false"))
     spark.sparkContext.setLogLevel("WARN")
 
     def time[T](label: String)(f: => T): T = {

@@ -35,14 +35,49 @@ object Catalog {
   def dropTable(spark: SparkSession, name: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS $name")
 
-  /** Execute a multi-statement SQL script, splitting on ';' and
-    * skipping blanks/comments (J6; `etl/etl.py:236-246`).
+  /** Split a SQL script into statements on ';', ignoring semicolons
+    * inside single-quoted literals (with '' escapes) and `--` line
+    * comments — the reference's naive `split(";")` (`etl/etl.py:236-246`)
+    * breaks on `VALUES ('a;b')`.
+    */
+  def splitStatements(script: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    var inComment = false
+    var i = 0
+    while (i < script.length) {
+      val c = script.charAt(i)
+      if (inQuote) {
+        cur += c
+        if (c == '\'') {
+          if (i + 1 < script.length && script.charAt(i + 1) == '\'') {
+            cur += '\''; i += 1 // '' escape stays in-quote
+          } else inQuote = false
+        }
+      } else if (inComment) {
+        cur += c
+        if (c == '\n') inComment = false
+      } else c match {
+        case '\'' => inQuote = true; cur += c
+        case '-' if i + 1 < script.length && script.charAt(i + 1) == '-' =>
+          inComment = true; cur += c
+        case ';' => out += cur.toString; cur.clear()
+        case _ => cur += c
+      }
+      i += 1
+    }
+    out += cur.toString
+    out.result()
+  }
+
+  /** Execute a multi-statement SQL script, skipping blanks/comments
+    * (J6; `etl/etl.py:236-246`), with quote-aware ';' splitting.
     */
   def runScript(spark: SparkSession, script: String): Seq[DataFrame] =
-    script.split(";")
+    splitStatements(script)
       .map(_.linesIterator.filterNot(_.trim.startsWith("--"))
         .mkString("\n").trim)
       .filter(_.nonEmpty)
       .map(spark.sql)
-      .toSeq
 }

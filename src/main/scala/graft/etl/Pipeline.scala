@@ -1,10 +1,9 @@
 package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Cleaning, Star}
+import graft.operators.{Cleaning, Joins, ScalableKeys, Star}
 import graft.sources.Tables
 
 /** The reference's full ETL pipeline (`etl/etl.py` entry point 1,
@@ -51,9 +50,12 @@ object Pipeline {
     Tables.writeCsv(sales, s"$stagingDir/stg_sales")
   }
 
+  /** Surrogate keys via [[ScalableKeys.withRankByKey]] — value-identical
+    * to `row_number() OVER (ORDER BY naturalId)` but with no
+    * single-partition window funnel (StarSpec proves the equivalence).
+    */
   private def withKey(df: DataFrame, naturalId: String, key: String): DataFrame =
-    df.withColumn(key,
-      row_number().over(Window.orderBy(naturalId)).cast("long"))
+    ScalableKeys.withRankByKey(df, naturalId, key)
 
   /** Build the star in memory (lazy). */
   def buildWarehouse(customers: DataFrame, products: DataFrame,
@@ -65,15 +67,23 @@ object Pipeline {
 
     // E1: the reference pulls {natural_id -> key} maps to the client and
     // dict-maps them (etl/etl.py:263-282); here each map IS a broadcast
-    // hash join — the fact never shuffles.
+    // hash join — the fact never shuffles. The hints are size-gated
+    // (Joins.broadcastIfSmall): a dim that outgrows the broadcast
+    // threshold falls back to a shuffle join instead of a driver OOM.
+    // The rank-keyed dims have RDD-severed lineage (no stats), so each
+    // gate sizes on the cleaned source frame the dim was derived from.
     val fact = sales
-      .join(broadcast(dimCustomer.select("customer_id", "customer_key")),
+      .join(Joins.broadcastIfSmall(
+          dimCustomer.select("customer_id", "customer_key"), customers),
         Seq("customer_id"), "left")
-      .join(broadcast(dimProduct.select("product_id", "product_key")),
+      .join(Joins.broadcastIfSmall(
+          dimProduct.select("product_id", "product_key"), products),
         Seq("product_id"), "left")
-      .join(broadcast(dimStore.select("store_id", "store_key")),
+      .join(Joins.broadcastIfSmall(
+          dimStore.select("store_id", "store_key"), stores),
         Seq("store_id"), "left")
-      .join(broadcast(dimDate.select("calendar_date", "date_key")),
+      .join(Joins.broadcastIfSmall(
+          dimDate.select("calendar_date", "date_key")),
         sales("sales_date") === col("calendar_date"), "left")
       .select("sales_id", "customer_key", "product_key", "store_key",
         "date_key", "quantity", "unit_price", "discount_pct", "total_amount")

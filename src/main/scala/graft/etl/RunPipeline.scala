@@ -22,13 +22,11 @@ object RunPipeline {
         s"${conf.warehouseDir}/validation_report.txt")
     }
     val baseRows = args.lift(1).map(_.toLong).getOrElse(1000L)
-    val spark = SparkSession.builder()
+    val spark = graft.sources.Tables.graftSession(SparkSession.builder()
       .master(s"local[${conf.shufflePartitions}]")
       .appName("graft-retail-etl")
       .config("spark.sql.shuffle.partitions", conf.shufflePartitions)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      .config("spark.ui.enabled", "false"))
     spark.sparkContext.setLogLevel("WARN")
 
     if (!Catalog.pathExists(spark, s"$rawDir/customers")) {

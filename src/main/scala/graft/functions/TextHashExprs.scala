@@ -240,6 +240,18 @@ case class ArgMaxCosineExpr(child: Expression, centroids: Array[Array[Float]])
     copy(child = c)
   override def prettyName: String = "graft_argmax_cosine"
 
+  // the centroid norms are constants of the centroid table — computing
+  // them per input row would waste O(k·d) each; the per-centroid sum
+  // order is unchanged, so the cosines (and the oracle match) are
+  // bit-identical
+  @transient private lazy val centroidNorms: Array[Double] =
+    centroids.map { cent =>
+      var ny = 0.0
+      var i = 0
+      while (i < cent.length) { val y = cent(i).toDouble; ny += y * y; i += 1 }
+      math.sqrt(ny)
+    }
+
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
@@ -257,12 +269,10 @@ case class ArgMaxCosineExpr(child: Expression, centroids: Array[Array[Float]])
       val cent = centroids(c)
       require(cent.length == n,
         s"graft_argmax_cosine: dimension mismatch ($n vs ${cent.length})")
-      var dot = 0.0; var ny = 0.0
+      var dot = 0.0
       i = 0
       while (i < n) { dot += v.getFloat(i).toDouble * cent(i).toDouble; i += 1 }
-      i = 0
-      while (i < n) { val y = cent(i).toDouble; ny += y * y; i += 1 }
-      val cos = dot / (xNorm * math.sqrt(ny))
+      val cos = dot / (xNorm * centroidNorms(c))
       if (cos > bestCos) { bestCos = cos; best = c }
       c += 1
     }

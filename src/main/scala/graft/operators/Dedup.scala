@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -117,11 +118,17 @@ object Dedup {
     *
     * At 100 TB: the exploded band table is 4 rows x ~24 bytes per doc;
     * bucket joins are local to each band-key partition; the quadratic
-    * blowup is bounded by bucket size (skewed mega-buckets would signal
-    * boilerplate text — cap with a bucket-size filter if needed).
+    * blowup is bounded by bucket size. Skewed mega-buckets (boilerplate
+    * text hashing thousands of docs into one band) are the one
+    * pathological case — `maxBucketSize` drops band buckets above the
+    * cap BEFORE the self-join, bounding pairs per bucket at cap²/2. Docs
+    * in a dropped bucket can still pair through their other bands; a
+    * bucket that large means the docs are boilerplate-identical anyway
+    * (documented recall trade; None = uncapped, the oracle-checked
+    * default).
     */
   def neardupPairs(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Option[Int] = None): DataFrame = {
     // The repartition is a deliberate plan barrier: it materializes each
     // signature exactly once before banding. Without it, project
     // collapsing + filter pushdown inline the (expensive) minhash
@@ -144,6 +151,7 @@ object Dedup {
           .as("bands"))
       .select(col("doc_id"),
         posexplode_outer(col("bands")).as(Seq("band_idx", "band_key")))
+      .transform(capBuckets(maxBucketSize))
     val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -166,6 +174,19 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Drop band buckets holding more than `cap` docs (the LSH mega-bucket
+    * guard). One count-over-bucket window — partitioned by the band key,
+    * so no global funnel; the count shuffle is on the same key the
+    * candidate self-join shuffles on anyway.
+    */
+  private def capBuckets(cap: Option[Int])(banded: DataFrame): DataFrame =
+    cap.fold(banded) { c =>
+      val w = Window.partitionBy("band_idx", "band_key")
+      banded.withColumn("_bucket_n", count(lit(1)).over(w))
+        .filter(col("_bucket_n") <= c)
+        .drop("_bucket_n")
+    }
 
   def neardupPairsSql(threshold: Double = 0.5): String =
     s"""WITH sigs AS (

@@ -45,12 +45,14 @@ object Insights {
     sum(revenueDec).cast("double").as("revenue")
 
   /** Q1 — top-5 products by revenue (SQL Analysis docx Q1; SURVEY.md §2
-    * E2+F1+G1+G3+B10). part is the small side -> broadcast hash join; the
-    * top-k plans as TakeOrderedAndProject (no full sort of the groups).
+    * E2+F1+G1+G3+B10). part broadcasts while it fits the session
+    * threshold ([[Joins.broadcastIfSmall]] — part scales with the
+    * dataset, so the hint must not be unconditional); the top-k plans as
+    * TakeOrderedAndProject (no full sort of the groups).
     */
   def topProductsByRevenue(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame =
     Tables.lineitem(spark, sfDir)
-      .join(broadcast(Tables.part(spark, sfDir)),
+      .join(Joins.broadcastIfSmall(Tables.part(spark, sfDir)),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_name").as("product_name"))
       .agg(sumRev)
@@ -88,7 +90,9 @@ object Insights {
        |ORDER BY sales_year, sales_month""".stripMargin
 
   /** Q3 — revenue by store/region (SQL Analysis docx Q3; E4+F2+G1). The
-    * store dim (supplier⋈nation⋈region) broadcasts onto the fact.
+    * store dim (supplier⋈nation⋈region) broadcasts onto the fact while
+    * small (supplier scales with the dataset -> size-gated hint);
+    * nation/region are fixed lookup tables and broadcast unconditionally.
     */
   def revenueByStore(spark: SparkSession, sfDir: String): DataFrame = {
     val store = Tables.supplier(spark, sfDir)
@@ -99,7 +103,8 @@ object Insights {
       .select(col("s_suppkey"), col("s_name").as("store_name"),
         col("r_name").as("region"))
     Tables.lineitem(spark, sfDir)
-      .join(broadcast(store), col("l_suppkey") === col("s_suppkey"))
+      .join(Joins.broadcastIfSmall(store),
+        col("l_suppkey") === col("s_suppkey"))
       .groupBy("store_name", "region")
       .agg(sumRev)
       .orderBy(desc("revenue"), asc("store_name"))
@@ -142,7 +147,7 @@ object Insights {
       .agg(sum(revenueDec).as("order_rev"), count(lit(1)).as("order_lines"))
       .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, sfDir)
+      .join(Joins.broadcastIfSmall(Tables.customer(spark, sfDir)
           .select("c_custkey", "c_acctbal")),
         col("o_custkey") === col("c_custkey"))
       .groupBy(balanceBucket(col("c_acctbal")).as("balance_bucket"))
@@ -215,7 +220,8 @@ object Insights {
   def categoryShare(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy()
     Tables.lineitem(spark, sfDir)
-      .join(broadcast(Tables.part(spark, sfDir).select("p_partkey", "p_brand")),
+      .join(Joins.broadcastIfSmall(
+          Tables.part(spark, sfDir).select("p_partkey", "p_brand")),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand").as("brand"))
       .agg(sum(revenueDec).as("rev"))

@@ -56,9 +56,9 @@ object Multimodal {
     * oracle can reproduce them from SQL md5. A real deployment swaps
     * ONLY this function; the partition-wise plumbing stays.
     */
-  private def fakeDecode(payload: Array[Byte]): (Int, Int, Double, Double, Double, Double) = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val d = md.digest(payload).map(_ & 0xff)
+  private def fakeDecode(md: java.security.MessageDigest,
+      payload: Array[Byte]): (Int, Int, Double, Double, Double, Double) = {
+    val d = md.digest(payload).map(_ & 0xff) // digest() resets the instance
     // fake "dimensions" and channel statistics from digest bytes
     (64 + d(0) * 4, 64 + d(1) * 4,
       d(2) / 255.0, d(3) / 255.0, d(4) / 255.0, d(5) / 255.0)
@@ -71,9 +71,11 @@ object Multimodal {
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition setup would go here (codec init, model load, ...)
+      // per-partition setup (codec init, model load, ...) — the digest
+      // stands in for the decoder and is allocated once per partition
+      val md = java.security.MessageDigest.getInstance("MD5")
       it.map { m =>
-        val (w, h, f0, f1, f2, f3) = fakeDecode(m.payload)
+        val (w, h, f0, f1, f2, f3) = fakeDecode(md, m.payload)
         MediaFeatures(m.media_id, m.kind, m.payload.length, w, h, f0, f1, f2, f3)
       }
     }
@@ -160,17 +162,16 @@ object Multimodal {
     * semantics is the one a real decoder keeps; only the SQL oracle is
     * limited.
     */
-  def mediaFrames(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+  def mediaFrames(spark: SparkSession, sfDir: String): DataFrame =
+    // hash/length via builtin codegen'd expressions on the binary column
+    // (a Dataset.map allocating a MessageDigest per row computed the
+    // identical md5 ~the hard way)
     sampleFramesStub(mediaFromDocuments(spark, sfDir))
-      .map { f =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val hash = md.digest(f.frame_bytes).map("%02x".format(_)).mkString
-        (f.media_id, f.frame_idx, f.byte_offset, f.frame_bytes.length, hash)
-      }
-      .toDF("media_id", "frame_idx", "byte_offset", "frame_len", "frame_hash")
+      .toDF()
+      .select(col("media_id"), col("frame_idx"), col("byte_offset"),
+        length(col("frame_bytes")).as("frame_len"),
+        md5(col("frame_bytes")).as("frame_hash"))
       .orderBy("media_id", "frame_idx")
-  }
 
   val mediaFramesSql: String =
     """WITH videos AS (

@@ -175,20 +175,31 @@ object Similarity {
       """transform(sequence(0, 3),
         |  b -> concat(CAST(b AS STRING), ':',
         |    CAST((sig >> (b * 4)) & 15 AS STRING)))""".stripMargin
+    // Band matching and candidate dedup carry ONLY ids: the multi-band
+    // OR produces up to 4 copies of each (query, neighbor) pair, and
+    // deduping them with the vectors attached would shuffle 2x64 floats
+    // per copy. Here the distinct's exchange moves 16-byte id pairs;
+    // embeddings are re-attached afterwards (query side broadcast with
+    // the candidate list, corpus side read map-side).
     val banded = emb
-      .select(col("vec_id"), col("embedding"),
-        explode(expr(bandExpr)).as("band_key"))
-    val queries = banded.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("band_key"))
-    val cands = banded.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("c_emb"), col("band_key"))
+      .select(col("vec_id"), explode(expr(bandExpr)).as("band_key"))
+    val queryBands = banded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("band_key"))
+    val candBands = banded.select(col("vec_id").as("neighbor_id"),
+      col("band_key"))
+    val candIds = broadcast(queryBands).join(candBands, Seq("band_key"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    val queryVecs = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val candVecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("cosine"), asc("neighbor_id"))
-    broadcast(queries).join(cands, Seq("band_key"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("q_emb"), col("c_emb"))
-      .distinct()
+    broadcast(candIds.join(queryVecs, Seq("query_id")))
+      .join(candVecs, Seq("neighbor_id"))
       .withColumn("cosine", graft.functions.cosine_sim(col("q_emb"), col("c_emb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -352,18 +363,28 @@ object Similarity {
       threshold: Double = 0.95): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
       .withColumn("sig", graft.functions.lsh_sig(col("embedding"), planeSigns))
-    val banded = emb.select(col("vec_id"), col("embedding"),
+    // ids-only banding: candidate pairs are deduped as 16-byte id pairs
+    // (a pair colliding on several bands would otherwise shuffle its two
+    // 64-float vectors once per band); the vectors are re-joined for
+    // scoring afterwards — two shuffles bounded by corpus size, instead
+    // of one unbounded by band multiplicity.
+    val banded = emb.select(col("vec_id"),
       explode(expr(
         """transform(sequence(0, 3),
           |  b -> concat(CAST(b AS STRING), ':',
           |    CAST((sig >> (b * 4)) & 15 AS STRING)))""".stripMargin))
         .as("band_key"))
-    banded.as("a").join(banded.as("b"),
+    val pairIds = banded.as("a").join(banded.as("b"),
         col("a.band_key") === col("b.band_key") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.embedding").as("e_a"), col("b.embedding").as("e_b"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
+    val vecs = Tables.embeddings(spark, sfDir)
+    pairIds
+      .join(vecs.select(col("vec_id").as("vec_a"),
+        col("embedding").as("e_a")), Seq("vec_a"))
+      .join(vecs.select(col("vec_id").as("vec_b"),
+        col("embedding").as("e_b")), Seq("vec_b"))
       .withColumn("cosine", graft.functions.cosine_sim(col("e_a"), col("e_b")))
       .filter(col("cosine") >= threshold)
       .select("vec_a", "vec_b", "cosine")

@@ -18,11 +18,14 @@ import graft.sources.Tables
   *     oracles state), but computed via [[ScalableKeys.withRankByKey]]
   *     (range-repartition + in-partition sort + offset ids) so NO table,
   *     dim or fact, ever funnels through a single-partition window.
-  *   - The fact build joins 4 dims. All dims are broadcast (they are the
-  *     small side by construction), so the fact is built in a single
-  *     map-side stage: scan lineitem -> 4 BroadcastHashJoins -> project.
-  *     No shuffle of the 100 TB side at all; this replaces the reference's
-  *     driver-side dict `.map()` join (E1, `etl/etl.py:272-282`).
+  *   - The fact build joins 4 dims. Dims are broadcast via
+  *     [[Joins.broadcastIfSmall]] — the hint applies only while the dim's
+  *     estimated size is under the session broadcast threshold, so the
+  *     fact is built in a single map-side stage (scan lineitem -> 4
+  *     BroadcastHashJoins -> project) at retail scale, and a dim that
+  *     outgrows the threshold degrades to a shuffle join instead of a
+  *     driver OOM. This replaces the reference's driver-side dict
+  *     `.map()` join (E1, `etl/etl.py:272-282`).
   */
 object Star {
 
@@ -107,11 +110,17 @@ object Star {
     val store = dimStore(spark, sfDir).select("store_id", "store_key")
     val dd = dimDate(spark, sfDir).select("calendar_date", "date_key")
 
+    // The rank-keyed dims pass through an RDD hop, so their own plans
+    // carry no size statistics; each gate sizes on the dim's source
+    // table scan instead (an upper bound that scales with the dim).
     li.join(ord, col("l_orderkey") === col("o_orderkey"), "left")
-      .join(broadcast(cust), col("o_custkey") === col("customer_id"), "left")
-      .join(broadcast(prod), col("l_partkey") === col("product_id"), "left")
-      .join(broadcast(store), col("l_suppkey") === col("store_id"), "left")
-      .join(broadcast(dd),
+      .join(Joins.broadcastIfSmall(cust, Tables.customer(spark, sfDir)),
+        col("o_custkey") === col("customer_id"), "left")
+      .join(Joins.broadcastIfSmall(prod, Tables.part(spark, sfDir)),
+        col("l_partkey") === col("product_id"), "left")
+      .join(Joins.broadcastIfSmall(store, Tables.supplier(spark, sfDir)),
+        col("l_suppkey") === col("store_id"), "left")
+      .join(Joins.broadcastIfSmall(dd),
         Cleaning.normalizeDate(col("l_shipdate")) === col("calendar_date"),
         "left")
       .select(
@@ -199,7 +208,8 @@ object Star {
     */
   def upsertByKey(existing: DataFrame, staged: DataFrame, key: String): DataFrame =
     existing.unionByName(
-      staged.join(broadcast(existing.select(key)), Seq(key), "left_anti"))
+      staged.join(Joins.broadcastIfSmall(existing.select(key)), Seq(key),
+        "left_anti"))
 
   /** Full MERGE semantics (E6 + I1; `etl/etl.py:166-224`): staged rows
     * WIN on matched keys (UPDATE), unmatched staged rows INSERT, existing

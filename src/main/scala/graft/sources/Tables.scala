@@ -23,6 +23,16 @@ object Tables {
     // cross-engine determinism: all timestamps interpreted in UTC
     "spark.sql.session.timeZone" -> "UTC")
 
+  /** Apply [[graftConfigs]] to a builder and construct the session — the
+    * one way every graft entrypoint (Verify, Bench, RunPipeline, dev
+    * mains, tests) should build its SparkSession, so the [[events]]
+    * nanosAsLong invariant holds everywhere.
+    */
+  def graftSession(builder: SparkSession.Builder): SparkSession = {
+    graftConfigs.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
+      .getOrCreate()
+  }
+
   // --------------------------------------------------------------------
   // Driver testdata schemas (parquet). Declaring them (rather than relying
   // on footer merge) keeps reads deterministic and lets a 1000-file scan

@@ -10,6 +10,19 @@ import graft.operators._
 class ExtensionsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("LSH mega-bucket cap bounds the pair blowup on a boilerplate corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_boiler").toString
+    val text = "the same boilerplate legal footer text repeated on every page"
+    (0 until 40).map(i => (i.toLong, text, "en", "fixture", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // identical docs -> one mega-bucket per band -> quadratic pairs
+    assert(Dedup.neardupPairs(spark, dir).count() === 40L * 39 / 2)
+    // capped: buckets above the cap are skipped before the self-join
+    assert(Dedup.neardupPairs(spark, dir, maxBucketSize = Some(10))
+      .count() === 0L)
+  }
+
   test("minhash LSH finds the planted near-duplicates (jaccard >= 0.9 pairs)") {
     val pairs = Dedup.neardupPairs(spark, sf0001)
       .filter($"jaccard" >= 0.9).count()

@@ -103,6 +103,25 @@ class PipelineSpec extends SparkSpec {
     Catalog.dropTable(spark, "graft_cat_test")
   }
 
+  test("runScript: ';' inside quoted literals/comments does not split (J6)") {
+    assert(Catalog.splitStatements(
+      "INSERT INTO t VALUES ('a;b');\n-- note; semicolon\nSELECT 'x''y;z';\nSELECT 1")
+      .map(_.trim).filter(_.nonEmpty) === Seq(
+        "INSERT INTO t VALUES ('a;b')",
+        "-- note; semicolon\nSELECT 'x''y;z'",
+        "SELECT 1"))
+    Catalog.dropTable(spark, "graft_script_q")
+    Catalog.deletePath(spark,
+      spark.conf.get("spark.sql.warehouse.dir") + "/graft_script_q")
+    Catalog.runScript(spark,
+      """CREATE TABLE graft_script_q (s STRING) USING parquet;
+        |INSERT INTO graft_script_q VALUES ('a;b');
+        |INSERT INTO graft_script_q VALUES ('c''d;e')""".stripMargin)
+    assert(spark.table("graft_script_q").as[String].collect().toSet ===
+      Set("a;b", "c'd;e"))
+    Catalog.dropTable(spark, "graft_script_q")
+  }
+
   test("parquet append sink accumulates batches (A3)") {
     val dir = Files.createTempDirectory("graft_append").toString + "/t"
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")

@@ -20,6 +20,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "dim join degraded to SMJ")
   }
 
+  test("broadcast hints are size-gated: disabling the threshold disables the hint") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // with the gate open the plan must degrade to a shuffle join, not
+      // force a broadcast of a dim Catalyst was told never to broadcast
+      val p = plan(Insights.topProductsByRevenue(spark, sf0001))
+      assert(!p.contains("BroadcastHashJoin"),
+        s"hard broadcast hint survived threshold=-1:\n$p")
+      val pf = plan(Star.factSales(spark, sf0001))
+      assert(!pf.contains("BroadcastHashJoin"),
+        s"fact build still hint-broadcasts at threshold=-1:\n$pf")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q24/q25: LSH candidate dedup exchanges ids only, never vectors") {
+    for (df <- Seq(graft.operators.Similarity.annLsh(spark, sf0001),
+        graft.operators.Similarity.embeddingNeardup(spark, sf0001, 0.4))) {
+      val aggLines = df.queryExecution.sparkPlan.toString
+        .linesIterator.filter(_.contains("HashAggregate")).toSeq
+      assert(aggLines.nonEmpty, "expected a HashAggregate for the distinct")
+      assert(!aggLines.exists(_.contains("emb")),
+        s"candidate distinct still carries embedding columns:\n${aggLines.mkString("\n")}")
+    }
+  }
+
   test("q01: scan reads only needed columns and prunes with filters") {
     val qe = Insights.topProductsByRevenue(spark, sf0001).queryExecution
     // sparkPlan, not executedPlan: AQE wraps the latter before execution
