@@ -78,6 +78,17 @@ object SparkEntry {
     "q36_clean_sales" -> ((s, d) => CleanCsv.cleanSalesCsv(s, d)),
     "q37_clean_products" -> ((s, d) => CleanCsv.cleanProductsCsv(s, d)),
     "q38_clean_customers" -> ((s, d) => CleanCsv.cleanCustomersCsv(s, d)),
+    // full-MERGE semantics (E6): lineitem-derived dim_date (tagged) wins
+    // over the orders-derived one on matched date_keys
+    "q39_date_merge" -> ((s, d) =>
+      Star.mergeByKey(
+        Star.dimDateFrom(graft.sources.Tables.orders(s, d), "o_orderdate")
+          .withColumn("src", lit("orders")),
+        Star.dimDateFrom(graft.sources.Tables.lineitem(s, d), "l_shipdate")
+          .withColumn("src", lit("lineitem")),
+        "date_key").orderBy("date_key")),
+    // derived money arithmetic over the dirty fixtures (B10 + B11)
+    "q40_derived_amounts" -> ((s, d) => CleanCsv.derivedAmountsCsv(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -122,5 +133,7 @@ object SparkEntry {
     "q36_clean_sales" -> CleanCsv.cleanSalesCsvSql,
     "q37_clean_products" -> CleanCsv.cleanProductsCsvSql,
     "q38_clean_customers" -> CleanCsv.cleanCustomersCsvSql,
+    "q39_date_merge" -> Star.dateMergeSql,
+    "q40_derived_amounts" -> CleanCsv.derivedAmountsCsvSql,
   )
 }

@@ -37,7 +37,7 @@ object CleanCsv {
       Tables.readCsv(spark, s"$FixtureDir/sales.csv", Tables.salesCsvSchema))
       .orderBy("sales_id")
 
-  val cleanSalesCsvSql: String =
+  private val cleanSalesBody: String =
     s"""SELECT TRY_CAST(sales_id AS BIGINT) AS sales_id,
        |       TRY_CAST(customer_id AS BIGINT) AS customer_id,
        |       TRY_CAST(product_id AS BIGINT) AS product_id,
@@ -49,8 +49,9 @@ object CleanCsv {
        |       TRY_CAST(total_amount AS DOUBLE) AS total_amount
        |FROM ${duckCsv("sales")}
        |WHERE try_strptime(sales_date, '%d-%m-%Y') IS NOT NULL
-       |  AND TRY_CAST(quantity AS INT) > 0
-       |ORDER BY sales_id""".stripMargin
+       |  AND TRY_CAST(quantity AS INT) > 0""".stripMargin
+
+  val cleanSalesCsvSql: String = cleanSalesBody + "\nORDER BY sales_id"
 
   /** q37 — products cleaning chain (B2 rename size->size_, B4 coercion,
     * C2 cost<price theta-filter).
@@ -61,15 +62,16 @@ object CleanCsv {
         Tables.productsCsvSchema))
       .orderBy("product_id")
 
-  val cleanProductsCsvSql: String =
+  private val cleanProductsBody: String =
     s"""SELECT TRY_CAST(product_id AS BIGINT) AS product_id,
        |       product_name, category, sub_category, brand,
        |       TRY_CAST(price AS DOUBLE) AS price,
        |       TRY_CAST(cost AS DOUBLE) AS cost,
        |       color, "size" AS size_
        |FROM ${duckCsv("products")}
-       |WHERE TRY_CAST(cost AS DOUBLE) < TRY_CAST(price AS DOUBLE)
-       |ORDER BY product_id""".stripMargin
+       |WHERE TRY_CAST(cost AS DOUBLE) < TRY_CAST(price AS DOUBLE)""".stripMargin
+
+  val cleanProductsCsvSql: String = cleanProductsBody + "\nORDER BY product_id"
 
   /** q38 — customers cleaning chain (B3 trim, B4 coercion, C1 age
     * domain filter 18..100 inclusive).
@@ -79,6 +81,37 @@ object CleanCsv {
       Tables.readCsv(spark, s"$FixtureDir/customers.csv",
         Tables.customersCsvSchema))
       .orderBy("customer_id")
+
+  /** q40 — derived money arithmetic (B10 price*(1-disc/100)*qty, B11
+    * round-to-2), reference README.md:95-98 /
+    * `scripts/generate_data.py:245-250`: cleaned sales join cleaned
+    * products on product_id, then [[Cleaning.withDerivedAmounts]].
+    * Per-row double arithmetic and half-up rounding are IEEE-identical
+    * across engines for non-tie values (the fixture has none).
+    */
+  def derivedAmountsCsv(spark: SparkSession, dir: String): DataFrame = {
+    val sales = Cleaning.cleanSales(
+      Tables.readCsv(spark, s"$FixtureDir/sales.csv", Tables.salesCsvSchema))
+    val products = Cleaning.cleanProducts(
+      Tables.readCsv(spark, s"$FixtureDir/products.csv",
+        Tables.productsCsvSchema))
+    Cleaning.withDerivedAmounts(
+      sales.select("sales_id", "product_id", "quantity", "discount_pct")
+        .join(products.select("product_id", "price"), Seq("product_id")))
+      .select("sales_id", "product_id", "quantity", "discount_pct", "price",
+        "unit_price", "total_amount")
+      .orderBy("sales_id")
+  }
+
+  val derivedAmountsCsvSql: String =
+    s"""WITH s AS ($cleanSalesBody),
+       |     p AS ($cleanProductsBody)
+       |SELECT s.sales_id, s.product_id, s.quantity, s.discount_pct, p.price,
+       |  round(p.price * (1 - s.discount_pct / 100), 2) AS unit_price,
+       |  round(round(p.price * (1 - s.discount_pct / 100), 2) * s.quantity, 2)
+       |    AS total_amount
+       |FROM s JOIN p ON s.product_id = p.product_id
+       |ORDER BY sales_id""".stripMargin
 
   val cleanCustomersCsvSql: String =
     s"""SELECT TRY_CAST(customer_id AS BIGINT) AS customer_id,

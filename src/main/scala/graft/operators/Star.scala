@@ -136,17 +136,20 @@ object Star {
           .as("total_amount"))
   }
 
+  /** DuckDB fragment: [[dimDateFrom]] over `table.dateCol` (no ORDER BY). */
+  def dimDateFromSql(table: String, dateCol: String): String =
+    s"""SELECT CAST(strftime(d, '%Y%m%d') AS INT) AS date_key,
+       |       d AS calendar_date,
+       |       CAST(day(d) AS INT) AS day,
+       |       CAST(month(d) AS INT) AS month,
+       |       CAST(year(d) AS INT) AS year,
+       |       CAST(quarter(d) AS INT) AS quarter,
+       |       CAST(isodow(d) AS INT) AS weekday
+       |FROM (SELECT DISTINCT CAST($dateCol AS DATE) AS d FROM $table)""".stripMargin
+
   /** DuckDB oracle for [[dimDate]] (ordered by date_key). */
   val dimDateSql: String =
-    """SELECT CAST(strftime(d, '%Y%m%d') AS INT) AS date_key,
-      |       d AS calendar_date,
-      |       CAST(day(d) AS INT) AS day,
-      |       CAST(month(d) AS INT) AS month,
-      |       CAST(year(d) AS INT) AS year,
-      |       CAST(quarter(d) AS INT) AS quarter,
-      |       CAST(isodow(d) AS INT) AS weekday
-      |FROM (SELECT DISTINCT CAST(l_shipdate AS DATE) AS d FROM lineitem)
-      |ORDER BY date_key""".stripMargin
+    dimDateFromSql("lineitem", "l_shipdate") + "\nORDER BY date_key"
 
   /** DuckDB oracle for [[dimStore]] (ordered by store_key). */
   val dimStoreSql: String =
@@ -199,6 +202,23 @@ object Star {
       |FROM (SELECT CAST(o_orderdate AS DATE) AS d FROM orders
       |      UNION SELECT CAST(l_shipdate AS DATE) FROM lineitem)
       |ORDER BY date_key""".stripMargin
+
+  /** DuckDB oracle for the registered [[mergeByKey]] query (q39): the
+    * lineitem-derived dim_date (tagged src='lineitem') MERGEs over the
+    * orders-derived one (src='orders') — staged rows win on matched
+    * date_keys, unmatched existing rows survive. The src tag is what
+    * makes UPDATE-on-match observable (both sides derive identical date
+    * parts, so without it merge and upsert would coincide).
+    */
+  val dateMergeSql: String =
+    s"""WITH e AS (SELECT x.*, 'orders' AS src
+       |           FROM (${dimDateFromSql("orders", "o_orderdate")}) x),
+       |     s AS (SELECT x.*, 'lineitem' AS src
+       |           FROM (${dimDateFromSql("lineitem", "l_shipdate")}) x)
+       |SELECT * FROM s
+       |UNION ALL
+       |SELECT * FROM e WHERE date_key NOT IN (SELECT date_key FROM s)
+       |ORDER BY date_key""".stripMargin
 
   /** Insert-if-absent upsert for dim_date (I1; `etl/etl.py:179-224`):
     * `existing ∪ (staged ANTI-JOIN existing ON date_key)` — the staged
