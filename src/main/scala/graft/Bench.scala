@@ -33,12 +33,24 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
+    // best-of-N per query (default 2): a single-run number conflates the
+    // plan's cost with whatever else the machine was doing — round 2's
+    // committed bench recorded a 0.57s query at 21.8s purely from
+    // machine load. The minimum over passes is the standard
+    // load-noise-robust estimator of the plan's cost; passes are
+    // interleaved (full sweep, then again) so co-scheduled noise does
+    // not hit both runs of the same query.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map(n => n -> run(n))
+    val sweeps = (1 to passes).map(_ => names.map(n => n -> run(n)).toMap)
+    val results = names.map { n =>
+      val ts = sweeps.map(_(n))
+      n -> (if (ts.exists(_ >= 0)) ts.filter(_ >= 0).min else -1.0)
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes}""")
     spark.stop()
   }
 }
