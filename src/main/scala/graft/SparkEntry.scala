@@ -89,6 +89,8 @@ object SparkEntry {
         "date_key").orderBy("date_key")),
     // derived money arithmetic over the dirty fixtures (B10 + B11)
     "q40_derived_amounts" -> ((s, d) => CleanCsv.derivedAmountsCsv(s, d)),
+    // token counting: whitespace + BPE-ish regex pre-tokenizer
+    "q41_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -135,5 +137,6 @@ object SparkEntry {
     "q38_clean_customers" -> CleanCsv.cleanCustomersCsvSql,
     "q39_date_merge" -> Star.dateMergeSql,
     "q40_derived_amounts" -> CleanCsv.derivedAmountsCsvSql,
+    "q41_token_counts" -> TextAnalysis.tokenCountsSql,
   )
 }

@@ -94,6 +94,61 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** GPT-2-style pre-tokenizer pattern (BPE-ish): contraction suffixes,
+    * then space-prefixed letter runs / digit runs / symbol runs. Every
+    * match is one pre-token; whitespace between tokens is skipped (the
+    * leading ` ?` folds one space into the following token, as BPE
+    * vocabularies do). ASCII classes only, so Java regex (Spark codegen)
+    * and RE2 (DuckDB) produce identical token streams — both engines use
+    * leftmost-first alternation, and no lookaround is needed.
+    */
+  val bpePattern = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9]+"
+
+  /** Token counting two ways (SURVEY §7.5): cheap whitespace split and the
+    * BPE-ish regex pre-tokenizer, plus distinct-token and chars-per-token
+    * ratios (the "is this compressible text or junk" gates a pretraining
+    * pipeline applies before paying for real BPE). Narrow one-pass
+    * projection; fuses into the scan at 100 TB.
+    */
+  def tokenCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    // Column API (not expr-SQL) so the pattern's ' needs no escaping
+    def bpeToks = regexp_extract_all(lower(col("text")), lit(bpePattern), lit(0))
+    docs.select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(split(trim(col("text")), "\\s+")).as("n_ws_tokens"),
+        size(bpeToks).as("n_bpe_tokens"),
+        size(array_distinct(bpeToks)).as("n_distinct_bpe"))
+      .withColumn("chars_per_token",
+        col("n_chars").cast("double") / greatest(col("n_bpe_tokens"), lit(1)))
+      .withColumn("type_token_ratio",
+        col("n_distinct_bpe").cast("double") /
+          greatest(col("n_bpe_tokens"), lit(1)))
+      .orderBy("doc_id")
+  }
+
+  val tokenCountsSql: String = {
+    // DuckDB single-quoted literals keep backslashes as-is; only ' doubles
+    val p = bpePattern.replace("'", "''")
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS INT) AS n_chars,
+       |  CAST(len(string_split_regex(trim(text), '\\s+')) AS INT)
+       |    AS n_ws_tokens,
+       |  CAST(len(regexp_extract_all(lower(text), '$p')) AS INT)
+       |    AS n_bpe_tokens,
+       |  CAST(len(list_distinct(regexp_extract_all(lower(text), '$p'))) AS INT)
+       |    AS n_distinct_bpe,
+       |  CAST(length(text) AS DOUBLE)
+       |    / greatest(len(regexp_extract_all(lower(text), '$p')), 1)
+       |    AS chars_per_token,
+       |  CAST(len(list_distinct(regexp_extract_all(lower(text), '$p'))) AS DOUBLE)
+       |    / greatest(len(regexp_extract_all(lower(text), '$p')), 1)
+       |    AS type_token_ratio
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Language ID by stopword-hit voting: per language, count tokens in
     * that language's stopword list; predict the argmax (ties broken by
     * language code order). One pass, no shuffle.

@@ -126,6 +126,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(stats.filter($"quality_score" < 0 || $"quality_score" > 1).count() === 0)
   }
 
+  test("BPE-ish pre-tokenizer: known strings split as GPT-2-style pre-tokens") {
+    import spark.implicits._
+    val df = Seq(
+      ("d1", "Hello, world! It's 42 degrees."),
+      ("d2", "  spaced   out  "),
+      ("d3", "no-punct words here")).toDF("doc_id", "text")
+    val toks = df.select($"doc_id",
+      regexp_extract_all(lower($"text"), lit(TextAnalysis.bpePattern), lit(0))
+        .as("t")).as[(String, Seq[String])].collect().toMap
+    // "hello" "," " world" "!" " it" "'s" " 42" " degrees" "."
+    assert(toks("d1") === Seq("hello", ",", " world", "!", " it", "'s",
+      " 42", " degrees", "."))
+    assert(toks("d2") === Seq(" spaced", " out"))
+    assert(toks("d3") === Seq("no", "-", "punct", " words", " here"))
+    val counts = TextAnalysis.tokenCounts(spark, sf0001)
+    assert(counts.filter($"n_bpe_tokens" < $"n_ws_tokens").count() === 0)
+    assert(counts.filter($"n_distinct_bpe" > $"n_bpe_tokens").count() === 0)
+    assert(counts.filter($"type_token_ratio" < 0 || $"type_token_ratio" > 1)
+      .count() === 0)
+  }
+
   test("fingerprints: equal for identical text, min-gram stable") {
     val fp = TextAnalysis.fingerprints(spark, sf0001)
     assert(fp.count() === 500)
