@@ -91,6 +91,10 @@ object SparkEntry {
     "q40_derived_amounts" -> ((s, d) => CleanCsv.derivedAmountsCsv(s, d)),
     // token counting: whitespace + BPE-ish regex pre-tokenizer
     "q41_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
+    // windowed BI analytics: per-group top-N, running totals, ROLLUP
+    "q42_top_brands_region" -> ((s, d) => Insights.topBrandsPerRegion(s, d)),
+    "q43_running_revenue" -> ((s, d) => Insights.monthlyRunningRevenue(s, d)),
+    "q44_revenue_rollup" -> ((s, d) => Insights.revenueRollup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -138,5 +142,8 @@ object SparkEntry {
     "q39_date_merge" -> Star.dateMergeSql,
     "q40_derived_amounts" -> CleanCsv.derivedAmountsCsvSql,
     "q41_token_counts" -> TextAnalysis.tokenCountsSql,
+    "q42_top_brands_region" -> Insights.topBrandsPerRegionSql(),
+    "q43_running_revenue" -> Insights.monthlyRunningRevenueSql,
+    "q44_revenue_rollup" -> Insights.revenueRollupSql,
   )
 }

@@ -241,4 +241,144 @@ object Insights {
        |       CAST(FLOOR(rev * 1000000 / SUM(rev) OVER ()) AS BIGINT) AS share_ppm
        |FROM b
        |ORDER BY revenue DESC, brand ASC""".stripMargin
+
+  /** The store dim used by the regional insights: supplier joined to the
+    * fixed nation/region lookups, projected to key + region name.
+    */
+  private def storeRegion(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(Tables.nation(spark, sfDir)
+          .select("n_nationkey", "n_regionkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)
+          .select("r_regionkey", "r_name")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("r_name"))
+
+  /** Top-k brands by revenue within each region — ranked window over a
+    * partitioned group (G-family extension: per-group top-N, the
+    * "dashboard drill-down" shape).
+    *
+    * Scale shape: the window runs AFTER aggregation to (region, brand)
+    * grain — a few hundred rows regardless of fact size — so the rank
+    * never sees fact-grain data and the per-region partitions cannot
+    * skew. Ranking orders by the exact decimal sum (ties broken by brand)
+    * so Spark and DuckDB rank identically; the double cast is
+    * presentation-only.
+    */
+  def topBrandsPerRegion(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val agg = Tables.lineitem(spark, sfDir)
+      .join(Joins.broadcastIfSmall(
+          Tables.part(spark, sfDir).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Joins.broadcastIfSmall(storeRegion(spark, sfDir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("r_name").as("region"), col("p_brand").as("brand"))
+      .agg(sum(revenueDec).as("rev"))
+    val w = Window.partitionBy(col("region"))
+      .orderBy(desc("rev"), asc("brand"))
+    agg.withColumn("rank_in_region", row_number().over(w).cast("int"))
+      .filter(col("rank_in_region") <= k)
+      .select(col("region"), col("brand"),
+        col("rev").cast("double").as("revenue"), col("rank_in_region"))
+      .orderBy("region", "rank_in_region")
+  }
+
+  def topBrandsPerRegionSql(k: Int = 3): String =
+    s"""WITH a AS (
+       |  SELECT r_name AS region, p_brand AS brand, SUM($revenueSql) AS rev
+       |  FROM lineitem
+       |  JOIN part ON l_partkey = p_partkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       |  GROUP BY r_name, p_brand),
+       |r AS (
+       |  SELECT region, brand, rev,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY region
+       |           ORDER BY rev DESC, brand ASC) AS INT) AS rank_in_region
+       |  FROM a)
+       |SELECT region, brand, CAST(rev AS DOUBLE) AS revenue, rank_in_region
+       |FROM r WHERE rank_in_region <= $k
+       |ORDER BY region, rank_in_region""".stripMargin
+
+  /** Monthly revenue with a per-year running total and month-over-month
+    * delta (cumulative window + lag — the "trend with momentum" BI
+    * shape). Windows run on the month-grain aggregate (dozens of rows at
+    * any fact size); the cumulative sum and the lag delta stay in exact
+    * decimal until the final double presentation cast, so every cell is
+    * one correctly-rounded conversion in both engines. The first month of
+    * each year has no predecessor: the delta coalesces to 0.
+    */
+  def monthlyRunningRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = Tables.lineitem(spark, sfDir)
+      .groupBy(
+        year(col("l_shipdate")).as("sales_year"),
+        month(col("l_shipdate")).as("sales_month"))
+      .agg(sum(revenueDec).as("rev"))
+    val byMonth = Window.partitionBy(col("sales_year"))
+      .orderBy(col("sales_month"))
+    val cum = byMonth.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    m.select(
+        col("sales_year"), col("sales_month"),
+        col("rev").cast("double").as("revenue"),
+        sum(col("rev")).over(cum).cast("double").as("cum_revenue"),
+        coalesce(col("rev") - lag(col("rev"), 1).over(byMonth),
+          lit(0).cast("decimal(4,2)")).cast("double").as("mom_delta"))
+      .orderBy("sales_year", "sales_month")
+  }
+
+  val monthlyRunningRevenueSql: String =
+    s"""WITH m AS (
+       |  SELECT CAST(year(l_shipdate) AS INT) AS sales_year,
+       |         CAST(month(l_shipdate) AS INT) AS sales_month,
+       |         SUM($revenueSql) AS rev
+       |  FROM lineitem GROUP BY 1, 2)
+       |SELECT sales_year, sales_month,
+       |       CAST(rev AS DOUBLE) AS revenue,
+       |       CAST(SUM(rev) OVER (PARTITION BY sales_year ORDER BY sales_month
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |         AS cum_revenue,
+       |       CAST(COALESCE(rev - LAG(rev, 1) OVER (PARTITION BY sales_year
+       |         ORDER BY sales_month), 0) AS DOUBLE) AS mom_delta
+       |FROM m
+       |ORDER BY sales_year, sales_month""".stripMargin
+
+  /** Region × brand revenue ROLLUP (grouping sets): detail rows, per-
+    * region subtotals, and the grand total in one aggregate. Spark plans
+    * a single Expand + hash aggregate (one fact scan, one shuffle at
+    * group grain × 3 grouping sets). Rolled-up keys present as 'ALL'
+    * (no real region/brand uses that name); grouping_level is the
+    * bitmask (0 detail, 1 brand rolled, 3 both rolled).
+    */
+  def revenueRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(Joins.broadcastIfSmall(
+          Tables.part(spark, sfDir).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Joins.broadcastIfSmall(storeRegion(spark, sfDir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .rollup(col("r_name"), col("p_brand"))
+      .agg(sum(revenueDec).cast("double").as("revenue"),
+        count(lit(1)).as("n_sales"),
+        grouping_id().cast("int").as("grouping_level"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("p_brand"), lit("ALL")).as("brand"),
+        col("revenue"), col("n_sales"), col("grouping_level"))
+      .orderBy("grouping_level", "region", "brand")
+
+  val revenueRollupSql: String =
+    s"""SELECT COALESCE(r_name, 'ALL') AS region,
+       |       COALESCE(p_brand, 'ALL') AS brand,
+       |       CAST(SUM($revenueSql) AS DOUBLE) AS revenue,
+       |       COUNT(*) AS n_sales,
+       |       CAST(GROUPING(r_name, p_brand) AS INT) AS grouping_level
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY ROLLUP (r_name, p_brand)
+       |ORDER BY grouping_level, region, brand""".stripMargin
 }

@@ -12,8 +12,9 @@ import graft.sources.Tables
   *
   * All checks are single-pass aggregations: the null audit computes every
   * per-column null count in ONE scan of each table (no per-column jobs),
-  * and the FK checks are broadcast anti-joins against the (small) dims —
-  * at 100 TB each check costs one fact scan, nothing more.
+  * and the FK checks are anti-joins whose dim side broadcasts only while
+  * it fits ([[Joins.broadcastIfSmall]]) — at 100 TB each check costs one
+  * fact scan plus, for the orders FK, a shuffle anti-join.
   */
 object Validation {
 
@@ -36,12 +37,18 @@ object Validation {
 
   /** K2 — FK referential integrity (anti-join counts; C6/E7;
     * `scripts/generate_data.py:299-304`). Expected 0 bad rows each.
+    *
+    * The dim side is size-gated, not hard-hinted: orders/part scale with
+    * the dataset, and at 100 TB the orders key set does not fit a
+    * broadcast — the check must degrade to a shuffle anti-join (which
+    * AQE further prunes with a runtime bloom filter on the fact side).
     */
   def fkIntegrity(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
     def orphans(name: String, dim: DataFrame, factKey: String,
         dimKey: String): DataFrame =
-      li.join(broadcast(dim), col(factKey) === col(dimKey), "left_anti")
+      li.join(Joins.broadcastIfSmall(dim), col(factKey) === col(dimKey),
+          "left_anti")
         .agg(count(lit(1)).as("bad_rows"))
         .select(lit(name).as("fk_check"), col("bad_rows"))
     orphans("lineitem_orders", Tables.orders(spark, sfDir)
