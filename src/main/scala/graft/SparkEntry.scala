@@ -95,6 +95,9 @@ object SparkEntry {
     "q42_top_brands_region" -> ((s, d) => Insights.topBrandsPerRegion(s, d)),
     "q43_running_revenue" -> ((s, d) => Insights.monthlyRunningRevenue(s, d)),
     "q44_revenue_rollup" -> ((s, d) => Insights.revenueRollup(s, d)),
+    // HLL sketch KPIs — no oracle (estimates are engine-specific), so
+    // the driver records the weaker rows-only check for this one
+    "q45_kpi_approx" -> ((s, d) => Insights.kpiSummaryApprox(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -210,6 +210,34 @@ object Insights {
        |FROM lineitem
        |JOIN orders ON l_orderkey = o_orderkey""".stripMargin
 
+  /** [[kpiSummary]] with the distinct-count KPIs flipped to
+    * `approx_count_distinct` (HyperLogLog++) — the extreme-cardinality
+    * path the exact KPI's scaladoc points at. Exact COUNT DISTINCT must
+    * shuffle every distinct key; the HLL sketch is a few KB per
+    * partition, merged map-side, so the whole KPI row costs one scan and
+    * a one-row exchange no matter how many distinct customers 100 TB
+    * holds. rsd=0.01 ≈ ±1% — fine for a dashboard tile, not for a
+    * reconciliation report (that's [[kpiSummary]]). No DuckDB oracle:
+    * HLL estimates are implementation-specific, so the driver records a
+    * rows-only check; the tolerance vs exact is asserted in PlanSpec.
+    */
+  def kpiSummaryApprox(spark: SparkSession, sfDir: String,
+      rsd: Double = 0.01): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val liKpis = li.agg(
+      sum(revenueDec).cast("double").as("total_revenue"),
+      approx_count_distinct(col("l_orderkey"), rsd).as("n_orders_approx"),
+      count(lit(1)).as("n_lines"))
+    val custKpi = li.select("l_orderkey").distinct()
+      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(approx_count_distinct(col("o_custkey"), rsd)
+        .as("n_customers_approx"))
+    liKpis.crossJoin(custKpi)
+      .select("total_revenue", "n_orders_approx", "n_customers_approx",
+        "n_lines")
+  }
+
   /** Category revenue mix with share-of-total % (F8; "Electronics 37.78%").
     * The grand total comes from an empty-frame window aggregate — a
     * single-row broadcast exchange, not a second scan. Share is computed

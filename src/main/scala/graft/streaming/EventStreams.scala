@@ -126,6 +126,21 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup — the streaming twin of
+    * [[graft.operators.Dedup.exactDedup]]'s keep-one semantics, for
+    * at-least-once ingest (re-delivered events collapse to one).
+    * `dropDuplicatesWithinWatermark` keeps one state entry per key seen
+    * within the watermark delay and evicts it as event time advances —
+    * unlike plain `dropDuplicates` on a stream, state cannot grow
+    * unboundedly. Keys default to the natural event id; pass
+    * content-hash columns for document-style dedup.
+    */
+  def dedupStream(events: DataFrame,
+      keyCols: Seq[String] = Seq("event_id")): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Wire a streaming DataFrame from parquet (file-source streaming —
     * how a production deployment would tail an events directory).
     */

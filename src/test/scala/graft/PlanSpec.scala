@@ -35,6 +35,23 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("approx KPI: HLL distinct counts within 5% of exact; no Expand in plan") {
+    val exact = Insights.kpiSummary(spark, sf0001).collect()(0)
+    val approx = Insights.kpiSummaryApprox(spark, sf0001).collect()(0)
+    val nOrders = exact.getAs[Long]("n_orders").toDouble
+    val nCust = exact.getAs[Long]("n_customers").toDouble
+    assert(math.abs(approx.getAs[Long]("n_orders_approx") - nOrders) / nOrders < 0.05)
+    assert(math.abs(approx.getAs[Long]("n_customers_approx") - nCust) / nCust < 0.05)
+    // the non-distinct KPIs are unchanged by the sketch swap
+    assert(approx.getAs[Double]("total_revenue") ===
+      exact.getAs[Double]("total_revenue"))
+    // HLL aggregates plan as plain partial aggregation — none of the
+    // Expand row-multiplication a multi-distinct exact aggregate needs
+    val planStr = Insights.kpiSummaryApprox(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!planStr.contains("Expand"))
+  }
+
   test("q24/q25: LSH candidate dedup exchanges ids only, never vectors") {
     for (df <- Seq(graft.operators.Similarity.annLsh(spark, sf0001),
         graft.operators.Similarity.embeddingNeardup(spark, sf0001, 0.4))) {

@@ -41,6 +41,24 @@ class StreamingSpec extends SparkSpec {
     assert(got.sameElements(want))
   }
 
+  test("streaming dedup: re-delivered events collapse to one, matching batch distinct") {
+    val data = eventData
+    // simulate at-least-once delivery: every 3rd event arrives twice
+    val redelivered = data ++ data.zipWithIndex.collect {
+      case (e, i) if i % 3 == 0 => e
+    }
+    val stream = MemoryStream[Event](spark, 4)
+    stream.addData(redelivered)
+    val q = EventStreams.dedupStream(stream.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    val got = spark.table("dedup_out")
+    assert(got.count() === data.length)
+    assert(got.select("event_id").distinct().count() === data.length)
+  }
+
   test("stateful sessionizer closes sessions on watermark timeout, matching batch") {
     val data = eventData
     val stream = MemoryStream[Event](spark, 2)
