@@ -98,6 +98,8 @@ object SparkEntry {
     // HLL sketch KPIs — no oracle (estimates are engine-specific), so
     // the driver records the weaker rows-only check for this one
     "q45_kpi_approx" -> ((s, d) => Insights.kpiSummaryApprox(s, d)),
+    // as-of join (temporal nearest-prior) — DuckDB native ASOF oracle
+    "q46_asof_join" -> ((s, d) => AsofJoin.purchaseBeforeClick(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -148,5 +150,6 @@ object SparkEntry {
     "q42_top_brands_region" -> Insights.topBrandsPerRegionSql(),
     "q43_running_revenue" -> Insights.monthlyRunningRevenueSql,
     "q44_revenue_rollup" -> Insights.revenueRollupSql,
+    "q46_asof_join" -> AsofJoin.purchaseBeforeClickSql,
   )
 }

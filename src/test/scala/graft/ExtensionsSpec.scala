@@ -147,6 +147,22 @@ class ExtensionsSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("asof join: nearest-prior semantics, inclusive at equal time, per-key isolation") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 15L, "c"),
+      (3L, 5L, "d")).toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 1.0), (1L, 18L, 2.0), (2L, 99L, 9.0))
+      .toDF("k", "rt", "rv")
+    val got = graft.operators.AsofJoin.asofJoin(left, right, "k", "t", "rt")
+      .orderBy("tag").collect()
+      .map(r => (r.getAs[String]("tag"), Option(r.getAs[Any]("rv"))))
+    assert(got.toSeq === Seq(
+      ("a", Some(1.0)), // equal time matches (>= convention)
+      ("b", Some(2.0)), // latest prior wins, not first
+      ("c", None),      // right row is in the future -> no match
+      ("d", None)))     // key 3 has no right rows at all
+  }
+
   test("fingerprints: equal for identical text, min-gram stable") {
     val fp = TextAnalysis.fingerprints(spark, sf0001)
     assert(fp.count() === 500)
