@@ -100,6 +100,17 @@ object SparkEntry {
     "q45_kpi_approx" -> ((s, d) => Insights.kpiSummaryApprox(s, d)),
     // as-of join (temporal nearest-prior) — DuckDB native ASOF oracle
     "q46_asof_join" -> ((s, d) => AsofJoin.purchaseBeforeClick(s, d)),
+    // salted aggregation: results independent of the salt (oracle is
+    // the plain GROUP BY). l_quantity is integer-valued, so the double
+    // sum is exact and order-independent.
+    "q47_salted_agg" -> ((s, d) =>
+      Salting.saltedSum(graft.sources.Tables.lineitem(s, d)
+          .select("l_returnflag", "l_quantity"),
+        "l_returnflag", "l_quantity", numSalts = 8)
+        .orderBy("l_returnflag")),
+    // JSONL sink + scan roundtrip, fidelity-checked by text md5
+    "q48_jsonl_roundtrip" -> ((s, d) =>
+      graft.sources.Tables.documentsJsonlRoundtrip(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -151,5 +162,10 @@ object SparkEntry {
     "q43_running_revenue" -> Insights.monthlyRunningRevenueSql,
     "q44_revenue_rollup" -> Insights.revenueRollupSql,
     "q46_asof_join" -> AsofJoin.purchaseBeforeClickSql,
+    "q47_salted_agg" -> """SELECT l_returnflag,
+      |  CAST(SUM(l_quantity) AS DOUBLE) AS sum_l_quantity
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin,
+    "q48_jsonl_roundtrip" -> graft.sources.Tables.documentsJsonlRoundtripSql,
   )
 }

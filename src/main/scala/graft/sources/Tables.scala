@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, md5}
 import org.apache.spark.sql.types._
 
 /** Table catalog: explicit schemas + readers for the driver testdata
@@ -206,6 +207,46 @@ object Tables {
   /** CSV staging sink (SURVEY.md §2 A2; `etl/etl.py:127-137`). */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** JSONL (one JSON object per line) sink — the interchange format
+    * LLM-corpus tooling expects. Spark's json writer escapes control
+    * characters, so arbitrary document text round-trips losslessly.
+    */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** JSONL scan with a declared schema (no sampling-based inference pass
+    * — at 100 TB schema inference is a full extra scan).
+    */
+  def readJsonl(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  private val jsonlStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q48 — JSONL roundtrip fidelity: stage `documents` as JSONL (once
+    * per dataset, memoized — the staging analog of a one-time export),
+    * read it back with the declared schema, and fingerprint the text.
+    * The oracle reads the original parquet directly, so equal md5s prove
+    * the JSON encode/decode preserved every document byte-exactly.
+    */
+  def documentsJsonlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = jsonlStaged.computeIfAbsent(sfDir, _ => {
+      val p = "/tmp/graft_stage/jsonl_docs_" +
+        Integer.toHexString(sfDir.hashCode)
+      writeJsonl(documents(spark, sfDir), p)
+      p
+    })
+    readJsonl(spark, path, documentsSchema)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text").cast("binary")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  val documentsJsonlRoundtripSql: String =
+    """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Parquet sink, append (SURVEY.md §2 A3 — the JDBC batch append becomes
     * a partitioned parquet append; per-job atomicity via the output
