@@ -111,6 +111,10 @@ object SparkEntry {
     // JSONL sink + scan roundtrip, fidelity-checked by text md5
     "q48_jsonl_roundtrip" -> ((s, d) =>
       graft.sources.Tables.documentsJsonlRoundtrip(s, d)),
+    // exact percentile KPIs (R-7 interpolation matches quantile_cont)
+    "q49_percentiles" -> ((s, d) => Insights.percentileSummary(s, d)),
+    // chunked range join (no-equi-key interval containment)
+    "q50_range_join" -> ((s, d) => RangeJoin.clicksNearErrors(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -167,5 +171,7 @@ object SparkEntry {
       |FROM lineitem GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin,
     "q48_jsonl_roundtrip" -> graft.sources.Tables.documentsJsonlRoundtripSql,
+    "q49_percentiles" -> Insights.percentileSummarySql,
+    "q50_range_join" -> RangeJoin.clicksNearErrorsSql,
   )
 }

@@ -238,6 +238,30 @@ object Insights {
         "n_lines")
   }
 
+  /** Exact percentile KPIs per return flag (median/p90 quantity, median
+    * line price). Spark's `percentile` and DuckDB's `quantile_cont` both
+    * compute the R-7 linearly-interpolated quantile, so the cells match
+    * bit-exact on identical inputs. Exact percentile is a sort-based
+    * aggregate — the scale knob is `approx_percentile` (t-digest
+    * sketch, merged map-side like the HLL KPI), same call shape.
+    */
+  def percentileSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        expr("percentile(l_extendedprice, 0.5)").as("median_price"))
+      .orderBy("l_returnflag")
+
+  val percentileSummarySql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS median_qty,
+      |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+      |  quantile_cont(l_extendedprice, 0.5) AS median_price
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** Category revenue mix with share-of-total % (F8; "Electronics 37.78%").
     * The grand total comes from an empty-frame window aggregate — a
     * single-row broadcast exchange, not a second scan. Share is computed

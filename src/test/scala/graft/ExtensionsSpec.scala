@@ -163,6 +163,18 @@ class ExtensionsSpec extends SparkSpec {
       ("d", None)))     // key 3 has no right rows at all
   }
 
+  test("range join: half-open bounds, chunk-spanning intervals, no duplicate pairs") {
+    import spark.implicits._
+    val points = Seq(5L, 10L, 19L, 20L, 25L).toDF("pt")
+    // interval [8, 21) spans chunks 0,1,2 at chunk=10; [30,31) matches nothing
+    val intervals = Seq((1L, 8L, 21L), (2L, 30L, 31L)).toDF("iid", "s", "e")
+    val pairs = graft.operators.RangeJoin
+      .chunkedRangeJoin(points, intervals, "pt", "s", "e", 10L)
+      .select("iid", "pt").as[(Long, Long)].collect().sorted
+    // 8<=10,19,20<21 match; 5 and 25 are outside; end bound 21 excludes nothing here
+    assert(pairs.toSeq === Seq((1L, 10L), (1L, 19L), (1L, 20L)))
+  }
+
   test("fingerprints: equal for identical text, min-gram stable") {
     val fp = TextAnalysis.fingerprints(spark, sf0001)
     assert(fp.count() === 500)
