@@ -141,6 +141,40 @@ object EventStreams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval join — the streaming twin of
+    * [[graft.operators.RangeJoin.clicksNearErrors]]: every (error,
+    * click) pair where the click lands in the `windowMinutes` after the
+    * error. Watermarks on BOTH sides plus the time-range predicate let
+    * Spark bound the join state: an error row is evicted once the click
+    * watermark passes error_ts + window + delay, so state is
+    * O(events per watermark horizon), not O(stream). This is the join
+    * shape Structured Streaming requires for unbounded×unbounded —
+    * without the range condition the state would grow forever.
+    */
+  def errorClickPairsStream(events: DataFrame,
+      windowMinutes: Int = 5): DataFrame = {
+    // Spark rejects stream-stream joins with no equality predicate — the
+    // chunked-time key from RangeJoin doubles as that equi-key: each
+    // error replicates to the (at most 2) chunks its window overlaps,
+    // each click belongs to exactly one chunk, so pairs stay unique and
+    // the join is hash-partitionable by chunk across executors.
+    val chunkUs = windowMinutes.toLong * 60 * 1000000
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("ts").as("error_ts"))
+      .withWatermark("error_ts", "10 minutes")
+      .withColumn("err_chunk", explode(expr(
+        s"""sequence(unix_micros(error_ts) div $chunkUs,
+           |(unix_micros(error_ts) + $chunkUs - 1) div $chunkUs)""".stripMargin)))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+      .withColumn("click_chunk", expr(s"unix_micros(click_ts) div $chunkUs"))
+    errors.join(clicks, expr(
+      s"""err_chunk = click_chunk AND click_ts >= error_ts AND
+         |click_ts < error_ts + interval $windowMinutes minutes""".stripMargin))
+      .drop("err_chunk", "click_chunk")
+  }
+
   /** Wire a streaming DataFrame from parquet (file-source streaming —
     * how a production deployment would tail an events directory).
     */

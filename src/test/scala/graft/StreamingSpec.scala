@@ -59,6 +59,22 @@ class StreamingSpec extends SparkSpec {
     assert(got.select("event_id").distinct().count() === data.length)
   }
 
+  test("stream-stream interval join matches the batch range join's pair count") {
+    val stream = MemoryStream[Event](spark, 5)
+    stream.addData(eventData)
+    val q = EventStreams.errorClickPairsStream(stream.toDF())
+      .writeStream.format("memory").queryName("pairs_out")
+      .outputMode(OutputMode.Append).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    val got = spark.table("pairs_out")
+    val wantPairs = graft.operators.RangeJoin.clicksNearErrors(spark, sf0001)
+      .agg(sum("n_clicks")).collect()(0).getLong(0)
+    assert(got.count() === wantPairs)
+    // no duplicate pairs
+    assert(got.select("error_id", "click_id").distinct().count() === wantPairs)
+  }
+
   test("stateful sessionizer closes sessions on watermark timeout, matching batch") {
     val data = eventData
     val stream = MemoryStream[Event](spark, 2)
