@@ -115,6 +115,10 @@ object SparkEntry {
     "q49_percentiles" -> ((s, d) => Insights.percentileSummary(s, d)),
     // chunked range join (no-equi-key interval containment)
     "q50_range_join" -> ((s, d) => RangeJoin.clicksNearErrors(s, d)),
+    // corpus vocabulary (term/document frequency, top of distribution)
+    "q51_vocabulary" -> ((s, d) => TextAnalysis.vocabulary(s, d)),
+    // IQR box-plot outlier audit per return flag
+    "q52_outlier_audit" -> ((s, d) => Validation.outlierAudit(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -173,5 +177,7 @@ object SparkEntry {
     "q48_jsonl_roundtrip" -> graft.sources.Tables.documentsJsonlRoundtripSql,
     "q49_percentiles" -> Insights.percentileSummarySql,
     "q50_range_join" -> RangeJoin.clicksNearErrorsSql,
+    "q51_vocabulary" -> TextAnalysis.vocabularySql(),
+    "q52_outlier_audit" -> Validation.outlierAuditSql,
   )
 }

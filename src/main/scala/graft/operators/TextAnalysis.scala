@@ -149,6 +149,34 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Corpus vocabulary — the word-count shape every training pipeline
+    * runs to build token statistics: explode to token grain, aggregate
+    * term frequency and document frequency, keep the top of the
+    * distribution. Scale shape: the explode is map-side (no
+    * materialized token table); partial aggregation collapses each
+    * partition to its distinct terms before the term-hash shuffle, so
+    * the exchange carries vocabulary-sized data, not corpus-sized; the
+    * top-k is TakeOrderedAndProject. Ordering (tf desc, term asc) is
+    * total, so the cutoff is deterministic.
+    */
+  def vocabulary(spark: SparkSession, sfDir: String, topK: Int = 100): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(desc("tf"), asc("term"))
+      .limit(topK)
+
+  def vocabularySql(topK: Int = 100): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest($tokensSql) AS term FROM documents)
+       |SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+       |FROM toks WHERE term <> ''
+       |GROUP BY term
+       |ORDER BY tf DESC, term ASC
+       |LIMIT $topK""".stripMargin
+
   /** Language ID by stopword-hit voting: per language, count tokens in
     * that language's stopword list; predict the argmax (ties broken by
     * language code order). One pass, no shuffle.

@@ -72,6 +72,44 @@ object Validation {
       |  (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)
       |ORDER BY fk_check""".stripMargin
 
+  /** IQR outlier audit (K-family extension): per return flag, count
+    * line prices outside [q1 − 1.5·IQR, q3 + 1.5·IQR] — the classic
+    * box-plot fence a data-quality gate applies before training-set
+    * inclusion. Two passes: an exact-percentile aggregate to a
+    * flag-grain fence table (bounded by the flag domain → broadcasts),
+    * then one fact scan counting violations. The fence arithmetic is
+    * written with the identical expression tree on both sides
+    * (q1 − 1.5·(q3−q1)), so the IEEE doubles agree bit-exact.
+    */
+  def outlierAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val fences = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.25)").as("q1"),
+        expr("percentile(l_extendedprice, 0.75)").as("q3"))
+    val lo = col("q1") - lit(1.5) * (col("q3") - col("q1"))
+    val hi = col("q3") + lit(1.5) * (col("q3") - col("q1"))
+    li.join(Joins.broadcastIfSmall(fences), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum((col("l_extendedprice") < lo || col("l_extendedprice") > hi)
+          .cast("long")).as("n_outliers"))
+      .orderBy("l_returnflag")
+  }
+
+  val outlierAuditSql: String =
+    """WITH q AS (
+      |  SELECT l_returnflag,
+      |         quantile_cont(l_extendedprice, 0.25) AS q1,
+      |         quantile_cont(l_extendedprice, 0.75) AS q3
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l.l_returnflag, COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN l_extendedprice < q1 - 1.5 * (q3 - q1)
+      |                  OR l_extendedprice > q3 + 1.5 * (q3 - q1)
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM lineitem l JOIN q ON l.l_returnflag = q.l_returnflag
+      |GROUP BY l.l_returnflag
+      |ORDER BY l.l_returnflag""".stripMargin
+
   /** K3/F9 — null-cell totals per table (`scripts/generate_data.py:294-296`):
     * sum over all columns of null indicators, one scan per table.
     */

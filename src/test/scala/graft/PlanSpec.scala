@@ -52,6 +52,17 @@ class PlanSpec extends SparkSpec {
     assert(!planStr.contains("Expand"))
   }
 
+  test("asof/range joins: one key exchange, no nested-loop or cartesian product") {
+    val asof = graft.operators.AsofJoin.purchaseBeforeClick(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!asof.contains("BroadcastNestedLoop") && !asof.contains("Cartesian"))
+    assert(!asof.contains("Join")) // window composition plans NO join at all
+    val range = graft.operators.RangeJoin.clicksNearErrors(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!range.contains("BroadcastNestedLoop") &&
+      !range.contains("Cartesian"))
+  }
+
   test("q24/q25: LSH candidate dedup exchanges ids only, never vectors") {
     for (df <- Seq(graft.operators.Similarity.annLsh(spark, sf0001),
         graft.operators.Similarity.embeddingNeardup(spark, sf0001, 0.4))) {
