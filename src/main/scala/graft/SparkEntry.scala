@@ -119,6 +119,10 @@ object SparkEntry {
     "q51_vocabulary" -> ((s, d) => TextAnalysis.vocabulary(s, d)),
     // IQR box-plot outlier audit per return flag
     "q52_outlier_audit" -> ((s, d) => Validation.outlierAudit(s, d)),
+    // corpus sampling policies: deterministic split, domain caps, packing
+    "q53_train_split" -> ((s, d) => Sampling.trainSplit(s, d)),
+    "q54_domain_caps" -> ((s, d) => Sampling.domainCaps(s, d)),
+    "q55_seq_packing" -> ((s, d) => Sampling.seqPacking(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -179,5 +183,8 @@ object SparkEntry {
     "q50_range_join" -> RangeJoin.clicksNearErrorsSql,
     "q51_vocabulary" -> TextAnalysis.vocabularySql(),
     "q52_outlier_audit" -> Validation.outlierAuditSql,
+    "q53_train_split" -> Sampling.trainSplitSql(),
+    "q54_domain_caps" -> Sampling.domainCapsSql(),
+    "q55_seq_packing" -> Sampling.seqPackingSql(),
   )
 }

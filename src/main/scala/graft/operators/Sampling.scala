@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import TextAnalysis.{md5Hash60, md5Hash60Sql}
+
+/** Corpus-sampling operators for training-data pipelines: deterministic
+  * train/val/test splits, per-domain quota caps, and fixed-budget
+  * sequence packing. These are the selection policies a pretraining
+  * pipeline applies after cleaning/dedup and before tokenization.
+  *
+  * All three are hash- or prefix-sum-driven, so the SAME rows are chosen
+  * on any cluster size, any partitioning, and any engine — reshuffling
+  * the input never changes the sample. That determinism is what makes
+  * the DuckDB oracles exact (and what makes reruns reproducible at
+  * 100 TB).
+  */
+object Sampling {
+
+  /** Deterministic train/val/test assignment by hash bucket: bucket =
+    * md5(doc_id) mod 100, split by cumulative percentage. Adding docs
+    * never reassigns existing ones (the property random() splits lack),
+    * and the op is a narrow map-side projection — fuses into the scan
+    * at 100 TB, no shuffle, no state.
+    */
+  def trainSplit(spark: SparkSession, sfDir: String,
+      pctTrain: Int = 80, pctVal: Int = 10): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        pmod(md5Hash60(col("doc_id").cast("string")), lit(100)).cast("int")
+          .as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < pctTrain, lit("train"))
+          .when(col("bucket") < pctTrain + pctVal, lit("val"))
+          .otherwise(lit("test")))
+      .orderBy("doc_id")
+
+  def trainSplitSql(pctTrain: Int = 80, pctVal: Int = 10): String =
+    s"""SELECT doc_id, lang, source,
+       |  CAST(${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} % 100 AS INT)
+       |    AS bucket,
+       |  CASE
+       |    WHEN ${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} % 100 < $pctTrain
+       |      THEN 'train'
+       |    WHEN ${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} % 100
+       |        < ${pctTrain + pctVal} THEN 'val'
+       |    ELSE 'test'
+       |  END AS split
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  /** Per-domain quota sampling: keep at most `cap` docs per source,
+    * chosen by deterministic hash rank (the "cap over-represented
+    * domains" policy of web-corpus curation). Rank is a window
+    * partitioned by source — the shuffle is one exchange on the domain
+    * key carrying (doc_id, source, hash), never the text. For a
+    * pathologically hot domain (one source = most of the corpus), the
+    * scale path is a two-phase cap: pre-filter with an approximate
+    * hash-quantile cutoff per domain, then rank only the survivors —
+    * same output, bounded partition size.
+    */
+  def domainCaps(spark: SparkSession, sfDir: String, cap: Int = 10): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        md5Hash60(concat(col("source"), lit(":"), col("doc_id").cast("string")))
+          .as("h"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+      .select(col("doc_id"), col("source"), col("rk"))
+      .orderBy("source", "rk")
+  }
+
+  def domainCapsSql(cap: Int = 10): String =
+    s"""WITH ranked AS (
+       |  SELECT doc_id, source,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+       |      ${md5Hash60Sql("source || ':' || CAST(doc_id AS VARCHAR)")},
+       |      doc_id) AS rk
+       |  FROM documents)
+       |SELECT doc_id, source, CAST(rk AS INT) AS rk
+       |FROM ranked WHERE rk <= $cap
+       |ORDER BY source, rk""".stripMargin
+
+  /** Fixed-budget sequence packing: assign docs (in doc_id order) to
+    * consecutive packs of ~`budget` whitespace tokens via an exclusive
+    * prefix sum — pack_id = tokens_before / budget. This is the
+    * streaming/contiguous packing a tokenizer shard job uses: each pack
+    * overflows the budget by at most one doc's tokens (documented
+    * trade vs bin-packing, which is neither deterministic nor
+    * shuffle-free). The prefix sum is [[ScalableKeys.withPrefixSum]] —
+    * range partition + per-partition offsets, NOT a single-partition
+    * global window — so the same code holds on a 1000-executor corpus.
+    */
+  def seqPacking(spark: SparkSession, sfDir: String,
+      budget: Int = 512): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+    ScalableKeys.withPrefixSum(toks, "doc_id", "toks", "cum_before")
+      .withColumn("pack_id", expr(s"cum_before div $budget"))
+      .groupBy("pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("pack_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .withColumn("fill_ratio",
+        col("pack_tokens").cast("double") / budget.toDouble)
+      .orderBy("pack_id")
+  }
+
+  def seqPackingSql(budget: Int = 512): String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |      AS toks
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, toks,
+       |    COALESCE(SUM(toks) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS cum_before
+       |  FROM t)
+       |SELECT CAST(cum_before // $budget AS BIGINT) AS pack_id,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(toks) AS BIGINT) AS pack_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+       |  CAST(SUM(toks) AS DOUBLE) / $budget AS fill_ratio
+       |FROM c GROUP BY pack_id
+       |ORDER BY pack_id""".stripMargin
+}

@@ -37,6 +37,49 @@ object ScalableKeys {
     spark.createDataFrame(indexed, schema)
   }
 
+  /** Distributed EXCLUSIVE prefix sum of `valueCol` in `orderCol` order —
+    * value-identical to `SUM(v) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED
+    * PRECEDING AND 1 PRECEDING)` but without the single-partition window
+    * funnel. Same two-pass shape as [[withSequentialIds]]: range-partition
+    * on the key so partition i's keys all sort before partition i+1's,
+    * sort within partitions, then (1) a tiny job summing `valueCol` per
+    * partition and (2) a map-only pass threading the broadcast cumulative
+    * offsets. Requires `orderCol` unique + non-null and `valueCol` a
+    * non-null integral; at 100 TB the only cross-worker traffic is the
+    * range exchange plus one long per partition.
+    */
+  def withPrefixSum(df: DataFrame, orderCol: String, valueCol: String,
+      outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(col(orderCol))
+      .sortWithinPartitions(col(orderCol))
+    val valIdx = sorted.schema.fieldIndex(valueCol)
+    def valueOf(r: Row): Long = r.get(valIdx) match {
+      case l: Long => l
+      case i: Int  => i.toLong
+      case other   => throw new IllegalArgumentException(
+        s"$valueCol must be integral, got $other")
+    }
+    val rdd = sorted.rdd
+    val partSums = rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var s = 0L; it.foreach(r => s += valueOf(r)); Iterator((i, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _) // offsets(i) = sum before partition i
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = offsets(i)
+      it.map { r =>
+        val row = Row.fromSeq(r.toSeq :+ acc)
+        acc += valueOf(r)
+        row
+      }
+    }
+    val schema = StructType(sorted.schema.fields :+
+      StructField(outCol, LongType, nullable = false))
+    spark.createDataFrame(out, schema)
+  }
+
   /** Dense 1-based rank by a unique key — value-identical to
     * `row_number() OVER (ORDER BY keyCol)` but WITHOUT the
     * single-partition window funnel: range-repartition on the key
