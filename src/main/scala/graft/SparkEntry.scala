@@ -123,6 +123,13 @@ object SparkEntry {
     "q53_train_split" -> ((s, d) => Sampling.trainSplit(s, d)),
     "q54_domain_caps" -> ((s, d) => Sampling.domainCaps(s, d)),
     "q55_seq_packing" -> ((s, d) => Sampling.seqPacking(s, d)),
+    // within-doc repetition gates and PII scrubbing
+    "q56_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
+    "q57_pii_redaction" -> ((s, d) => TextAnalysis.piiRedaction(s, d)),
+    // int8 embedding quantization (ANN storage path)
+    "q58_embed_quantize" -> ((s, d) => Similarity.embedQuantize(s, d)),
+    // SCD Type-2 dim maintenance over a deterministic staged snapshot
+    "q59_scd2" -> ((s, d) => Scd.customerScd2(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -186,5 +193,9 @@ object SparkEntry {
     "q53_train_split" -> Sampling.trainSplitSql(),
     "q54_domain_caps" -> Sampling.domainCapsSql(),
     "q55_seq_packing" -> Sampling.seqPackingSql(),
+    "q56_repetition" -> TextAnalysis.repetitionSql,
+    "q57_pii_redaction" -> TextAnalysis.piiRedactionSql,
+    "q58_embed_quantize" -> Similarity.embedQuantizeSql,
+    "q59_scd2" -> Scd.customerScd2Sql,
   )
 }

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Slowly-changing-dimension maintenance (Type 2): apply a staged
+  * snapshot to a history-keeping dim, closing out changed rows and
+  * appending new versions. The warehouse-side companion to
+  * [[Star.upsertByKey]] (Type 1 overwrite) — the reference's star loader
+  * (`etl/etl.py:213-262`) rebuilds dims each run; Type 2 is what that
+  * loader needs the day history starts mattering.
+  *
+  * Scale shape: everything is key-equi-joins (semi/anti/inner) on the
+  * business key — sort-merge with co-partitioned exchanges at 100 TB, no
+  * broadcast hints (AQE may still choose broadcast when a side fits).
+  * Change detection is a null-safe column compare, no row hashing
+  * shuffle. Output is a UNION of narrow projections over the two inputs
+  * — each input is scanned once.
+  */
+object Scd {
+
+  val OpenEnd = "9999-12-31" // sentinel, not NULL: keeps BETWEEN point-in-
+                             // time lookups sargable and the output hashable
+
+  /** Apply `staged` (key + tracked attrs, one row per key) to `current`
+    * (key + tracked attrs + valid_from/valid_to/is_current) as of
+    * `batchDate`. Emits the full new dim state:
+    *   - history rows (is_current=0) unchanged;
+    *   - open rows whose tracked attrs differ in `staged`: closed with
+    *     valid_to=batchDate, plus a fresh open row from `staged`;
+    *   - open rows absent from `staged` or identical: unchanged;
+    *   - keys new in `staged`: inserted open as of batchDate.
+    */
+  def applyType2(current: DataFrame, staged: DataFrame, key: String,
+      tracked: Seq[String], batchDate: String): DataFrame = {
+    val open = current.filter(col("is_current") === 1)
+    val history = current.filter(col("is_current") =!= 1)
+    // explicit aliases: current/staged often share lineage (snapshots of
+    // the same table), so bare df(col) references would be ambiguous
+    val differs: Column = tracked
+      .map(c => !(col(s"o.$c") <=> col(s"s.$c")))
+      .reduce(_ || _)
+    val changedKeys = open.alias("o")
+      .join(staged.alias("s"), col(s"o.$key") === col(s"s.$key"))
+      .filter(differs)
+      .select(col(s"o.$key").as(key))
+
+    val outCols = (key +: tracked) ++ Seq("valid_from", "valid_to", "is_current")
+    def proj(df: DataFrame): DataFrame = df.select(outCols.map(col): _*)
+
+    val closed = proj(open.join(changedKeys, Seq(key), "left_semi")
+      .withColumn("valid_to", to_date(lit(batchDate)))
+      .withColumn("is_current", lit(0)))
+    val unchanged = proj(open.join(changedKeys, Seq(key), "left_anti"))
+    val fresh = staged.join(changedKeys, Seq(key), "left_semi")
+    val inserts = staged.join(open.select(col(key)), Seq(key), "left_anti")
+    val opened = proj(fresh.unionByName(inserts)
+      .withColumn("valid_from", to_date(lit(batchDate)))
+      .withColumn("valid_to", to_date(lit(OpenEnd)))
+      .withColumn("is_current", lit(1)))
+
+    history.select(outCols.map(col): _*)
+      .unionByName(closed).unionByName(unchanged).unionByName(opened)
+  }
+
+  /** Registered query: seed a customer dim from the customer table,
+    * stage a deterministic mutation (every 7th key: acctbal+100, every
+    * 11th: segment → MOVED), and apply Type 2. Both engines derive the
+    * mutation from the same parquet, so the oracle is exact.
+    */
+  def customerScd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val cur = cust.select(col("c_custkey"), col("c_mktsegment"),
+        col("c_acctbal").cast("double").as("acctbal"))
+      .withColumn("valid_from", to_date(lit("2024-01-01")))
+      .withColumn("valid_to", to_date(lit(OpenEnd)))
+      .withColumn("is_current", lit(1))
+    val stg = cust.select(col("c_custkey"),
+      when(pmod(col("c_custkey"), lit(11)) === 0, lit("MOVED"))
+        .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+      (col("c_acctbal").cast("double") +
+        when(pmod(col("c_custkey"), lit(7)) === 0, lit(100.0))
+          .otherwise(lit(0.0))).as("acctbal"))
+    applyType2(cur, stg, "c_custkey", Seq("c_mktsegment", "acctbal"),
+        "2024-06-01")
+      .orderBy("c_custkey", "valid_from")
+  }
+
+  val customerScd2Sql: String =
+    s"""WITH cur AS (
+       |  SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS acctbal,
+       |    DATE '2024-01-01' AS valid_from, DATE '$OpenEnd' AS valid_to,
+       |    1 AS is_current
+       |  FROM customer),
+       |stg AS (
+       |  SELECT c_custkey,
+       |    CASE WHEN c_custkey % 11 = 0 THEN 'MOVED' ELSE c_mktsegment END
+       |      AS c_mktsegment,
+       |    CAST(c_acctbal AS DOUBLE)
+       |      + CASE WHEN c_custkey % 7 = 0 THEN 100.0 ELSE 0.0 END AS acctbal
+       |  FROM customer),
+       |chg AS (
+       |  SELECT cur.c_custkey
+       |  FROM cur JOIN stg USING (c_custkey)
+       |  WHERE cur.c_mktsegment IS DISTINCT FROM stg.c_mktsegment
+       |     OR cur.acctbal IS DISTINCT FROM stg.acctbal)
+       |SELECT * FROM (
+       |  SELECT c_custkey, c_mktsegment, acctbal, valid_from,
+       |    DATE '2024-06-01' AS valid_to, 0 AS is_current
+       |  FROM cur WHERE c_custkey IN (SELECT c_custkey FROM chg)
+       |  UNION ALL
+       |  SELECT c_custkey, c_mktsegment, acctbal, valid_from, valid_to,
+       |    is_current
+       |  FROM cur WHERE c_custkey NOT IN (SELECT c_custkey FROM chg)
+       |  UNION ALL
+       |  SELECT s.c_custkey, s.c_mktsegment, s.acctbal,
+       |    DATE '2024-06-01' AS valid_from, DATE '$OpenEnd' AS valid_to,
+       |    1 AS is_current
+       |  FROM stg s WHERE s.c_custkey IN (SELECT c_custkey FROM chg))
+       |ORDER BY c_custkey, valid_from""".stripMargin
+}

@@ -74,6 +74,69 @@ object Similarity {
        |FROM embeddings
        |ORDER BY vec_id""".stripMargin
 
+  /** Symmetric int8 quantization of the embedding column — the storage
+    * step an ANN index build applies before sharding vectors (4× smaller
+    * than float32, 8× than float64). Per vector: scale = max|x|/127,
+    * q_i = clamp(round(x_i/scale)), emitted as a comma-joined scalar
+    * (the harness forbids array outputs) plus the reconstruction MSE as
+    * the fidelity witness.
+    *
+    * Narrow map-side pass, fuses into the scan; determinism contract:
+    * both engines compute the same IEEE double ops elementwise (round
+    * is half-away-from-zero in Spark's ROUND and DuckDB's round; the
+    * max-fold is order-insensitive).
+    */
+  def embedQuantize(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .withColumn("scale_raw", expr(
+        """aggregate(transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+          |  CAST(0 AS DOUBLE), (acc, v) -> greatest(acc, v)) / 127.0""".stripMargin))
+      .withColumn("scale", expr(
+        "CASE WHEN scale_raw = 0.0 THEN 1.0 ELSE scale_raw END"))
+      .withColumn("qarr", expr(
+        """transform(embedding, x ->
+          |  CAST(greatest(-127.0, least(127.0,
+          |    round(CAST(x AS DOUBLE) / scale))) AS INT))""".stripMargin))
+      .withColumn("diffs", expr(
+        """zip_with(embedding, qarr,
+          |  (x, q) -> CAST(x AS DOUBLE) - CAST(q AS DOUBLE) * scale)""".stripMargin))
+      .select(col("vec_id"), col("scale"),
+        expr("array_join(transform(qarr, v -> CAST(v AS STRING)), ',')")
+          .as("qvec"),
+        expr("""aggregate(transform(diffs, d -> d * d),
+               |  CAST(0 AS DOUBLE), (acc, v) -> acc + v) / size(embedding)"""
+          .stripMargin).as("recon_mse"))
+      .orderBy("vec_id")
+
+  val embedQuantizeSql: String = {
+    val diff = "(CAST(embedding[CAST(i AS INT)] AS DOUBLE)" +
+      " - CAST(qarr[CAST(i AS INT)] AS DOUBLE) * scale)"
+    s"""WITH raw AS (
+       |  SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+       |      / 127.0 AS scale_raw
+       |  FROM embeddings),
+       |s AS (
+       |  SELECT vec_id, embedding,
+       |    CASE WHEN scale_raw = 0.0 THEN 1.0 ELSE scale_raw END AS scale
+       |  FROM raw),
+       |q AS (
+       |  SELECT vec_id, embedding, scale,
+       |    list_transform(embedding, x ->
+       |      CAST(greatest(-127.0, least(127.0,
+       |        round(CAST(x AS DOUBLE) / scale))) AS INT)) AS qarr
+       |  FROM s)
+       |SELECT vec_id, scale,
+       |  list_aggregate(list_transform(qarr, v -> CAST(v AS VARCHAR)),
+       |    'string_agg', ',') AS qvec,
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(range(1, len(embedding) + 1),
+       |      i -> $diff * $diff)),
+       |    (acc, v) -> acc + v) / len(embedding) AS recon_mse
+       |FROM q
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** Brute-force cosine top-k: for each query vector (vec_id < nQueries),
     * rank ALL other vectors by cosine desc (tiebreak vec_id asc), keep k.
     *

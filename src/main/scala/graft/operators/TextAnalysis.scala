@@ -235,6 +235,131 @@ object TextAnalysis {
         graft.functions.mingram_fp(col("text")).as("min_gram_fp"))
       .orderBy("doc_id")
 
+  /** Within-document repetition signals (the cheap "is this doc mostly
+    * boilerplate/spam" gates from corpus-quality papers): duplicate-token
+    * fraction and the fraction of bigrams taken by the single most
+    * frequent bigram.
+    *
+    * Scale shape: the doc-level token stats are a narrow map-side pass;
+    * the bigram mode is computed at (doc_id, bigram) grain via
+    * explode→partial-agg→final-agg, NOT a per-row O(tokens²) HOF — the
+    * exchange carries per-doc distinct bigram counts, and both
+    * doc-grain frames co-partition on doc_id for the final join.
+    */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val tk = docs.select(col("doc_id"),
+      expr("filter(split(lower(trim(text)), '\\\\s+'), w -> w <> '')").as("tks"))
+    val stats = tk.select(col("doc_id"),
+      size(col("tks")).as("n_tokens"),
+      size(array_distinct(col("tks"))).as("n_distinct"))
+    val bigrams = tk.select(col("doc_id"),
+      explode(expr(
+        """zip_with(slice(tks, 1, greatest(size(tks) - 1, 0)),
+          |         slice(tks, 2, greatest(size(tks) - 1, 0)),
+          |         (a, b) -> concat(a, ' ', b))""".stripMargin)).as("bigram"))
+    val bigramStats = bigrams
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"), max("c").as("top_bigram_count"))
+    stats.join(bigramStats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        ((col("n_tokens") - col("n_distinct")).cast("double") /
+          greatest(col("n_tokens"), lit(1))).as("dup_token_frac"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("top_bigram_count"), lit(0L)).as("top_bigram_count"),
+        (coalesce(col("top_bigram_count"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1)))
+          .as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  val repetitionSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id,
+       |    list_filter($tokensSql, w -> w <> '') AS tks
+       |  FROM documents),
+       |stats AS (
+       |  SELECT doc_id, CAST(len(tks) AS INT) AS n_tokens,
+       |    CAST(len(list_distinct(tks)) AS INT) AS n_distinct
+       |  FROM tk),
+       |bg AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, greatest(len(tks), 1)),
+       |      i -> tks[CAST(i AS INT)] || ' ' || tks[CAST(i AS INT) + 1]))
+       |      AS bigram
+       |  FROM tk),
+       |bc AS (
+       |  SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram),
+       |bs AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       |    CAST(MAX(c) AS BIGINT) AS top_bigram_count
+       |  FROM bc GROUP BY doc_id)
+       |SELECT s.doc_id, s.n_tokens,
+       |  CAST(s.n_tokens - s.n_distinct AS DOUBLE)
+       |    / greatest(s.n_tokens, 1) AS dup_token_frac,
+       |  COALESCE(bs.n_bigrams, 0) AS n_bigrams,
+       |  COALESCE(bs.top_bigram_count, 0) AS top_bigram_count,
+       |  CAST(COALESCE(bs.top_bigram_count, 0) AS DOUBLE)
+       |    / greatest(COALESCE(bs.n_bigrams, 0), 1) AS top_bigram_frac
+       |FROM stats s LEFT JOIN bs ON s.doc_id = bs.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+
+  /** Email / phone patterns for PII scrubbing. ASCII-only, no
+    * lookaround, greedy classes only — Java regex (Spark codegen) and
+    * RE2 (DuckDB) produce identical matches (same compatibility
+    * envelope as [[bpePattern]]).
+    */
+  val emailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val phonePattern = "\\b555-[0-9]{4}\\b"
+
+  /** PII redaction: count and mask email/phone matches, emit the md5 of
+    * the redacted text as the fidelity witness. The testdata text is
+    * synthetic word soup with no PII, so the query plants one
+    * deterministic email + phone per doc (derived from doc_id) before
+    * scrubbing — the operator under test is the regex scrub itself,
+    * which is a narrow codegen'd pass that fuses into the scan at
+    * 100 TB.
+    */
+  def piiRedaction(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("aug",
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com tel 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("aug"), lit(emailPattern), lit(0)))
+          .as("n_emails"),
+        size(regexp_extract_all(col("aug"), lit(phonePattern), lit(0)))
+          .as("n_phones"),
+        md5(regexp_replace(
+            regexp_replace(col("aug"), emailPattern, "<EMAIL>"),
+            phonePattern, "<PHONE>").cast("binary"))
+          .as("redacted_md5"),
+        length(regexp_replace(
+            regexp_replace(col("aug"), emailPattern, "<EMAIL>"),
+            phonePattern, "<PHONE>"))
+          .as("redacted_len"))
+      .orderBy("doc_id")
+
+  val piiRedactionSql: String = {
+    val aug = "text || ' contact user' || CAST(doc_id AS VARCHAR)" +
+      " || '@example.com tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all($aug, '$emailPattern')) AS INT)
+       |    AS n_emails,
+       |  CAST(len(regexp_extract_all($aug, '$phonePattern')) AS INT)
+       |    AS n_phones,
+       |  md5(regexp_replace(regexp_replace($aug,
+       |    '$emailPattern', '<EMAIL>', 'g'), '$phonePattern', '<PHONE>', 'g'))
+       |    AS redacted_md5,
+       |  CAST(length(regexp_replace(regexp_replace($aug,
+       |    '$emailPattern', '<EMAIL>', 'g'), '$phonePattern', '<PHONE>', 'g'))
+       |    AS INT) AS redacted_len
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val fingerprintsSql: String =
     s"""SELECT doc_id,
        |  ${md5Hash60Sql("lower(trim(text))")} AS doc_fp,
