@@ -130,6 +130,12 @@ object SparkEntry {
     "q58_embed_quantize" -> ((s, d) => Similarity.embedQuantize(s, d)),
     // SCD Type-2 dim maintenance over a deterministic staged snapshot
     "q59_scd2" -> ((s, d) => Scd.customerScd2(s, d)),
+    // connected-components cluster resolution over near-dup pairs
+    "q60_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
+    // bloom-prefiltered semi join (native BloomFilterAggregate/MightContain)
+    "q61_bloom_join" -> ((s, d) => Insights.highValueItems(s, d)),
+    // incremental rollup: merged batch partials == full recompute
+    "q62_incremental_rollup" -> ((s, d) => Events.incrementalDailyRollup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -197,5 +203,8 @@ object SparkEntry {
     "q57_pii_redaction" -> TextAnalysis.piiRedactionSql,
     "q58_embed_quantize" -> Similarity.embedQuantizeSql,
     "q59_scd2" -> Scd.customerScd2Sql,
+    "q60_dedup_clusters" -> Dedup.dedupClustersSql(),
+    "q61_bloom_join" -> Insights.highValueItemsSql(),
+    "q62_incremental_rollup" -> Events.incrementalDailyRollupSql,
   )
 }

@@ -188,6 +188,81 @@ object Dedup {
         .drop("_bucket_n")
     }
 
+  /** Duplicate-cluster resolution — the step AFTER near-dup pair mining
+    * in a real dedup pipeline: connected components over the pair graph,
+    * labeling every clustered doc with its component's minimum doc_id
+    * (the canonical survivor). Min-label propagation to fixpoint:
+    * each round every node takes the min label over itself and its
+    * neighbors; near-dup components are dense (quasi-cliques), so
+    * convergence is 2-3 rounds, each round two key-equi shuffles over
+    * the EDGE list only (never the corpus). `localCheckpoint` truncates
+    * the iterative lineage. At web scale the same loop carries to the
+    * large-star/small-star formulation; the driver only sees one count
+    * per round (the convergence check).
+    */
+  def dedupClusters(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.5, maxIters: Int = 25): DataFrame = {
+    val edges = neardupPairs(spark, sfDir, threshold)
+      .select("doc_a", "doc_b")
+    val und = edges.select(col("doc_a").as("s"), col("doc_b").as("d"))
+      .union(edges.select(col("doc_b").as("s"), col("doc_a").as("d")))
+      .localCheckpoint(true)
+    var labels = und.select(col("s").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val msgs = und.join(labels, und("s") === labels("node"))
+        .select(col("d").as("node"), col("lbl"))
+      val updated = labels.union(msgs).groupBy("node")
+        .agg(min("lbl").as("lbl"))
+        .localCheckpoint(true)
+      changed = updated
+        .join(labels.select(col("node"), col("lbl").as("lbl_old")), "node")
+        .filter(col("lbl") =!= col("lbl_old"))
+        .count()
+      labels = updated
+      iter += 1
+    }
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
+        col("cluster_size"),
+        when(col("node") === col("lbl"), lit(1)).otherwise(lit(0))
+          .as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: transitive closure by recursive CTE (tractable at oracle
+    * scale), min reachable id per node.
+    */
+  def dedupClustersSql(threshold: Double = 0.5): String =
+    // stripMargin runs on the template BEFORE substituting the inner
+    // query: the pairs SQL contains lines starting with '||', which an
+    // outer stripMargin would truncate to '|'
+    s"""WITH RECURSIVE np AS (
+       |  SELECT doc_a, doc_b FROM (@PAIRS@) pairs),
+       |und AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM np
+       |  UNION ALL
+       |  SELECT doc_b AS s, doc_a AS d FROM np),
+       |reach(s, d) AS (
+       |  SELECT s, d FROM und
+       |  UNION
+       |  SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s),
+       |lbl AS (
+       |  SELECT s AS node, LEAST(s, MIN(d)) AS cluster_id
+       |  FROM reach GROUP BY s),
+       |sizes AS (
+       |  SELECT cluster_id, COUNT(*) AS cluster_size
+       |  FROM lbl GROUP BY cluster_id)
+       |SELECT l.node AS doc_id, l.cluster_id, s.cluster_size,
+       |  CASE WHEN l.node = l.cluster_id THEN 1 ELSE 0 END AS is_canonical
+       |FROM lbl l JOIN sizes s USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
+      .replace("@PAIRS@", neardupPairsSql(threshold))
+
   def neardupPairsSql(threshold: Double = 0.5): String =
     s"""WITH sigs AS (
        |  SELECT doc_id,

@@ -172,4 +172,37 @@ object Events {
        |FROM events
        |GROUP BY 1, 2
        |ORDER BY event_date, event_type""".stripMargin
+
+  /** Incremental rollup maintenance: the daily rollup recomputed as a
+    * MERGE of two independently pre-aggregated batches (events before /
+    * after `splitDate`) — the pattern an incremental ETL uses so each
+    * load only aggregates its own delta. The partial state is kept at
+    * (date, type, user) grain with decimal value sums, which makes every
+    * output measure exactly re-aggregatable: counts sum, decimal sums
+    * sum, and DISTINCT users survive because the user key is still in
+    * the partial's grain (the classic reason approximate sketches or
+    * key-grain partials — not bare `COUNT(DISTINCT)` results — are what
+    * you persist between loads). Oracle = the full single-pass rollup:
+    * merged partials must be bit-identical to recomputing from scratch.
+    */
+  def incrementalDailyRollup(spark: SparkSession, sfDir: String,
+      splitDate: String = "2024-01-16"): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("event_date"), col("event_type"),
+        col("user_id"), col("value"))
+    def partial(batch: org.apache.spark.sql.DataFrame) = batch
+      .groupBy("event_date", "event_type", "user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,10)")).as("sv"))
+    val merged = partial(ev.filter(col("event_date") < lit(splitDate)))
+      .unionByName(partial(ev.filter(col("event_date") >= lit(splitDate))))
+    merged.groupBy("event_date", "event_type")
+      .agg(sum("n").as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum("sv").cast("double").as("sum_value"))
+      .orderBy("event_date", "event_type")
+  }
+
+  /** Same oracle as the single-pass rollup — that equality IS the check. */
+  val incrementalDailyRollupSql: String = dailyTypeRollupSql
 }

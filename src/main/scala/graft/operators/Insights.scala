@@ -433,4 +433,37 @@ object Insights {
        |JOIN region ON n_regionkey = r_regionkey
        |GROUP BY ROLLUP (r_name, p_brand)
        |ORDER BY grouping_level, region, brand""".stripMargin
+
+  /** Line items of high-value orders via [[Joins.bloomSemiJoin]]: the
+    * bloom built over the qualifying orderkeys prunes the lineitem scan
+    * map-side before the semi-join shuffle. The result is exactly the
+    * plain semi join (bloom false positives are removed by the exact
+    * join); the oracle is that plain form.
+    */
+  def highValueItems(spark: SparkSession, sfDir: String,
+      priceMin: Double = 400000.0): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+    val hv = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice").cast("double") > priceMin)
+      .select("o_orderkey")
+    Joins.bloomSemiJoin(li, "l_orderkey", hv, "o_orderkey",
+        expectedItems = 100000L)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        // l_quantity is integer-valued: the double sum is exact and
+        // order-independent (same contract as q47)
+        sum(col("l_quantity").cast("double")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  def highValueItemsSql(priceMin: Double = 400000.0): String =
+    s"""SELECT l_returnflag, COUNT(*) AS n_items,
+       |  CAST(SUM(CAST(l_quantity AS DOUBLE)) AS DOUBLE) AS sum_qty
+       |FROM lineitem
+       |WHERE l_orderkey IN (
+       |  SELECT o_orderkey FROM orders
+       |  WHERE CAST(o_totalprice AS DOUBLE) > $priceMin)
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
 }

@@ -52,4 +52,41 @@ object Joins {
       case _: NumberFormatException =>
         org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s.trim)
     }
+
+  /** Bloom-filter pre-filtered semi join: `big ⋉ small` on an equi-key,
+    * with a bloom built over the small side's keys applied map-side to
+    * `big` BEFORE the shuffle — the exchange then carries only probable
+    * matches instead of the whole fact table. This uses the SAME native
+    * expressions AQE's row-level runtime filtering injects
+    * (`BloomFilterAggregate` / `BloomFilterMightContain`, codegen'd, fed
+    * `xxhash64` on both sides), exposed as an explicit operator for
+    * joins the optimizer can't infer (e.g. the small side is the output
+    * of an opaque stage). Bloom has no false negatives, so the exact
+    * semi join after the pre-filter returns exactly `big ⋉ small`;
+    * false positives only cost shuffle bytes.
+    *
+    * The sketch itself is one driver-side row (`~1.2 MB` at the default
+    * sizing) — the same bounded collect a broadcast join does, and the
+    * reason Spark's own InjectRuntimeFilter caps the build side
+    * (`spark.sql.optimizer.runtime.bloomFilter.*` mirrors these knobs).
+    */
+  def bloomSemiJoin(big: DataFrame, bigKey: String, small: DataFrame,
+      smallKey: String, expectedItems: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.graftbridge._
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val agg = new BloomFilterAggregate(
+      toExpression(xxhash64(col(smallKey))), expectedItems)
+      .toAggregateExpression()
+    val bloomBytes = small.select(toColumn(agg)).head().getAs[Array[Byte]](0)
+    val exact = small.select(col(smallKey).as(bigKey)).distinct()
+    if (bloomBytes == null) big.limit(0) // empty build side: ⋉ ∅ = ∅
+    else big
+      .filter(toColumn(BloomFilterMightContain(
+        Literal.create(bloomBytes,
+          org.apache.spark.sql.types.BinaryType),
+        toExpression(xxhash64(col(bigKey))))))
+      .join(exact, Seq(bigKey), "left_semi")
+  }
 }

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Insights, Joins}
+import graft.sources.Tables
+
+/** Invariants for the round-3 graph/join additions beyond the oracle
+  * hash check.
+  */
+class ClusterJoinSpec extends SparkSpec {
+
+  test("dedupClusters: both endpoints of every near-dup pair share a cluster; canonical is the min") {
+    val pairs = Dedup.neardupPairs(spark, sf0001)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Dedup.dedupClusters(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid, s"cluster $cid canonical is not min id")
+    }
+  }
+
+  test("bloomSemiJoin equals the plain semi join and plans a map-side might_contain") {
+    val li = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+    val hv = Tables.orders(spark, sf0001)
+      .filter(col("o_totalprice").cast("double") > 400000.0)
+      .select("o_orderkey")
+    val bloomed = Joins.bloomSemiJoin(li, "l_orderkey", hv, "o_orderkey",
+      expectedItems = 10000L)
+    val plain = li.join(hv.select(col("o_orderkey").as("l_orderkey")).distinct(),
+      Seq("l_orderkey"), "left_semi")
+    assert(bloomed.count() == plain.count())
+    assert(bloomed.exceptAll(plain).isEmpty && plain.exceptAll(bloomed).isEmpty)
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"expected a might_contain pre-filter in:\n$plan")
+  }
+
+  test("bloomSemiJoin with an empty build side returns no rows") {
+    val li = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity")
+    val none = Tables.orders(spark, sf0001)
+      .filter(col("o_totalprice").cast("double") > 1e18)
+      .select("o_orderkey")
+    assert(Joins.bloomSemiJoin(li, "l_orderkey", none, "o_orderkey").count() == 0)
+  }
+
+  test("incremental rollup merge equals the single-pass rollup") {
+    val full = graft.operators.Events.dailyTypeRollup(spark, sf0001)
+    val inc = graft.operators.Events.incrementalDailyRollup(spark, sf0001)
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty)
+  }
+
+  test("q61 query plan keeps the bloom filter below the semi join") {
+    val plan = Insights.highValueItems(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val filterPos = plan.indexOf("might_contain")
+    val joinPos = plan.indexOf("LeftSemi")
+    assert(filterPos >= 0 && joinPos >= 0 && filterPos > joinPos,
+      "bloom pre-filter should appear beneath (after, in tree print) the semi join")
+  }
+}
