@@ -136,6 +136,14 @@ object SparkEntry {
     "q61_bloom_join" -> ((s, d) => Insights.highValueItems(s, d)),
     // incremental rollup: merged batch partials == full recompute
     "q62_incremental_rollup" -> ((s, d) => Events.incrementalDailyRollup(s, d)),
+    // product-analytics: click->purchase funnel, latest-state compaction
+    "q63_click_funnel" -> ((s, d) => Events.clickFunnel(s, d)),
+    "q66_latest_by_user" -> ((s, d) => Events.latestByUser(s, d)),
+    // reshape operators: pivot (long->wide) and unpivot (wide->long)
+    "q64_region_pivot" -> ((s, d) => Insights.monthlyRegionPivot(s, d)),
+    "q65_props_unpivot" -> ((s, d) => Insights.propsRollupUnpivot(s, d)),
+    // Z-order clustering key for multidimensional file skipping
+    "q67_zorder" -> ((s, d) => Layout.ordersZOrder(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -206,5 +214,10 @@ object SparkEntry {
     "q60_dedup_clusters" -> Dedup.dedupClustersSql(),
     "q61_bloom_join" -> Insights.highValueItemsSql(),
     "q62_incremental_rollup" -> Events.incrementalDailyRollupSql,
+    "q63_click_funnel" -> Events.clickFunnelSql(),
+    "q64_region_pivot" -> Insights.monthlyRegionPivotSql,
+    "q65_props_unpivot" -> Insights.propsRollupUnpivotSql,
+    "q66_latest_by_user" -> Events.latestByUserSql,
+    "q67_zorder" -> Layout.ordersZOrderSql(),
   )
 }

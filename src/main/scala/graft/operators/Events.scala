@@ -205,4 +205,81 @@ object Events {
 
   /** Same oracle as the single-pass rollup — that equality IS the check. */
   val incrementalDailyRollupSql: String = dailyTypeRollupSql
+
+  /** Click→purchase funnel: for each click, the user's next purchase
+    * (conditional MIN over the following frame of a per-user window);
+    * converted = purchase within `withinHours`. Rolled up per day:
+    * clicks, conversions, rate. One exchange on user_id for the window,
+    * one on the day for the rollup — both key-partitioned, no global
+    * funnel; at 100 TB this is the standard sessionized-funnel shape
+    * (the per-user frame never leaves its partition).
+    */
+  def clickFunnel(spark: SparkSession, sfDir: String,
+      withinHours: Int = 1): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    Tables.events(spark, sfDir)
+      .withColumn("next_purchase_ts",
+        min(when(col("event_type") === "purchase", col("ts"))).over(w))
+      .filter(col("event_type") === "click")
+      .withColumn("converted",
+        when(col("next_purchase_ts") <=
+          col("ts") + expr(s"INTERVAL $withinHours HOURS"), 1).otherwise(0))
+      .groupBy(to_date(col("ts")).as("event_date"))
+      .agg(count(lit(1)).as("n_clicks"), sum("converted").as("n_converted"))
+      .withColumn("conversion_rate",
+        col("n_converted").cast("double") / col("n_clicks"))
+      .orderBy("event_date")
+  }
+
+  def clickFunnelSql(withinHours: Int = 1): String =
+    s"""WITH e AS (
+       |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+       |  FROM events),
+       |scored AS (
+       |  SELECT *,
+       |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+       |      PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+       |      AS next_purchase_ts
+       |  FROM e)
+       |SELECT CAST(ts AS DATE) AS event_date,
+       |  COUNT(*) AS n_clicks,
+       |  CAST(SUM(CASE WHEN next_purchase_ts <= ts + INTERVAL $withinHours HOUR
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+       |  CAST(SUM(CASE WHEN next_purchase_ts <= ts + INTERVAL $withinHours HOUR
+       |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS conversion_rate
+       |FROM scored
+       |WHERE event_type = 'click'
+       |GROUP BY event_date
+       |ORDER BY event_date""".stripMargin
+
+  /** Latest record per key (CDC-compaction / "current state" view):
+    * row_number over a per-user window ordered ts desc with a total
+    * tiebreak. The canonical 100 TB form of "apply the change log":
+    * one exchange on the key, per-partition sort, no global ordering.
+    */
+  def latestByUser(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(desc("ts"), desc("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        col("value"))
+      .orderBy("user_id")
+  }
+
+  val latestByUserSql: String =
+    """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+      |  value
+      |FROM (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+      |    value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
 }

@@ -457,6 +457,86 @@ object Insights {
       .orderBy("l_returnflag")
   }
 
+  /** Monthly revenue pivoted to one column per region (the wide
+    * dashboard layout). The pivot value list is FIXED (the five region
+    * names) — passing explicit values to `pivot` skips the extra
+    * distinct-collect job Spark otherwise runs, and makes the output
+    * schema static, which is what you want in a scheduled report at any
+    * scale. Aggregation is exact decimal, presented as double.
+    */
+  def monthlyRegionPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val regions = Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
+    val joined = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)),
+        col("n_regionkey") === col("r_regionkey"))
+    val wide = joined
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .pivot("r_name", regions)
+      .agg(sum(col("o_totalprice").cast("decimal(28,10)")))
+    // one select, not withColumn+drop: Spark resolves column names
+    // case-insensitively, so withColumn("africa", ...) would REPLACE
+    // the pivot column "AFRICA" and the subsequent drop would kill it
+    wide.select(col("month") +: regions.map { r =>
+        coalesce(col(s"`$r`").cast("double"), lit(0.0))
+          .as(r.toLowerCase.replace(" ", "_"))
+      }: _*)
+      .orderBy("month")
+  }
+
+  val monthlyRegionPivotSql: String = {
+    val regions = Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
+    val cases = regions.map { r =>
+      val alias = r.toLowerCase.replace(" ", "_")
+      s"""CAST(COALESCE(SUM(CASE WHEN r_name = '$r'
+         |    THEN CAST(o_totalprice AS DECIMAL(28,10)) END), 0) AS DOUBLE)
+         |    AS $alias""".stripMargin
+    }
+    s"""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       |  ${cases.mkString(",\n  ")}
+       |FROM orders
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY month
+       |ORDER BY month""".stripMargin
+  }
+
+  /** The inverse reshape: melt the per-type JSON-props rollup from wide
+    * (one column per measure) to long (event_type, metric, value) with
+    * the Dataset.unpivot operator — schema-static, no shuffle beyond
+    * the source agg; value presented as double for a uniform melt type.
+    */
+  def propsRollupUnpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val wide = Events.propsRollup(spark, sfDir)
+    wide.select(col("event_type"),
+        col("n_events").cast("double").as("n_events"),
+        col("sum_k").cast("double").as("sum_k"),
+        col("min_k").cast("double").as("min_k"),
+        col("max_k").cast("double").as("max_k"))
+      .unpivot(Array(col("event_type")),
+        Array(col("n_events"), col("sum_k"), col("min_k"), col("max_k")),
+        "metric", "value")
+      .orderBy("event_type", "metric")
+  }
+
+  val propsRollupUnpivotSql: String = {
+    val metrics = Seq("n_events", "sum_k", "min_k", "max_k")
+    val arms = metrics.map { m =>
+      s"""SELECT event_type, '$m' AS metric, CAST($m AS DOUBLE) AS value
+         |FROM wide""".stripMargin
+    }
+    // stripMargin before substitution: propsRollupSql has no margin
+    // chars, but keep the template/inner split for consistency
+    s"""WITH wide AS (@WIDE@)
+       |${arms.mkString("\nUNION ALL\n")}
+       |ORDER BY event_type, metric""".stripMargin
+      .replace("@WIDE@", Events.propsRollupSql)
+  }
+
   def highValueItemsSql(priceMin: Double = 400000.0): String =
     s"""SELECT l_returnflag, COUNT(*) AS n_items,
        |  CAST(SUM(CAST(l_quantity AS DOUBLE)) AS DOUBLE) AS sum_qty
