@@ -144,6 +144,13 @@ object SparkEntry {
     "q65_props_unpivot" -> ((s, d) => Insights.propsRollupUnpivot(s, d)),
     // Z-order clustering key for multidimensional file skipping
     "q67_zorder" -> ((s, d) => Layout.ordersZOrder(s, d)),
+    // feature-engineering / exact distributed statistics
+    "q68_value_deciles" -> ((s, d) => Features.valueDeciles(s, d)),
+    "q69_exact_corr" -> ((s, d) => Features.exactCorr(s, d)),
+    "q70_price_histogram" -> ((s, d) => Features.priceHistogram(s, d)),
+    "q71_moving_revenue" -> ((s, d) => Features.movingRevenue(s, d)),
+    // blocked edit-distance record linkage
+    "q72_fuzzy_match" -> ((s, d) => Dedup.fuzzyNameMatch(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -219,5 +226,10 @@ object SparkEntry {
     "q65_props_unpivot" -> Insights.propsRollupUnpivotSql,
     "q66_latest_by_user" -> Events.latestByUserSql,
     "q67_zorder" -> Layout.ordersZOrderSql(),
+    "q68_value_deciles" -> Features.valueDecilesSql(),
+    "q69_exact_corr" -> Features.exactCorrSql,
+    "q70_price_histogram" -> Features.priceHistogramSql(),
+    "q71_moving_revenue" -> Features.movingRevenueSql(),
+    "q72_fuzzy_match" -> Dedup.fuzzyNameMatchSql(),
   )
 }

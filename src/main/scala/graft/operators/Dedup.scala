@@ -188,6 +188,40 @@ object Dedup {
         .drop("_bucket_n")
     }
 
+  /** Fuzzy record linkage on part names: blocked edit-distance join.
+    * Candidate pairs only form inside a (brand, size) block — the
+    * record-linkage blocking that keeps the pair count linear-ish — and
+    * a cheap length-difference prefilter runs BEFORE levenshtein (an
+    * edit distance is always >= the length gap, so the filter is
+    * lossless and the O(m·n) DP only runs on survivors). All-integer
+    * comparison: identical in every engine.
+    */
+  def fuzzyNameMatch(spark: SparkSession, sfDir: String,
+      maxDist: Int = 8): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_name"))
+    val a = p.toDF("part_a", "brand", "size", "name_a")
+    val b = p.toDF("part_b", "brand", "size", "name_b")
+    a.join(b, Seq("brand", "size"))
+      .filter(col("part_a") < col("part_b"))
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+      .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("lev") <= maxDist)
+      .select("part_a", "part_b", "name_a", "name_b", "lev")
+      .orderBy("part_a", "part_b")
+  }
+
+  def fuzzyNameMatchSql(maxDist: Int = 8): String =
+    s"""SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+       |  a.p_name AS name_a, b.p_name AS name_b,
+       |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev
+       |FROM part a JOIN part b
+       |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+       | AND a.p_partkey < b.p_partkey
+       | AND abs(length(a.p_name) - length(b.p_name)) <= $maxDist
+       |WHERE levenshtein(a.p_name, b.p_name) <= $maxDist
+       |ORDER BY part_a, part_b""".stripMargin
+
   /** Duplicate-cluster resolution — the step AFTER near-dup pair mining
     * in a real dedup pipeline: connected components over the pair graph,
     * labeling every clustered doc with its component's minimum doc_id
