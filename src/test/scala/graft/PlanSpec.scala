@@ -160,6 +160,44 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-3 narrow ops plan as pure map-side passes (no joins, no aggregates)") {
+    // split assignment, PII redaction, quantization, z-keys: the only
+    // allowed exchange is the presentation sort/top-k
+    val narrow = Seq(
+      graft.operators.Sampling.trainSplit(spark, sf0001),
+      graft.operators.TextAnalysis.piiRedaction(spark, sf0001),
+      graft.operators.Similarity.embedQuantize(spark, sf0001),
+      graft.operators.Layout.ordersZOrder(spark, sf0001))
+    narrow.foreach { df =>
+      val p = df.queryExecution.sparkPlan.toString
+      assert(!p.contains("Join"), s"unexpected join in narrow op:\n$p")
+      assert(!p.contains("HashAggregate"),
+        s"unexpected aggregate in narrow op:\n$p")
+    }
+  }
+
+  test("q69 exact correlation: partial aggregation below the group-key exchange") {
+    val p = plan(graft.operators.Features.exactCorr(spark, sf0001))
+    val nAgg = "HashAggregate".r.findAllIn(p).length
+    assert(nAgg >= 2, s"expected partial+final HashAggregate, got $nAgg in:\n$p")
+    assert(!p.contains("Join"))
+  }
+
+  test("q64 pivot with explicit values: no distinct-collect, dims broadcast") {
+    val df = graft.operators.Insights.monthlyRegionPivot(spark, sf0001)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"nation/region should broadcast:\n$p")
+    // pivot aggregates in two passes (partial/final), never via Expand
+    assert(!p.contains("Expand"), s"pivot should not plan an Expand:\n$p")
+  }
+
+  test("q54 domain caps: the rank window partitions by source (no global funnel)") {
+    val p = plan(graft.operators.Sampling.domainCaps(spark, sf0001))
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"),
+      s"cap ranking funneled through one partition:\n$p")
+  }
+
   test("config layering: env beats props beats defaults; validation rejects junk") {
     val c1 = graft.etl.GraftConfig.load(env = Map.empty)
     assert(c1.writeBatchSize === 5000)
