@@ -151,6 +151,10 @@ object SparkEntry {
     "q71_moving_revenue" -> ((s, d) => Features.movingRevenue(s, d)),
     // blocked edit-distance record linkage
     "q72_fuzzy_match" -> ((s, d) => Dedup.fuzzyNameMatch(s, d)),
+    // fixed-window document chunking with overlap (RAG/pretraining)
+    "q73_doc_chunks" -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
+    // set algebra cohorts (INTERSECT / EXCEPT)
+    "q74_set_cohorts" -> ((s, d) => Insights.customerHalfCohorts(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -231,5 +235,7 @@ object SparkEntry {
     "q70_price_histogram" -> Features.priceHistogramSql(),
     "q71_moving_revenue" -> Features.movingRevenueSql(),
     "q72_fuzzy_match" -> Dedup.fuzzyNameMatchSql(),
+    "q73_doc_chunks" -> TextAnalysis.chunkDocsSql(),
+    "q74_set_cohorts" -> Insights.customerHalfCohortsSql,
   )
 }

@@ -537,6 +537,35 @@ object Insights {
       .replace("@WIDE@", Events.propsRollupSql)
   }
 
+  /** Cohort set algebra: customers ordering in BOTH calendar halves
+    * (INTERSECT) vs the first half only (EXCEPT) — the retention-style
+    * question that exercises Spark's set operators (which plan as
+    * aggregates/joins, not row-order-sensitive ops, so they hold at any
+    * partitioning). Distinct set semantics on both engines.
+    */
+  def customerHalfCohorts(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), month(col("o_orderdate")).as("m"))
+    val h1 = orders.filter(col("m") <= 6).select("o_custkey")
+    val h2 = orders.filter(col("m") > 6).select("o_custkey")
+    h1.intersect(h2).withColumn("cohort", lit("both_halves"))
+      .unionByName(h1.except(h2).withColumn("cohort", lit("h1_only")))
+      .select("cohort", "o_custkey")
+      .orderBy("cohort", "o_custkey")
+  }
+
+  val customerHalfCohortsSql: String =
+    """WITH h1 AS (
+      |  SELECT o_custkey FROM orders WHERE month(o_orderdate) <= 6),
+      |h2 AS (
+      |  SELECT o_custkey FROM orders WHERE month(o_orderdate) > 6)
+      |SELECT 'both_halves' AS cohort, o_custkey
+      |FROM (SELECT o_custkey FROM h1 INTERSECT SELECT o_custkey FROM h2)
+      |UNION ALL
+      |SELECT 'h1_only' AS cohort, o_custkey
+      |FROM (SELECT o_custkey FROM h1 EXCEPT SELECT o_custkey FROM h2)
+      |ORDER BY cohort, o_custkey""".stripMargin
+
   def highValueItemsSql(priceMin: Double = 400000.0): String =
     s"""SELECT l_returnflag, COUNT(*) AS n_items,
        |  CAST(SUM(CAST(l_quantity AS DOUBLE)) AS DOUBLE) AS sum_qty

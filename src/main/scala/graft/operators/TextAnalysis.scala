@@ -235,6 +235,40 @@ object TextAnalysis {
         graft.functions.mingram_fp(col("text")).as("min_gram_fp"))
       .orderBy("doc_id")
 
+  /** Fixed-window document chunking with overlap (the RAG/pretraining
+    * chunker): windows of `size` chars at `stride` intervals (overlap =
+    * size - stride). Map-side generate — posexplode over a per-row
+    * sequence, no shuffle except the presentation sort; at 100 TB the
+    * chunk table never materializes doc text twice because the
+    * substring is computed inside the generator's projection.
+    */
+  def chunkDocs(spark: SparkSession, sfDir: String,
+      size: Int = 200, stride: Int = 150): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, greatest(length(text) - 1, 0) div $stride),
+             |  i -> substring(text, i * $stride + 1, $size))""".stripMargin))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        length(col("chunk")).as("chunk_len"),
+        md5(col("chunk").cast("binary")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
+  def chunkDocsSql(size: Int = 200, stride: Int = 150): String =
+    s"""SELECT doc_id, chunk_idx, CAST(length(chunk) AS INT) AS chunk_len,
+       |  md5(chunk) AS chunk_md5
+       |FROM (
+       |  SELECT doc_id,
+       |    unnest(range(0, nch)) AS chunk_idx,
+       |    unnest(list_transform(range(0, nch),
+       |      i -> substr(text, CAST(i * $stride + 1 AS INT), $size))) AS chunk
+       |  FROM (
+       |    SELECT doc_id, text,
+       |      greatest(length(text) - 1, 0) // $stride + 1 AS nch
+       |    FROM documents))
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** Within-document repetition signals (the cheap "is this doc mostly
     * boilerplate/spam" gates from corpus-quality papers): duplicate-token
     * fraction and the fraction of bigrams taken by the single most
