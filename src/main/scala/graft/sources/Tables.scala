@@ -259,6 +259,32 @@ object Tables {
   def overwriteParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** Small-files compaction: rewrite a parquet directory into
+    * ~`targetBytes` output files (the operational fix for the
+    * accumulate-tiny-appends problem that kills scan parallelism
+    * bookkeeping at 100 TB). Sizing comes from the optimized plan's
+    * statistics (file footers — no job), the rewrite is one
+    * round-robin repartition, and the swap is
+    * write-to-temp → delete → rename so a failed rewrite never
+    * destroys the original directory.
+    */
+  def compactParquet(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val df = spark.read.parquet(path)
+    val inputBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = ((inputBytes + targetBytes - 1) / targetBytes)
+      .max(BigInt(1)).min(BigInt(1 << 20)).toInt
+    val tmp = path + "_compact_tmp"
+    df.repartition(nFiles).write.mode("overwrite").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val src = new org.apache.hadoop.fs.Path(tmp)
+    if (!fs.delete(dst, true) || !fs.rename(src, dst))
+      throw new java.io.IOException(s"compaction swap failed for $path")
+    nFiles
+  }
+
   // --------------------------------------------------------------------
   // JDBC source/sink (SURVEY.md §2 A3/A5 as REAL JDBC — the reference
   // loads staged CSVs into Oracle over JDBC with a 5000-row batch,
