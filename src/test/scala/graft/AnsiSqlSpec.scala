@@ -11,13 +11,19 @@ class AnsiSqlSpec extends SparkSpec {
   private val ansiPortable = Seq(
     "q01_top_products", "q02_monthly_revenue", "q03_revenue_by_store",
     "q04_balance_bucket", "q05_kpi_summary", "q06_category_share",
-    "q12_row_counts")
+    "q12_row_counts",
+    // round-3 additions whose oracles are dialect-free
+    "q59_scd2", "q61_bloom_join", "q63_click_funnel", "q66_latest_by_user",
+    "q69_exact_corr", "q74_set_cohorts")
 
-  private def registerViews(): Unit =
+  private def registerViews(): Unit = {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem").foreach { t =>
       graft.sources.Tables.load(spark, sf0001, t).createOrReplaceTempView(t)
     }
+    graft.sources.Tables.events(spark, sf0001)
+      .createOrReplaceTempView("events")
+  }
 
   test("oracle SQL runs unchanged on spark.sql with identical results") {
     registerViews()
