@@ -155,6 +155,8 @@ object SparkEntry {
     "q73_doc_chunks" -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     // set algebra cohorts (INTERSECT / EXCEPT)
     "q74_set_cohorts" -> ((s, d) => Insights.customerHalfCohorts(s, d)),
+    // raw SQL channel: multi-statement script via the quote-aware runner
+    "q75_sql_channel" -> ((s, d) => graft.etl.Catalog.sqlChannel(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -237,5 +239,6 @@ object SparkEntry {
     "q72_fuzzy_match" -> Dedup.fuzzyNameMatchSql(),
     "q73_doc_chunks" -> TextAnalysis.chunkDocsSql(),
     "q74_set_cohorts" -> Insights.customerHalfCohortsSql,
+    "q75_sql_channel" -> graft.etl.Catalog.sqlChannelSql,
   )
 }

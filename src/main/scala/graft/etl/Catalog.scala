@@ -35,6 +35,41 @@ object Catalog {
   def dropTable(spark: SparkSession, name: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS $name")
 
+  /** Registered query for the raw SQL channel (A7/J6 under the oracle
+    * gate): register the parquet tables as views, run a multi-statement
+    * script through [[runScript]] (exercising the quote-aware
+    * splitter), return the final statement's frame. The script's SELECT
+    * is ANSI, so the DuckDB oracle is the equivalent single SELECT over
+    * the same parquet.
+    */
+  def sqlChannel(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("orders", "lineitem").foreach { t =>
+      graft.sources.Tables.load(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+    runScript(spark,
+      """CREATE OR REPLACE TEMP VIEW big_orders AS
+        |  SELECT o_orderkey FROM orders
+        |  WHERE CAST(o_totalprice AS DOUBLE) > 300000.0;
+        |-- final statement; the ';' in this comment exercises the splitter
+        |SELECT l_returnflag,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DOUBLE)) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN big_orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin).last
+  }
+
+  val sqlChannelSql: String =
+    """SELECT l_returnflag,
+      |  COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DOUBLE)) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |JOIN (SELECT o_orderkey FROM orders
+      |      WHERE CAST(o_totalprice AS DOUBLE) > 300000.0) big_orders
+      |  ON l_orderkey = o_orderkey
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** Split a SQL script into statements on ';', ignoring semicolons
     * inside single-quoted literals (with '' escapes) and `--` line
     * comments — the reference's naive `split(";")` (`etl/etl.py:236-246`)
