@@ -157,6 +157,8 @@ object SparkEntry {
     "q74_set_cohorts" -> ((s, d) => Insights.customerHalfCohorts(s, d)),
     // raw SQL channel: multi-statement script via the quote-aware runner
     "q75_sql_channel" -> ((s, d) => graft.etl.Catalog.sqlChannel(s, d)),
+    // log-free TF-IDF term salience, top-k terms per doc
+    "q76_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -240,5 +242,6 @@ object SparkEntry {
     "q73_doc_chunks" -> TextAnalysis.chunkDocsSql(),
     "q74_set_cohorts" -> Insights.customerHalfCohortsSql,
     "q75_sql_channel" -> graft.etl.Catalog.sqlChannelSql,
+    "q76_tfidf" -> TextAnalysis.tfidfSql(),
   )
 }

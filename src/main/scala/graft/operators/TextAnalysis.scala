@@ -177,6 +177,60 @@ object TextAnalysis {
        |ORDER BY tf DESC, term ASC
        |LIMIT $topK""".stripMargin
 
+  /** TF-IDF-style term salience, log-free: score = tf × N / df (the
+    * rational idf — monotone in the classic log form, so top-k per doc
+    * is identical, and exactly reproducible: integer counts composed
+    * with two IEEE ops, no transcendental whose last ulp could differ
+    * between libm and DuckDB). Keep the `topK` most salient terms per
+    * doc.
+    *
+    * Scale shape: tf is a (doc, term)-grain partial→final agg; df
+    * re-aggregates tf by term (vocabulary-sized exchange); N is a
+    * 1-row broadcast; the per-doc top-k is a window partitioned by
+    * doc_id with a total order.
+    */
+  def tfidf(spark: SparkSession, sfDir: String, topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("score"), asc("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * col("n_docs") / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("doc_id", "rank", "term", "tf", "df", "score")
+      .orderBy("doc_id", "rank")
+  }
+
+  def tfidfSql(topK: Int = 3): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+       |tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf
+       |  FROM toks WHERE term <> '' GROUP BY doc_id, term),
+       |dfreq AS (
+       |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+       |    CAST(tf.tf AS DOUBLE) * n.n_docs / dfreq.df AS score
+       |  FROM tf JOIN dfreq USING (term), n),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, term ASC) AS rank
+       |  FROM scored)
+       |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df, score
+       |FROM ranked WHERE rank <= $topK
+       |ORDER BY doc_id, rank""".stripMargin
+
   /** Language ID by stopword-hit voting: per language, count tokens in
     * that language's stopword list; predict the argmax (ties broken by
     * language code order). One pass, no shuffle.
