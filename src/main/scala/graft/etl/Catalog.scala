@@ -78,23 +78,25 @@ object Catalog {
   def splitStatements(script: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
-    var inQuote = false
+    var quote: Char = 0 // 0 = outside; '\'' or '"' = inside that quote
     var inComment = false
     var i = 0
     while (i < script.length) {
       val c = script.charAt(i)
-      if (inQuote) {
+      if (quote != 0) {
         cur += c
-        if (c == '\'') {
-          if (i + 1 < script.length && script.charAt(i + 1) == '\'') {
-            cur += '\''; i += 1 // '' escape stays in-quote
-          } else inQuote = false
+        if (c == quote) {
+          if (i + 1 < script.length && script.charAt(i + 1) == quote) {
+            cur += quote; i += 1 // doubled-quote escape stays in-quote
+          } else quote = 0
         }
       } else if (inComment) {
         cur += c
         if (c == '\n') inComment = false
       } else c match {
-        case '\'' => inQuote = true; cur += c
+        // '"' strings: Spark's non-ANSI default parses them as string
+        // literals, so a ';' inside must not split either
+        case '\'' | '"' => quote = c; cur += c
         case '-' if i + 1 < script.length && script.charAt(i + 1) == '-' =>
           inComment = true; cur += c
         case ';' => out += cur.toString; cur.clear()

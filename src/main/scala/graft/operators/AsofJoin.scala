@@ -12,9 +12,15 @@ import graft.sources.Tables
   *
   * Implementation follows the compose-first guideline: tag both sides,
   * union, and run `last(_, ignoreNulls)` over a window partitioned by
-  * the key and ordered by (time, side) — right rows sort before left
-  * rows at equal times, so a right row timestamped exactly at the left
-  * time matches (the ASOF `>=` convention). No join is ever planned:
+  * the key and ordered by (time, side, content-hash tiebreak) — right
+  * rows sort before left rows at equal times, so a right row
+  * timestamped exactly at the left time matches (the ASOF `>=`
+  * convention). The right payload travels as ONE struct, so a NULL in
+  * one payload column can never be backfilled from an older right row
+  * (the matched row is carried atomically), and the hash tiebreak makes
+  * the pick among exact-time ties deterministic under any partitioning
+  * (engines are free to pick either tied row; ours always picks the
+  * same one). No join is ever planned:
   * the whole operator is ONE hash exchange on the key plus a
   * sort-within-partition, which is also its 100 TB shape — state per
   * key is a sort run, there is no candidate blowup, and skew is bounded
@@ -35,16 +41,26 @@ object AsofJoin {
       s"right columns ${payload.mkString(",")} must not collide with left")
     val l = left.withColumn("__asof_t", col(leftTime))
       .withColumn("__asof_side", lit(1))
-    val r = right.withColumn("__asof_t", col(rightTime))
+      .withColumn("__asof_tb", lit(0L))
+    val r = right
+      .withColumn("__asof_t", col(rightTime))
       .withColumn("__asof_side", lit(0))
+      // one struct per right row: filled atomically (null fields stay
+      // null), never column-by-column across different right rows
+      .withColumn("__asof_payload", struct(payload.map(col).toSeq: _*))
+      .withColumn("__asof_tb",
+        xxhash64(col(key), col("__asof_t"), col("__asof_payload")))
+      .select(col(key), col("__asof_t"), col("__asof_side"),
+        col("__asof_tb"), col("__asof_payload"))
     val w = Window.partitionBy(col(key))
-      .orderBy(col("__asof_t"), col("__asof_side"))
+      .orderBy(col("__asof_t"), col("__asof_side"), col("__asof_tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(l.unionByName(r, allowMissingColumns = true)) {
-      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__asof_side") === 1)
-      .select((left.columns ++ payload).map(col).toSeq: _*)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__asof_payload",
+        last(col("__asof_payload"), ignoreNulls = true).over(w))
+      .filter(col("__asof_side") === 1)
+      .select(left.columns.map(col).toSeq ++
+        payload.map(c => col(s"__asof_payload.$c").as(c)): _*)
   }
 
   /** q46 — for every click, the same user's most recent purchase at or

@@ -21,9 +21,16 @@ import graft.sources.Tables
 object CleanCsv {
 
   /** Absolute fixture path: the oracle SQL must read the identical bytes
-    * from a DuckDB process whose cwd is not ours.
+    * from a DuckDB process whose cwd is not ours, so the canonical
+    * checkout location is embedded — but the Spark side falls back to a
+    * cwd-relative resolve so the library still runs from any checkout
+    * (only the DuckDB oracle is location-pinned).
     */
-  val FixtureDir = "/root/repo/src/test/resources/dirty"
+  val FixtureDir: String = {
+    val canonical = "/root/repo/src/test/resources/dirty"
+    if (new java.io.File(canonical).isDirectory) canonical
+    else new java.io.File("src/test/resources/dirty").getAbsolutePath
+  }
 
   private def duckCsv(name: String): String =
     s"read_csv('$FixtureDir/$name.csv', header=true, all_varchar=true)"

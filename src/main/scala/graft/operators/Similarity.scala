@@ -261,8 +261,12 @@ object Similarity {
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("cosine"), asc("neighbor_id"))
-    broadcast(candIds.join(queryVecs, Seq("query_id")))
+    // broadcast ONLY the nQueries-bounded query vectors; the candidate
+    // list is unbounded under the mega-bucket pathology, so its join to
+    // the corpus vectors is left to Catalyst/AQE (key-equi, id-keyed)
+    candIds
       .join(candVecs, Seq("neighbor_id"))
+      .join(broadcast(queryVecs), Seq("query_id"))
       .withColumn("cosine", graft.functions.cosine_sim(col("q_emb"), col("c_emb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -326,6 +330,11 @@ object Similarity {
     * embeddings at PLAN time). The in-process map is the model-store
     * analog; a cluster deployment would persist the centroid table.
     */
+  // Keyed by (sfDir, nClusters) for the JVM lifetime — the "fetch the
+  // trained model once" analog. Caveat: rewriting the parquet at the
+  // same path in the same JVM serves stale centroids; a pipeline that
+  // regenerates its corpus in place should clear this (or key a fork of
+  // it on file mtime). Recall-only effect — assignment stays valid.
   private val quantizerCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int),
       Array[(Int, Array[Float])]]()

@@ -264,9 +264,13 @@ object Tables {
     * accumulate-tiny-appends problem that kills scan parallelism
     * bookkeeping at 100 TB). Sizing comes from the optimized plan's
     * statistics (file footers — no job), the rewrite is one
-    * round-robin repartition, and the swap is
-    * write-to-temp → delete → rename so a failed rewrite never
-    * destroys the original directory.
+    * round-robin repartition, and the swap keeps the original as a
+    * `_compact_bak` directory until the rewrite is renamed into place:
+    * a failed write leaves the original untouched, and a crash
+    * mid-swap leaves the data recoverable in the backup — no window
+    * where the bytes exist only in a temp the next run would clobber.
+    * (True single-op atomicity needs a table format's metadata commit;
+    * this is the best a bare filesystem offers.)
     */
   def compactParquet(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): Int = {
@@ -280,8 +284,15 @@ object Tables {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     val dst = new org.apache.hadoop.fs.Path(path)
     val src = new org.apache.hadoop.fs.Path(tmp)
-    if (!fs.delete(dst, true) || !fs.rename(src, dst))
+    val bak = new org.apache.hadoop.fs.Path(path + "_compact_bak")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (!fs.rename(dst, bak))
+      throw new java.io.IOException(s"compaction: cannot stage backup of $path")
+    if (!fs.rename(src, dst)) {
+      fs.rename(bak, dst) // restore the original before failing
       throw new java.io.IOException(s"compaction swap failed for $path")
+    }
+    fs.delete(bak, true)
     nFiles
   }
 

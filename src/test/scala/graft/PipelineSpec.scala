@@ -110,6 +110,10 @@ class PipelineSpec extends SparkSpec {
         "INSERT INTO t VALUES ('a;b')",
         "-- note; semicolon\nSELECT 'x''y;z'",
         "SELECT 1"))
+    // double-quoted strings (Spark's non-ANSI default dialect) too
+    assert(Catalog.splitStatements("SELECT \"a;b\" AS s; SELECT \"x\"\"y;\"")
+      .map(_.trim).filter(_.nonEmpty) === Seq(
+        "SELECT \"a;b\" AS s", "SELECT \"x\"\"y;\""))
     Catalog.dropTable(spark, "graft_script_q")
     Catalog.deletePath(spark,
       spark.conf.get("spark.sql.warehouse.dir") + "/graft_script_q")
