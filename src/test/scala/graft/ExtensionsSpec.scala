@@ -163,6 +163,21 @@ class ExtensionsSpec extends SparkSpec {
       ("d", None)))     // key 3 has no right rows at all
   }
 
+  test("asof join carries the matched row atomically: a NULL payload field is NOT backfilled from an older row") {
+    import spark.implicits._
+    val left = Seq((1L, 12L)).toDF("k", "t")
+    // matched row (rt=10) has rva=NULL; the older row (rt=5) has rva=1.
+    // A per-column ignoreNulls fill would emit (1, "y") — a right-row
+    // combination that never existed.
+    val right = Seq((1L, 5L, Some(1), "x"), (1L, 10L, None, "y"))
+      .toDF("k", "rt", "rva", "rvb")
+    val row = graft.operators.AsofJoin.asofJoin(left, right, "k", "t", "rt")
+      .collect().head
+    assert(row.getAs[String]("rvb") === "y")
+    assert(row.isNullAt(row.fieldIndex("rva")),
+      "NULL in the matched row must survive, not be backfilled")
+  }
+
   test("range join: half-open bounds, chunk-spanning intervals, no duplicate pairs") {
     import spark.implicits._
     val points = Seq(5L, 10L, 19L, 20L, 25L).toDF("pt")
