@@ -159,6 +159,11 @@ object SparkEntry {
     "q75_sql_channel" -> ((s, d) => graft.etl.Catalog.sqlChannel(s, d)),
     // log-free TF-IDF term salience, top-k terms per doc
     "q76_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
+    // overlap-coefficient containment (subset-duplicate detection)
+    "q77_containment" -> ((s, d) => Dedup.containmentPairs(s, d)),
+    // event debouncing and rolling 7-day active users
+    "q78_debounce" -> ((s, d) => Events.debounce(s, d)),
+    "q79_active_users" -> ((s, d) => Events.rollingActiveUsers(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -243,5 +248,8 @@ object SparkEntry {
     "q74_set_cohorts" -> Insights.customerHalfCohortsSql,
     "q75_sql_channel" -> graft.etl.Catalog.sqlChannelSql,
     "q76_tfidf" -> TextAnalysis.tfidfSql(),
+    "q77_containment" -> Dedup.containmentPairsSql(),
+    "q78_debounce" -> Events.debounceSql(),
+    "q79_active_users" -> Events.rollingActiveUsersSql(),
   )
 }

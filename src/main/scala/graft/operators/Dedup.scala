@@ -128,7 +128,36 @@ object Dedup {
     * default).
     */
   def neardupPairs(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.5, maxBucketSize: Option[Int] = None): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Option[Int] = None): DataFrame =
+    shingleScoredCandidates(spark, sfDir, maxBucketSize)
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+
+  /** Overlap-coefficient containment pairs — the SUBSET-duplicate
+    * detector Jaccard misses: a short doc quoted wholesale inside a
+    * long one has low Jaccard (union is large) but overlap
+    * |A∩B| / min(|A|,|B|) near 1. Same LSH candidate machinery, same
+    * scale shape; only the final scoring expression differs.
+    */
+  def containmentPairs(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.5): DataFrame =
+    shingleScoredCandidates(spark, sfDir, None)
+      .withColumn("overlap",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          least(size(col("sh_a")), size(col("sh_b"))))
+      .filter(col("overlap") >= threshold)
+      .select("doc_a", "doc_b", "overlap")
+      .orderBy("doc_a", "doc_b")
+
+  /** LSH candidate pairs with both docs' distinct shingle sets attached
+    * (shared tail of the Jaccard / containment scorers).
+    */
+  private def shingleScoredCandidates(spark: SparkSession, sfDir: String,
+      maxBucketSize: Option[Int]): DataFrame = {
     // The repartition is a deliberate plan barrier: it materializes each
     // signature exactly once before banding. Without it, project
     // collapsing + filter pushdown inline the (expensive) minhash
@@ -167,12 +196,6 @@ object Dedup {
         .withColumnRenamed("sh", "sh_a"), "doc_a")
       .join(sh.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("sh", "sh_b"), "doc_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Drop band buckets holding more than `cap` docs (the LSH mega-bucket
@@ -297,7 +320,10 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
       .replace("@PAIRS@", neardupPairsSql(threshold))
 
-  def neardupPairsSql(threshold: Double = 0.5): String =
+  /** Shared CTE prefix of the LSH-candidate oracles (sigs → bands →
+    * deduped candidate pairs → shingle sets).
+    */
+  private def lshCandidatesCte: String =
     s"""WITH sigs AS (
        |  SELECT doc_id,
        |    list_transform(range(0, $NumHashes), j ->
@@ -318,7 +344,13 @@ object Dedup {
        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        |   AND a.doc_id < b.doc_id),
        |sh AS (
-       |  SELECT doc_id, list_distinct($shinglesExprDuck) AS sh FROM documents)
+       |  SELECT doc_id, list_distinct($shinglesExprDuck) AS sh FROM documents)""".stripMargin
+
+  // NOTE: the CTE is spliced AFTER stripMargin (placeholder pattern) —
+  // its '||' continuation lines would be truncated to '|' if the outer
+  // template stripped margins post-interpolation.
+  def neardupPairsSql(threshold: Double = 0.5): String =
+    s"""@CTE@
        |SELECT doc_a, doc_b,
        |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
        |    / len(list_distinct(sa.sh || sb.sh)) AS jaccard
@@ -328,6 +360,20 @@ object Dedup {
        |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
        |    / len(list_distinct(sa.sh || sb.sh)) >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
+      .replace("@CTE@", lshCandidatesCte)
+
+  def containmentPairsSql(threshold: Double = 0.5): String =
+    s"""@CTE@
+       |SELECT doc_a, doc_b,
+       |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |    / least(len(sa.sh), len(sb.sh)) AS overlap
+       |FROM cands
+       |JOIN sh sa ON sa.doc_id = doc_a
+       |JOIN sh sb ON sb.doc_id = doc_b
+       |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |    / least(len(sa.sh), len(sb.sh)) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+      .replace("@CTE@", lshCandidatesCte)
 
   /** Standalone n-gram Jaccard near-dup detection (no MinHash): blocking
     * on exact token count (near-identical docs almost always agree), then

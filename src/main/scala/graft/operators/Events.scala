@@ -271,6 +271,70 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Debounce: drop events of the same (user, type) arriving within
+    * `withinSeconds` of the previous kept-or-dropped event (lag-based —
+    * the stateless form used for double-click/retry suppression in
+    * event pipelines). One exchange on the (user, type) key; the lag
+    * window never leaves its partition.
+    */
+  def debounce(spark: SparkSession, sfDir: String,
+      withinSeconds: Int = 5): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .filter(col("prev_ts").isNull ||
+        col("ts") >= col("prev_ts") + expr(s"INTERVAL $withinSeconds SECONDS"))
+      .select("event_id", "user_id", "event_type", "ts", "value")
+      .orderBy("event_id")
+  }
+
+  def debounceSql(withinSeconds: Int = 5): String =
+    s"""SELECT event_id, user_id, event_type, ts, value
+       |FROM (
+       |  SELECT event_id, user_id, event_type,
+       |    CAST(ts AS TIMESTAMP) AS ts, value,
+       |    LAG(CAST(ts AS TIMESTAMP), 1) OVER (
+       |      PARTITION BY user_id, event_type
+       |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+       |  FROM events)
+       |WHERE prev_ts IS NULL OR ts >= prev_ts + INTERVAL $withinSeconds SECOND
+       |ORDER BY event_id""".stripMargin
+
+  /** Rolling 7-day active users (the WAU-per-day product metric).
+    * Exact distinct over a sliding window is NOT mergeable from daily
+    * distinct counts, so the query keeps the (day, user) grain: dedup
+    * to daily actives (one exchange), then a bounded range join against
+    * the calendar (the `days` side is calendar-sized — broadcast — so
+    * the "window" is a fan-out of at most 7 rows per daily-active
+    * entry, never a corpus self-join).
+    */
+  def rollingActiveUsers(spark: SparkSession, sfDir: String,
+      days: Int = 7): DataFrame = {
+    val du = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+      .distinct()
+    val cal = du.select(col("d").as("day")).distinct()
+    du.join(broadcast(cal),
+        col("d") >= date_sub(col("day"), days - 1) && col("d") <= col("day"))
+      .groupBy("day")
+      .agg(countDistinct(col("user_id")).as(s"active_${days}d"),
+        count(lit(1)).as("active_days_sum"))
+      .orderBy("day")
+  }
+
+  def rollingActiveUsersSql(days: Int = 7): String =
+    s"""WITH du AS (
+       |  SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, user_id
+       |  FROM events),
+       |cal AS (SELECT DISTINCT d AS day FROM du)
+       |SELECT day,
+       |  COUNT(DISTINCT user_id) AS active_${days}d,
+       |  COUNT(*) AS active_days_sum
+       |FROM du JOIN cal ON du.d >= day - ${days - 1} AND du.d <= day
+       |GROUP BY day
+       |ORDER BY day""".stripMargin
+
   val latestByUserSql: String =
     """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
       |  value
