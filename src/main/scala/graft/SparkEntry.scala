@@ -164,6 +164,9 @@ object SparkEntry {
     // event debouncing and rolling 7-day active users
     "q78_debounce" -> ((s, d) => Events.debounce(s, d)),
     "q79_active_users" -> ((s, d) => Events.rollingActiveUsers(s, d)),
+    // retention cohort triangle and gaps-and-islands streaks
+    "q80_retention" -> ((s, d) => Events.retentionCohorts(s, d)),
+    "q81_streaks" -> ((s, d) => Events.activityStreaks(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -251,5 +254,7 @@ object SparkEntry {
     "q77_containment" -> Dedup.containmentPairsSql(),
     "q78_debounce" -> Events.debounceSql(),
     "q79_active_users" -> Events.rollingActiveUsersSql(),
+    "q80_retention" -> Events.retentionCohortsSql,
+    "q81_streaks" -> Events.activityStreaksSql,
   )
 }

@@ -335,6 +335,84 @@ object Events {
        |GROUP BY day
        |ORDER BY day""".stripMargin
 
+  /** Retention cohort matrix: users cohorted by first-seen ISO week,
+    * counted by activity week — the triangle every growth dashboard
+    * draws. Two aggregations ((user) grain for the cohort, then
+    * (user, week) grain for activity) joined on the user key; all
+    * counts integer-exact. (Weekly, not monthly: the testdata spans
+    * one month, and both engines truncate weeks to ISO Monday.)
+    */
+  def retentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("wk"))
+    val cohort = ev.groupBy("user_id")
+      .agg(min(col("wk")).as("cohort_week"))
+    val activity = ev
+      .select(col("user_id"), col("wk").as("activity_week"))
+      .distinct()
+    activity.join(cohort, "user_id")
+      .groupBy("cohort_week", "activity_week")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "activity_week")
+  }
+
+  val retentionCohortsSql: String =
+    """WITH ev AS (
+      |  SELECT user_id,
+      |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+      |  FROM events),
+      |cohort AS (
+      |  SELECT user_id, MIN(wk) AS cohort_week
+      |  FROM ev GROUP BY user_id),
+      |activity AS (
+      |  SELECT DISTINCT user_id, wk AS activity_week
+      |  FROM ev)
+      |SELECT cohort_week, activity_week,
+      |  COUNT(DISTINCT a.user_id) AS n_users
+      |FROM activity a JOIN cohort c USING (user_id)
+      |GROUP BY cohort_week, activity_week
+      |ORDER BY cohort_week, activity_week""".stripMargin
+
+  /** Longest consecutive-day activity streak per user — the
+    * gaps-and-islands pattern: within each user, consecutive dates
+    * share the anchor `d - row_number` (each gap shifts it), so
+    * streaks fall out of one more group-by. Entirely inside the
+    * user's hash partition; integer/date arithmetic only.
+    */
+  def activityStreaks(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("d")
+    val du = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    du.withColumn("anchor", date_sub(col("d"), row_number().over(w)))
+      .groupBy("user_id", "anchor")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(max(col("len")).as("longest_streak"),
+        sum(col("len")).as("n_active_days"))
+      .orderBy("user_id")
+  }
+
+  val activityStreaksSql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+      |  FROM events),
+      |runs AS (
+      |  SELECT user_id,
+      |    d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+      |        AS INT) AS anchor
+      |  FROM du),
+      |streaks AS (
+      |  SELECT user_id, anchor, COUNT(*) AS len
+      |  FROM runs GROUP BY user_id, anchor)
+      |SELECT user_id,
+      |  CAST(MAX(len) AS BIGINT) AS longest_streak,
+      |  CAST(SUM(len) AS BIGINT) AS n_active_days
+      |FROM streaks
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val latestByUserSql: String =
     """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
       |  value
