@@ -14,7 +14,8 @@ class AnsiSqlSpec extends SparkSpec {
     "q12_row_counts",
     // round-3 additions whose oracles are dialect-free
     "q59_scd2", "q61_bloom_join", "q63_click_funnel", "q66_latest_by_user",
-    "q69_exact_corr", "q74_set_cohorts")
+    "q69_exact_corr", "q74_set_cohorts",
+    "q78_debounce", "q79_active_users", "q80_retention", "q81_streaks")
 
   private def registerViews(): Unit = {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
