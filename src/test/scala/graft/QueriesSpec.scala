@@ -19,6 +19,16 @@ class QueriesSpec extends SparkSpec {
     assert(extra.isEmpty, s"oracleSql without query: $extra")
   }
 
+  test("every query has an oracle, except the documented approx whitelist") {
+    // q45 is HLL-approx: estimates are engine-specific by design, the
+    // driver records the weaker rows-only check. Anything else missing
+    // an oracle is a registration mistake, not a design choice.
+    val approxOnly = Set("q45_kpi_approx")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing == approxOnly,
+      s"queries without oracle beyond the whitelist: ${missing -- approxOnly}")
+  }
+
   test("q01 top-5: exactly 5 rows, strictly ordered by revenue desc") {
     val rows = SparkEntry.queries("q01_top_products")(spark, sf0001)
       .select("revenue").collect().map(_.getDouble(0))
