@@ -167,6 +167,22 @@ object SparkEntry {
     // retention cohort triangle and gaps-and-islands streaks
     "q80_retention" -> ((s, d) => Events.retentionCohorts(s, d)),
     "q81_streaks" -> ((s, d) => Events.activityStreaks(s, d)),
+    // --- round-4: corpus curation (exact-substring dedup, quality
+    // gates, eval-set decontamination) ---
+    "q82_shingle_dedup" -> ((s, d) => Corpus.shingleDedup(s, d)),
+    "q83_quality_gates" -> ((s, d) => Corpus.qualityGates(s, d)),
+    "q84_decontamination" -> ((s, d) => Corpus.decontamination(s, d)),
+    // full CUBE lattice + gap-filled month spine + percent-of-parent
+    "q85_revenue_cube" -> ((s, d) => Insights.revenueCube(s, d)),
+    "q86_month_spine" -> ((s, d) => Insights.monthSpineRevenue(s, d)),
+    "q89_brand_share" -> ((s, d) => Insights.brandShareInType(s, d)),
+    // interval sweep line, Markov transitions, inter-arrival percentiles
+    "q87_concurrent_sessions" -> ((s, d) => Events.concurrentSessions(s, d)),
+    "q88_transitions" -> ((s, d) => Events.transitionMatrix(s, d)),
+    "q90_interarrival" -> ((s, d) => Events.interarrival(s, d)),
+    // robust (MAD) outlier fences; GDPR cascade-erasure audit
+    "q91_mad_outliers" -> ((s, d) => Features.madOutliers(s, d)),
+    "q92_gdpr_erasure" -> ((s, d) => Validation.gdprErasure(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -256,5 +272,16 @@ object SparkEntry {
     "q79_active_users" -> Events.rollingActiveUsersSql(),
     "q80_retention" -> Events.retentionCohortsSql,
     "q81_streaks" -> Events.activityStreaksSql,
+    "q82_shingle_dedup" -> Corpus.shingleDedupSql(),
+    "q83_quality_gates" -> Corpus.qualityGatesSql,
+    "q84_decontamination" -> Corpus.decontaminationSql(),
+    "q85_revenue_cube" -> Insights.revenueCubeSql,
+    "q86_month_spine" -> Insights.monthSpineRevenueSql,
+    "q89_brand_share" -> Insights.brandShareInTypeSql,
+    "q87_concurrent_sessions" -> Events.concurrentSessionsSql(),
+    "q88_transitions" -> Events.transitionMatrixSql,
+    "q90_interarrival" -> Events.interarrivalSql,
+    "q91_mad_outliers" -> Features.madOutliersSql(),
+    "q92_gdpr_erasure" -> Validation.gdprErasureSql(),
   )
 }

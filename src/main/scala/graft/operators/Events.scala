@@ -83,7 +83,14 @@ object Events {
     * equivalent (session_window + watermark) is in EventStreams.
     */
   def sessionize(spark: SparkSession, sfDir: String,
-      gapMinutes: Int = 30): DataFrame = {
+      gapMinutes: Int = 30): DataFrame =
+    sessions(spark, sfDir, gapMinutes).orderBy("user_id", "session_seq")
+
+  /** The session frame without [[sessionize]]'s presentation sort —
+    * shared with [[concurrentSessions]], which re-aggregates it.
+    */
+  private def sessions(spark: SparkSession, sfDir: String,
+      gapMinutes: Int): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val gapSec = gapMinutes * 60
     Tables.events(spark, sfDir)
@@ -103,7 +110,6 @@ object Events {
         max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"),
         sumValue)
-      .orderBy("user_id", "session_seq")
   }
 
   def sessionizeSql(gapMinutes: Int = 30): String = {
@@ -424,4 +430,159 @@ object Events {
       |  FROM events)
       |WHERE rn = 1
       |ORDER BY user_id""".stripMargin
+
+  /** Peak concurrent sessions per day — the classic interval-overlap
+    * sweep line: each session contributes +1 at its start and -1 at its
+    * end (inclusive-end: at equal instants starts order before ends, so
+    * a one-event session still registers concurrency 1), and the
+    * running sum of deltas ordered by time IS the concurrency.
+    *
+    * Scale shape: the running sum is NOT a single-partition window —
+    * it's [[ScalableKeys.withPrefixSum]] (range partition on the sweep
+    * key, per-partition sums, broadcast offsets), so the sweep scales
+    * like a sort, not like a funnel. Determinism: the sweep key
+    * `2·epoch_us + (start?0:1)` totally orders starts vs ends at equal
+    * instants; rows tied on the full key carry EQUAL deltas, and a
+    * prefix-sum multiset over an all-equal-delta tie group is
+    * permutation-invariant, so the per-day MAX is deterministic.
+    */
+  def concurrentSessions(spark: SparkSession, sfDir: String,
+      gapMinutes: Int = 30): DataFrame = {
+    val sess = sessions(spark, sfDir, gapMinutes)
+      .select(col("session_start"), col("session_end"))
+    val deltas = sess
+      .select(col("session_start").as("ts"), lit(1).as("delta"))
+      .unionAll(sess.select(col("session_end").as("ts"),
+        lit(-1).as("delta")))
+      .withColumn("k", unix_micros(col("ts")) * 2 +
+        when(col("delta") === 1, lit(0)).otherwise(lit(1)))
+    ScalableKeys.withPrefixSum(deltas, "k", "delta", "open_before")
+      .select(to_date(col("ts")).as("day"),
+        (col("open_before") + col("delta")).as("conc"))
+      .groupBy("day")
+      .agg(max("conc").as("max_concurrent"),
+        count(lit(1)).as("n_boundaries"))
+      .orderBy("day")
+  }
+
+  def concurrentSessionsSql(gapMinutes: Int = 30): String = {
+    val gapSec = gapMinutes * 60
+    s"""WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id
+       |            FROM events),
+       |flagged AS (
+       |  SELECT *,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR epoch(ts) - epoch(lag(ts) OVER w) > $gapSec
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM ev
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sessions AS (
+       |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+       |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+       |  FROM flagged),
+       |sess AS (
+       |  SELECT user_id, session_seq, MIN(ts) AS st, MAX(ts) AS en
+       |  FROM sessions GROUP BY user_id, session_seq),
+       |deltas AS (
+       |  SELECT st AS ts, 1 AS delta, epoch_us(st) * 2 AS k FROM sess
+       |  UNION ALL
+       |  SELECT en, -1, epoch_us(en) * 2 + 1 FROM sess),
+       |run AS (
+       |  SELECT ts, SUM(delta) OVER (ORDER BY k
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+       |  FROM deltas)
+       |SELECT CAST(ts AS DATE) AS day,
+       |  CAST(MAX(conc) AS BIGINT) AS max_concurrent,
+       |  COUNT(*) AS n_boundaries
+       |FROM run
+       |GROUP BY 1
+       |ORDER BY day""".stripMargin
+  }
+
+  /** Event-type transition matrix (first-order Markov counts): per
+    * user, each consecutive event pair ordered by (ts, event_id)
+    * contributes one (from, to) observation; probabilities are integer
+    * parts-per-million of the from-type total — exact integer division,
+    * no engine-specific float formatting (q06 ppm contract).
+    *
+    * Scale shape: ONE exchange on user_id for the lag window (sessions'
+    * partitioning), then aggregation to the bounded (from, to) grid;
+    * the per-from normalizing window runs over that grid, not the
+    * events.
+    */
+  def transitionMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, sfDir)
+      .withColumn("from_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("total_from",
+        sum(col("n")).over(Window.partitionBy("from_type")))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(n * 1000000) div total_from").as("p_ppm"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val transitionMatrixSql: String =
+    """WITH ev AS (SELECT user_id, event_id, event_type,
+      |            CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |tr AS (
+      |  SELECT lag(event_type) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id) AS from_type,
+      |    event_type AS to_type
+      |  FROM ev),
+      |c AS (
+      |  SELECT from_type, to_type, COUNT(*) AS n
+      |  FROM tr WHERE from_type IS NOT NULL
+      |  GROUP BY from_type, to_type)
+      |SELECT from_type, to_type, n,
+      |  CAST((n * 1000000) // SUM(n) OVER (PARTITION BY from_type)
+      |    AS BIGINT) AS p_ppm
+      |FROM c
+      |ORDER BY from_type, to_type""".stripMargin
+
+  /** Inter-arrival time distribution per event type: each gap (in exact
+    * integer MICROSECONDS — no float timestamp subtraction) between a
+    * user's consecutive events, attributed to the later event's type;
+    * summarized with exact min/max and R-7 interpolated median/p90
+    * (same percentile contract as q49).
+    *
+    * Scale shape: one exchange on user_id for the lag, then a bounded
+    * per-type agg; the percentile state is per-group sorted values —
+    * fine at event-type cardinality, the heavy lifting stays in the
+    * user-partitioned window.
+    */
+  def interarrival(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, sfDir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .filter(col("prev_us").isNotNull)
+      .select(col("event_type"), (col("us") - col("prev_us")).as("gap_us"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        min("gap_us").as("min_gap_us"),
+        max("gap_us").as("max_gap_us"),
+        expr("percentile(gap_us, 0.5)").as("median_gap_us"),
+        expr("percentile(gap_us, 0.9)").as("p90_gap_us"))
+      .orderBy("event_type")
+  }
+
+  val interarrivalSql: String =
+    """WITH ev AS (SELECT user_id, event_id, event_type,
+      |            epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |g AS (
+      |  SELECT event_type,
+      |    us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |      AS gap_us
+      |  FROM ev)
+      |SELECT event_type, COUNT(*) AS n_gaps,
+      |  MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us,
+      |  quantile_cont(gap_us, 0.5) AS median_gap_us,
+      |  quantile_cont(gap_us, 0.9) AS p90_gap_us
+      |FROM g
+      |WHERE gap_us IS NOT NULL
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 }

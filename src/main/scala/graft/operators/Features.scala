@@ -186,4 +186,59 @@ object Features {
        |WINDOW w AS (ORDER BY day_n
        |  RANGE BETWEEN ${days - 1} PRECEDING AND CURRENT ROW)
        |ORDER BY ship_date""".stripMargin
+
+  /** Robust outlier detection via Median Absolute Deviation per return
+    * flag: med = median(price), mad = median(|price − med|), outlier ⇔
+    * |price − med| > k·mad. The robust alternative to the IQR audit
+    * (q52) — MAD has a 50% breakdown point, so a heavy-tailed price
+    * column can't drag the fence the way it drags stddev.
+    *
+    * Determinism: medians are R-7 interpolated over identical inputs
+    * (q49 contract); |x − med| and k·mad are IEEE double ops on
+    * bit-identical operands; the fence compare is strict.
+    *
+    * Scale shape: two percentile aggs at group grain plus two
+    * broadcast joins of the per-group medians (the per-group frames are
+    * bounded by group cardinality — they do NOT scale with the fact, so
+    * the unconditional broadcast is safe here, unlike a dim table).
+    */
+  def madOutliers(spark: SparkSession, sfDir: String,
+      k: Double = 3.0): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice").as("price"))
+    val med = li.groupBy("l_returnflag")
+      .agg(expr("percentile(price, 0.5)").as("med"))
+    val dev = li.join(broadcast(med), Seq("l_returnflag"))
+      .withColumn("adev", abs(col("price") - col("med")))
+    val mad = dev.groupBy("l_returnflag")
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), Seq("l_returnflag"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        first(col("med")).as("median_price"),
+        first(col("mad")).as("mad"),
+        sum((col("adev") > lit(k) * col("mad")).cast("long"))
+          .as("n_outliers"))
+      .orderBy("l_returnflag")
+  }
+
+  def madOutliersSql(k: Double = 3.0): String =
+    s"""WITH li AS (
+       |  SELECT l_returnflag, l_extendedprice AS price FROM lineitem),
+       |med AS (
+       |  SELECT l_returnflag, quantile_cont(price, 0.5) AS med
+       |  FROM li GROUP BY l_returnflag),
+       |dev AS (
+       |  SELECT li.l_returnflag, price, med, abs(price - med) AS adev
+       |  FROM li JOIN med ON li.l_returnflag = med.l_returnflag),
+       |mad AS (
+       |  SELECT l_returnflag, quantile_cont(adev, 0.5) AS mad
+       |  FROM dev GROUP BY l_returnflag)
+       |SELECT dev.l_returnflag, COUNT(*) AS n_rows,
+       |  MIN(med) AS median_price, MIN(mad) AS mad,
+       |  CAST(SUM(CASE WHEN adev > $k * mad THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_outliers
+       |FROM dev JOIN mad ON dev.l_returnflag = mad.l_returnflag
+       |GROUP BY dev.l_returnflag
+       |ORDER BY dev.l_returnflag""".stripMargin
 }

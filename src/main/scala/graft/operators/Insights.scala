@@ -575,4 +575,150 @@ object Insights {
        |  WHERE CAST(o_totalprice AS DOUBLE) > $priceMin)
        |GROUP BY l_returnflag
        |ORDER BY l_returnflag""".stripMargin
+
+  /** Full CUBE over (region, return flag) with grouping flags — the
+    * complete marginals lattice (ROLLUP's q44 gives only the
+    * hierarchical prefix subtotals; CUBE adds the column marginals,
+    * e.g. per-returnflag totals across all regions).
+    *
+    * Scale shape: Spark plans CUBE as a single Expand (4 grouping sets)
+    * + one hash aggregation — the exchange carries (region, flag,
+    * grouping_id) keys, still tiny at any fact size. NULL group keys
+    * are coalesced to 'ALL' (same presentation contract as q44: NULL
+    * renders differently in Spark parquet vs DuckDB fetchdf).
+    */
+  def revenueCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(Joins.broadcastIfSmall(storeRegion(spark, sfDir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .cube(col("r_name"), col("l_returnflag"))
+      .agg(sum(revenueDec).cast("double").as("revenue"),
+        count(lit(1)).as("n_sales"),
+        grouping_id().cast("int").as("grouping_level"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("l_returnflag"), lit("ALL")).as("return_flag"),
+        col("revenue"), col("n_sales"), col("grouping_level"))
+      .orderBy("grouping_level", "region", "return_flag")
+
+  val revenueCubeSql: String =
+    s"""SELECT COALESCE(r_name, 'ALL') AS region,
+       |       COALESCE(l_returnflag, 'ALL') AS return_flag,
+       |       CAST(SUM($revenueSql) AS DOUBLE) AS revenue,
+       |       COUNT(*) AS n_sales,
+       |       CAST(GROUPING(r_name, l_returnflag) AS INT) AS grouping_level
+       |FROM lineitem
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY CUBE (r_name, l_returnflag)
+       |ORDER BY grouping_level, region, return_flag""".stripMargin
+
+  /** Gap-filled monthly revenue per region: a generated month spine
+    * (global min..max order month) cross-joined with the region dim,
+    * left-joined to the actual monthly totals, zeros filled in — the
+    * "no silent missing months in the trend chart" contract every BI
+    * report needs.
+    *
+    * Scale shape: the spine is derived from a 1-row global min/max agg
+    * (broadcast both ways: the 1-row bounds into the sequence, the
+    * ~spine×regions frame into the join against the aggregated monthly
+    * totals, which are already at month grain — a few hundred rows
+    * regardless of fact size). Months are integer month-since-epoch
+    * arithmetic, so the spine is pure `sequence()` — no calendar UDF.
+    */
+  def monthSpineRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val custRegion = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_nationkey")
+      .join(broadcast(Tables.nation(spark, sfDir)
+          .select("n_nationkey", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)
+          .select("r_regionkey", "r_name")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("r_name"))
+    val monthOf = year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1
+    val monthly = orders
+      .join(Joins.broadcastIfSmall(custRegion,
+        Tables.customer(spark, sfDir)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("r_name"), monthOf.as("m"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"),
+        count(lit(1)).as("n"))
+    val spine = orders
+      .agg(min(monthOf).as("lo"), max(monthOf).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("m"))
+      .crossJoin(broadcast(Tables.region(spark, sfDir).select("r_name")))
+    spine.join(monthly, Seq("r_name", "m"), "left")
+      .select(col("r_name").as("region"),
+        (col("m") / 12).cast("int").as("sales_year"),
+        (pmod(col("m"), lit(12)) + 1).cast("int").as("sales_month"),
+        coalesce(col("rev").cast("double"), lit(0.0)).as("revenue"),
+        coalesce(col("n"), lit(0L)).as("n_orders"))
+      .orderBy("region", "sales_year", "sales_month")
+  }
+
+  val monthSpineRevenueSql: String =
+    """WITH monthly AS (
+      |  SELECT r_name,
+      |    year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+      |    COUNT(*) AS n
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2),
+      |bounds AS (
+      |  SELECT min(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS lo,
+      |         max(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS hi
+      |  FROM orders),
+      |spine AS (
+      |  SELECT r_name, unnest(range(lo, hi + 1)) AS m
+      |  FROM bounds, region)
+      |SELECT s.r_name AS region,
+      |  CAST(s.m // 12 AS INT) AS sales_year,
+      |  CAST(s.m % 12 + 1 AS INT) AS sales_month,
+      |  COALESCE(CAST(rev AS DOUBLE), 0.0) AS revenue,
+      |  COALESCE(n, 0) AS n_orders
+      |FROM spine s LEFT JOIN monthly mo
+      |  ON s.r_name = mo.r_name AND s.m = mo.m
+      |ORDER BY region, sales_year, sales_month""".stripMargin
+
+  /** Percent-of-parent share: each brand's revenue as a share of its
+    * part-type parent (q06 is share-of-grand-total; this is the
+    * two-level hierarchical version every drill-down dashboard needs).
+    * Shares are integer parts-per-million from exact decimal sums —
+    * no engine-specific decimal-division rounding (q06 contract).
+    *
+    * Scale shape: the window partitions by p_type AFTER aggregation to
+    * (type, brand) grain — bounded rows regardless of fact size.
+    */
+  def brandShareInType(spark: SparkSession, sfDir: String): DataFrame = {
+    val byType = Window.partitionBy("p_type")
+    Tables.lineitem(spark, sfDir)
+      .join(Joins.broadcastIfSmall(
+          Tables.part(spark, sfDir).select("p_partkey", "p_type", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"), col("p_brand"))
+      .agg(sum(revenueDec).as("rev"))
+      .withColumn("share_ppm",
+        floor(col("rev") * 1000000 / sum(col("rev")).over(byType))
+          .cast("long"))
+      .select(col("p_type"), col("p_brand"),
+        col("rev").cast("double").as("revenue"), col("share_ppm"))
+      .orderBy("p_type", "p_brand")
+  }
+
+  val brandShareInTypeSql: String =
+    s"""WITH b AS (
+       |  SELECT p_type, p_brand, SUM($revenueSql) AS rev
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY p_type, p_brand)
+       |SELECT p_type, p_brand, CAST(rev AS DOUBLE) AS revenue,
+       |  CAST(FLOOR(rev * 1000000 / SUM(rev) OVER (PARTITION BY p_type))
+       |    AS BIGINT) AS share_ppm
+       |FROM b
+       |ORDER BY p_type, p_brand""".stripMargin
 }

@@ -145,4 +145,69 @@ object Validation {
         "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"))
     ).mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
   }
+
+  /** Right-to-erasure (GDPR Art. 17) cascade audit: a deterministic
+    * tombstone set of customers (c_custkey ≡ 0 mod `tombMod`) must be
+    * erased together with their orders and those orders' line items —
+    * this reports, per table, how many rows the cascade removes. The
+    * deletes themselves are the anti-joins of these semi-joins; the
+    * audit is what a compliance pipeline logs before committing them.
+    *
+    * Scale shape: the tombstone set semi-joins into orders (broadcast
+    * while it fits, size-gated on the customer scan it derives from);
+    * the orders→lineitem cascade reuses [[Joins.bloomSemiJoin]], so the
+    * lineitem scan is bloom-pruned map-side before the exact semi-join
+    * shuffle — the same runtime-filter shape Spark's own DPP/runtime
+    * filters use, made explicit.
+    */
+  def gdprErasure(spark: SparkSession, sfDir: String,
+      tombMod: Int = 97): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val orders = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    val tomb = cust.filter(pmod(col("c_custkey"), lit(tombMod)) === 0)
+      .select("c_custkey")
+    val deadOrders = orders
+      .join(Joins.broadcastIfSmall(tomb, cust),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+    val deadLi = Joins.bloomSemiJoin(li, "l_orderkey",
+      deadOrders.select("o_orderkey"), "o_orderkey")
+    def audit(name: String, total: DataFrame, dead: DataFrame): DataFrame =
+      total.agg(count(lit(1)).as("rows_before"))
+        .crossJoin(dead.agg(count(lit(1)).as("rows_deleted")))
+        .select(lit(name).as("table_name"), col("rows_before"),
+          col("rows_deleted"),
+          (col("rows_before") - col("rows_deleted")).as("rows_after"))
+    audit("customer", cust, tomb)
+      .unionByName(audit("orders", orders, deadOrders))
+      .unionByName(audit("lineitem", li, deadLi))
+      .orderBy("table_name")
+  }
+
+  def gdprErasureSql(tombMod: Int = 97): String =
+    s"""WITH tomb AS (
+       |  SELECT c_custkey FROM customer WHERE c_custkey % $tombMod = 0),
+       |dead_orders AS (
+       |  SELECT o_orderkey FROM orders
+       |  WHERE o_custkey IN (SELECT c_custkey FROM tomb)),
+       |dead_li AS (
+       |  SELECT 1 AS x FROM lineitem
+       |  WHERE l_orderkey IN (SELECT o_orderkey FROM dead_orders))
+       |SELECT 'customer' AS table_name,
+       |  (SELECT COUNT(*) FROM customer) AS rows_before,
+       |  (SELECT COUNT(*) FROM tomb) AS rows_deleted,
+       |  (SELECT COUNT(*) FROM customer) - (SELECT COUNT(*) FROM tomb)
+       |    AS rows_after
+       |UNION ALL
+       |SELECT 'orders',
+       |  (SELECT COUNT(*) FROM orders),
+       |  (SELECT COUNT(*) FROM dead_orders),
+       |  (SELECT COUNT(*) FROM orders)
+       |    - (SELECT COUNT(*) FROM dead_orders)
+       |UNION ALL
+       |SELECT 'lineitem',
+       |  (SELECT COUNT(*) FROM lineitem),
+       |  (SELECT COUNT(*) FROM dead_li),
+       |  (SELECT COUNT(*) FROM lineitem) - (SELECT COUNT(*) FROM dead_li)
+       |ORDER BY table_name""".stripMargin
 }
