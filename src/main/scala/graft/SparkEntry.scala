@@ -183,6 +183,13 @@ object SparkEntry {
     // robust (MAD) outlier fences; GDPR cascade-erasure audit
     "q91_mad_outliers" -> ((s, d) => Features.madOutliers(s, d)),
     "q92_gdpr_erasure" -> ((s, d) => Validation.gdprErasure(s, d)),
+    // --- round-4: retail BI classics (RFM, basket affinity, Pareto,
+    // acquisition split, fulfilment SLA) ---
+    "q93_rfm_segments" -> ((s, d) => RetailBi.rfmSegments(s, d)),
+    "q94_basket_pairs" -> ((s, d) => RetailBi.basketPairs(s, d)),
+    "q95_abc_classes" -> ((s, d) => RetailBi.abcClassification(s, d)),
+    "q96_new_vs_returning" -> ((s, d) => RetailBi.newVsReturning(s, d)),
+    "q97_ship_lag" -> ((s, d) => RetailBi.shipLag(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -283,5 +290,10 @@ object SparkEntry {
     "q90_interarrival" -> Events.interarrivalSql,
     "q91_mad_outliers" -> Features.madOutliersSql(),
     "q92_gdpr_erasure" -> Validation.gdprErasureSql(),
+    "q93_rfm_segments" -> RetailBi.rfmSegmentsSql,
+    "q94_basket_pairs" -> RetailBi.basketPairsSql(),
+    "q95_abc_classes" -> RetailBi.abcClassificationSql,
+    "q96_new_vs_returning" -> RetailBi.newVsReturningSql,
+    "q97_ship_lag" -> RetailBi.shipLagSql,
   )
 }

@@ -1,0 +1,327 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Classic retail-BI analyses over the star schema — RFM customer
+  * segmentation, market-basket affinity, ABC/Pareto classification,
+  * new-vs-returning cohort split, and fulfilment-lag distributions
+  * (the dashboard staples of the reference's BI layer, reference
+  * `sql/insights.sql` family; see SURVEY.md §2 F/G/H).
+  *
+  * Determinism conventions as established rounds 1-3: money aggregates
+  * in exact DECIMAL cast to double once at presentation; percentile
+  * breakpoints via R-7 interpolation (Spark `percentile` ≡ DuckDB
+  * `quantile_cont`, the q49 contract); shares as integer
+  * parts-per-million from exact sums; ratio columns as IEEE doubles
+  * computed with identical operand trees in both engines.
+  */
+object RetailBi {
+
+  private def monDec = col("o_totalprice").cast("decimal(18,2)")
+
+  /** RFM (recency / frequency / monetary) segmentation: per-customer
+    * order stats scored 1-5 against exact quintile breakpoints, rolled
+    * up to segment grain. Scoring is by THRESHOLD quintile (value
+    * compared against the exact 20/40/60/80th percentiles), not ntile —
+    * ntile needs a global total-order window (single partition over
+    * every customer), while threshold scoring is a 1-row breakpoint agg
+    * broadcast back over a map-side comparison: the scalable shape.
+    *
+    * Recency is measured in days before the corpus' last order date
+    * (the "analysis date" a live dashboard would pin to `now()`).
+    *
+    * Scale shape: one exchange to customer grain, a 1-row global agg
+    * for the anchor date, a 1-row agg for the 12 breakpoints (both
+    * broadcast), then a bounded 125-cell rollup. Nothing global ever
+    * sorts.
+    */
+  def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val anchor = orders.agg(max(to_date(col("o_orderdate"))).as("anchor"))
+    val cust = orders
+      .groupBy("o_custkey")
+      .agg(max(to_date(col("o_orderdate"))).as("last_date"),
+        count(lit(1)).as("freq"), sum(monDec).as("mon_dec"))
+      .crossJoin(broadcast(anchor))
+      .select(col("o_custkey"),
+        datediff(col("anchor"), col("last_date")).cast("long").as("rec"),
+        col("freq"), col("mon_dec").cast("double").as("mon"))
+    val breaks = cust.agg(
+      percentile(col("rec"), lit(0.2)).as("r1"),
+      percentile(col("rec"), lit(0.4)).as("r2"),
+      percentile(col("rec"), lit(0.6)).as("r3"),
+      percentile(col("rec"), lit(0.8)).as("r4"),
+      percentile(col("freq"), lit(0.2)).as("f1"),
+      percentile(col("freq"), lit(0.4)).as("f2"),
+      percentile(col("freq"), lit(0.6)).as("f3"),
+      percentile(col("freq"), lit(0.8)).as("f4"),
+      percentile(col("mon"), lit(0.2)).as("m1"),
+      percentile(col("mon"), lit(0.4)).as("m2"),
+      percentile(col("mon"), lit(0.6)).as("m3"),
+      percentile(col("mon"), lit(0.8)).as("m4"))
+    def score(v: org.apache.spark.sql.Column, b: String): org.apache.spark.sql.Column =
+      lit(1) + (v > col(s"${b}1")).cast("int") + (v > col(s"${b}2")).cast("int") +
+        (v > col(s"${b}3")).cast("int") + (v > col(s"${b}4")).cast("int")
+    cust.crossJoin(broadcast(breaks))
+      // low recency is GOOD: invert so 5 = most recent, matching f/m
+      .select(col("o_custkey"),
+        (lit(6) - score(col("rec").cast("double"), "r")).as("r_score"),
+        score(col("freq").cast("double"), "f").as("f_score"),
+        score(col("mon"), "m").as("m_score"), col("mon"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("mon").cast("decimal(18,2)")).cast("double")
+          .as("total_monetary"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  val rfmSegmentsSql: String =
+    """WITH cust AS (
+      |  SELECT o_custkey,
+      |    date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+      |      (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)) AS rec,
+      |    COUNT(*) AS freq,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS mon
+      |  FROM orders GROUP BY o_custkey),
+      |b AS (
+      |  SELECT quantile_cont(rec, 0.2) AS r1, quantile_cont(rec, 0.4) AS r2,
+      |         quantile_cont(rec, 0.6) AS r3, quantile_cont(rec, 0.8) AS r4,
+      |         quantile_cont(freq, 0.2) AS f1, quantile_cont(freq, 0.4) AS f2,
+      |         quantile_cont(freq, 0.6) AS f3, quantile_cont(freq, 0.8) AS f4,
+      |         quantile_cont(mon, 0.2) AS m1, quantile_cont(mon, 0.4) AS m2,
+      |         quantile_cont(mon, 0.6) AS m3, quantile_cont(mon, 0.8) AS m4
+      |  FROM cust),
+      |scored AS (
+      |  SELECT o_custkey, mon,
+      |    6 - (1 + CAST(CAST(rec AS DOUBLE) > r1 AS INT)
+      |           + CAST(CAST(rec AS DOUBLE) > r2 AS INT)
+      |           + CAST(CAST(rec AS DOUBLE) > r3 AS INT)
+      |           + CAST(CAST(rec AS DOUBLE) > r4 AS INT)) AS r_score,
+      |    1 + CAST(CAST(freq AS DOUBLE) > f1 AS INT)
+      |      + CAST(CAST(freq AS DOUBLE) > f2 AS INT)
+      |      + CAST(CAST(freq AS DOUBLE) > f3 AS INT)
+      |      + CAST(CAST(freq AS DOUBLE) > f4 AS INT) AS f_score,
+      |    1 + CAST(mon > m1 AS INT) + CAST(mon > m2 AS INT)
+      |      + CAST(mon > m3 AS INT) + CAST(mon > m4 AS INT) AS m_score
+      |  FROM cust, b)
+      |SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(mon AS DECIMAL(18,2))) AS DOUBLE) AS total_monetary
+      |FROM scored
+      |GROUP BY r_score, f_score, m_score
+      |ORDER BY r_score, f_score, m_score""".stripMargin
+
+  /** Market-basket pair affinity: for every pair of parts co-occurring
+    * in ≥`minPairs` orders, the co-occurrence count, each part's own
+    * order count, and the lift
+    * `P(a,b) / (P(a)·P(b)) = n_ab·N / (n_a·n_b)` — computed as IEEE
+    * doubles over identical int64 operands with an identical operand
+    * tree in both engines (the SNIPPETS left-fold convention).
+    *
+    * Scale shape: the self-join is WITHIN an order (both sides hash-
+    * partitioned on l_orderkey — one co-partitioned exchange, pair
+    * blowup bounded by items-per-order², never corpus²); item counts
+    * live at part grain (a bounded dim, size-gated broadcast); N is a
+    * 1-row agg. The `a < b` key order canonicalizes each pair once.
+    */
+  def basketPairs(spark: SparkSession, sfDir: String,
+      minPairs: Int = 2): DataFrame = {
+    val items = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val pairs = items.select(col("o"), col("p").as("part_a"))
+      .join(items.select(col("o"), col("p").as("part_b")), Seq("o"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minPairs)
+    val itemCounts = items.groupBy(col("p"))
+      .agg(count(lit(1)).as("n_item"))
+    val nOrders = items.select("o").distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    pairs
+      .join(Joins.broadcastIfSmall(
+          itemCounts.select(col("p").as("part_a"), col("n_item").as("n_a")),
+          Tables.part(spark, sfDir)),
+        Seq("part_a"))
+      .join(Joins.broadcastIfSmall(
+          itemCounts.select(col("p").as("part_b"), col("n_item").as("n_b")),
+          Tables.part(spark, sfDir)),
+        Seq("part_b"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("n_pair"),
+        col("n_a"), col("n_b"),
+        ((col("n_pair").cast("double") * col("n_orders").cast("double")) /
+          (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("lift"))
+      .orderBy("part_a", "part_b")
+  }
+
+  def basketPairsSql(minPairs: Int = 2): String =
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |pairs AS (
+       |  SELECT a.p AS part_a, b.p AS part_b, COUNT(*) AS n_pair
+       |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+       |  GROUP BY a.p, b.p
+       |  HAVING COUNT(*) >= $minPairs),
+       |ic AS (SELECT p, COUNT(*) AS n_item FROM items GROUP BY p),
+       |n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM items)
+       |SELECT part_a, part_b, n_pair, ia.n_item AS n_a, ib.n_item AS n_b,
+       |  (CAST(n_pair AS DOUBLE) * CAST(n_orders AS DOUBLE)) /
+       |    (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE)) AS lift
+       |FROM pairs
+       |JOIN ic ia ON part_a = ia.p
+       |JOIN ic ib ON part_b = ib.p
+       |CROSS JOIN n
+       |ORDER BY part_a, part_b""".stripMargin
+
+  /** ABC (Pareto) classification: parts ranked by revenue, classified A
+    * while the running share of total revenue is ≤80%, B to ≤95%, C for
+    * the tail; reported at class grain. Running shares are integer ppm
+    * from exact decimal sums (q06 contract).
+    *
+    * Scale shape: the fact collapses to part grain FIRST (one
+    * exchange); the cumulative window then orders the bounded part-
+    * grain frame — a dim-sized single-partition sort, explicitly
+    * documented as such (same reasoning as the q06 grand-total window:
+    * the window input is catalog-sized, not fact-sized).
+    */
+  def abcClassification(spark: SparkSession, sfDir: String): DataFrame = {
+    val byRev = Window.orderBy(col("rev").desc, col("l_partkey"))
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_partkey")
+      .agg(sum(Insights.revenueDec).as("rev"))
+      .withColumn("cum", sum(col("rev")).over(
+        byRev.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("rev")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("cum_ppm",
+        floor(col("cum") * 1000000 / col("total")).cast("long"))
+      .withColumn("abc_class",
+        when(col("cum_ppm") <= 800000L, lit("A"))
+          .when(col("cum_ppm") <= 950000L, lit("B"))
+          .otherwise(lit("C")))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("rev")).cast("double").as("revenue"),
+        min("cum_ppm").as("min_cum_ppm"), max("cum_ppm").as("max_cum_ppm"))
+      .orderBy("abc_class")
+  }
+
+  val abcClassificationSql: String =
+    s"""WITH pr AS (
+       |  SELECT l_partkey, SUM(${Insights.revenueSql}) AS rev
+       |  FROM lineitem GROUP BY l_partkey),
+       |ranked AS (
+       |  SELECT l_partkey, rev,
+       |    SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+       |      ROWS UNBOUNDED PRECEDING) AS cum,
+       |    SUM(rev) OVER () AS total
+       |  FROM pr),
+       |classed AS (
+       |  SELECT rev,
+       |    CAST(FLOOR(cum * 1000000 / total) AS BIGINT) AS cum_ppm,
+       |    CASE WHEN FLOOR(cum * 1000000 / total) <= 800000 THEN 'A'
+       |         WHEN FLOOR(cum * 1000000 / total) <= 950000 THEN 'B'
+       |         ELSE 'C' END AS abc_class
+       |  FROM ranked)
+       |SELECT abc_class, COUNT(*) AS n_parts,
+       |  CAST(SUM(rev) AS DOUBLE) AS revenue,
+       |  MIN(cum_ppm) AS min_cum_ppm, MAX(cum_ppm) AS max_cum_ppm
+       |FROM classed
+       |GROUP BY abc_class
+       |ORDER BY abc_class""".stripMargin
+
+  /** New-vs-returning monthly split: an order is "new" when its month
+    * equals the customer's first-ever order month. The acquisition/
+    * retention trend every subscription and commerce dashboard leads
+    * with.
+    *
+    * Scale shape: first-order month at customer grain, joined back on
+    * the SAME key the grain was built on (co-partitioned, no second
+    * exchange of the fact), then a bounded (month × 2) rollup.
+    * n_customers is exact distinct per cell — one Expand-free
+    * two-level agg since the cell count is bounded.
+    */
+  def newVsReturning(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .as("m"),
+        monDec.as("mon"))
+    val firstMonth = orders.groupBy("o_custkey")
+      .agg(min(col("m")).as("first_m"))
+    orders.join(firstMonth, Seq("o_custkey"))
+      .withColumn("is_new", (col("m") === col("first_m")).cast("int"))
+      .groupBy("m", "is_new")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        sum(col("mon")).cast("double").as("revenue"))
+      .select((col("m") / 12).cast("int").as("sales_year"),
+        (pmod(col("m"), lit(12)) + 1).cast("int").as("sales_month"),
+        col("is_new"), col("n_orders"), col("n_customers"), col("revenue"))
+      .orderBy("sales_year", "sales_month", "is_new")
+  }
+
+  val newVsReturningSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey,
+      |    year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS mon
+      |  FROM orders),
+      |fm AS (SELECT o_custkey, MIN(m) AS first_m FROM o GROUP BY o_custkey)
+      |SELECT CAST(o.m // 12 AS INT) AS sales_year,
+      |  CAST(o.m % 12 + 1 AS INT) AS sales_month,
+      |  CAST(o.m = fm.first_m AS INT) AS is_new,
+      |  COUNT(*) AS n_orders,
+      |  CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+      |  CAST(SUM(mon) AS DOUBLE) AS revenue
+      |FROM o JOIN fm ON o.o_custkey = fm.o_custkey
+      |GROUP BY o.m, CAST(o.m = fm.first_m AS INT)
+      |ORDER BY sales_year, sales_month, is_new""".stripMargin
+
+  /** Fulfilment-lag distribution: days between order placement and each
+    * line's ship date, summarized per order priority with exact min/max
+    * and R-7 median/p90 (q49 percentile contract). The SLA view: are
+    * urgent orders actually shipping faster?
+    *
+    * Scale shape: a fact-fact equi-join on the order key (both sides
+    * hash-partition on it — at scale this is THE shuffle, and it's
+    * unavoidable and linear), then a bounded per-priority agg; the
+    * percentile state is per-priority sorted lags, fine at priority
+    * cardinality.
+    */
+  def shipLag(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship"))
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        to_date(col("o_orderdate")).as("placed"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("ship"), col("placed")).cast("long").as("lag_days"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        min("lag_days").as("min_lag"), max("lag_days").as("max_lag"),
+        percentile(col("lag_days"), lit(0.5)).as("median_lag"),
+        percentile(col("lag_days"), lit(0.9)).as("p90_lag"))
+      .orderBy("o_orderpriority")
+  }
+
+  val shipLagSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_lines,
+      |  MIN(lag_days) AS min_lag, MAX(lag_days) AS max_lag,
+      |  quantile_cont(lag_days, 0.5) AS median_lag,
+      |  quantile_cont(lag_days, 0.9) AS p90_lag
+      |FROM (
+      |  SELECT o_orderpriority,
+      |    date_diff('day', CAST(o_orderdate AS DATE),
+      |      CAST(l_shipdate AS DATE)) AS lag_days
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+}
