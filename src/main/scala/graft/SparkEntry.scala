@@ -190,6 +190,10 @@ object SparkEntry {
     "q95_abc_classes" -> ((s, d) => RetailBi.abcClassification(s, d)),
     "q96_new_vs_returning" -> ((s, d) => RetailBi.newVsReturning(s, d)),
     "q97_ship_lag" -> ((s, d) => RetailBi.shipLag(s, d)),
+    // corpus curation II: template grams, mojibake gate, temperature mix
+    "q98_boilerplate" -> ((s, d) => Corpus.boilerplateGrams(s, d)),
+    "q99_encoding_gate" -> ((s, d) => Corpus.encodingGate(s, d)),
+    "q100_domain_mixture" -> ((s, d) => Corpus.domainMixture(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -295,5 +299,8 @@ object SparkEntry {
     "q95_abc_classes" -> RetailBi.abcClassificationSql,
     "q96_new_vs_returning" -> RetailBi.newVsReturningSql,
     "q97_ship_lag" -> RetailBi.shipLagSql,
+    "q98_boilerplate" -> Corpus.boilerplateGramsSql(),
+    "q99_encoding_gate" -> Corpus.encodingGateSql,
+    "q100_domain_mixture" -> Corpus.domainMixtureSql,
   )
 }

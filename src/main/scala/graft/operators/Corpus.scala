@@ -235,6 +235,211 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Per-source template ("boilerplate") n-gram detection: a gram is
+    * boilerplate for a source when it appears in ≥20% of that source's
+    * docs (`df·5 ≥ n_docs` — integer arithmetic, no float threshold).
+    * Reports, per source, how much of the gram stream those template
+    * grams cover — the signal a curation pipeline uses to strip shared
+    * headers/footers/navigation before dedup scoring.
+    *
+    * Scale shape: the explode collapses to (source, doc, hash) grain
+    * with a map-side combine, then to (source, hash) document
+    * frequencies; every exchange carries ~24-byte hash rows, and the
+    * final rollup is source-grain (bounded). No text ever shuffles.
+    */
+  def boilerplateGrams(spark: SparkSession, sfDir: String,
+      n: Int = 5): DataFrame = {
+    val inst = Tables.documents(spark, sfDir)
+      .withColumn("tks", expr(tokensSparkSql))
+      .select(col("source"), col("doc_id"),
+        explode(shinglesExpr("tks", n)).as("sh"))
+      .select(col("source"), col("doc_id"),
+        TextAnalysis.md5Hash60(col("sh")).as("h"))
+      .groupBy("source", "doc_id", "h")
+      .agg(count(lit(1)).as("c"))
+    val nDocs = Tables.documents(spark, sfDir)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val grams = inst.groupBy("source", "h")
+      .agg(count(lit(1)).as("df"), sum("c").as("inst"))
+      .join(Joins.broadcastIfSmall(nDocs,
+        Tables.documents(spark, sfDir)), Seq("source"))
+      .withColumn("is_boiler", (col("df") * 5 >= col("n_docs")).cast("int"))
+    grams.groupBy("source")
+      .agg(first(col("n_docs")).as("n_docs"),
+        count(lit(1)).as("n_distinct_grams"),
+        sum("is_boiler").as("n_boiler_grams"),
+        sum("inst").as("n_instances"),
+        sum(when(col("is_boiler") === 1, col("inst")).otherwise(lit(0L)))
+          .as("n_boiler_instances"))
+      .withColumn("coverage_ppm",
+        floor(col("n_boiler_instances") * 1000000 /
+          greatest(col("n_instances"), lit(1L))).cast("long"))
+      .orderBy("source")
+  }
+
+  def boilerplateGramsSql(n: Int = 5): String =
+    s"""WITH tk AS (SELECT source, doc_id, $tokensDuckSql AS tks
+       |            FROM documents),
+       |sh AS (SELECT source, doc_id, unnest(${shinglesSql("tks", n)}) AS s
+       |       FROM tk),
+       |inst AS (
+       |  SELECT source, doc_id, ${TextAnalysis.md5Hash60Sql("s")} AS h,
+       |    COUNT(*) AS c
+       |  FROM sh GROUP BY source, doc_id, ${TextAnalysis.md5Hash60Sql("s")}),
+       |nd AS (SELECT source, COUNT(*) AS n_docs FROM documents
+       |       GROUP BY source),
+       |grams AS (
+       |  SELECT inst.source, h, COUNT(*) AS df, SUM(c) AS inst,
+       |    MIN(n_docs) AS n_docs,
+       |    CAST(COUNT(*) * 5 >= MIN(n_docs) AS INT) AS is_boiler
+       |  FROM inst JOIN nd ON inst.source = nd.source
+       |  GROUP BY inst.source, h)
+       |SELECT source, CAST(MIN(n_docs) AS BIGINT) AS n_docs,
+       |  COUNT(*) AS n_distinct_grams,
+       |  CAST(SUM(is_boiler) AS BIGINT) AS n_boiler_grams,
+       |  CAST(SUM(inst) AS BIGINT) AS n_instances,
+       |  CAST(SUM(CASE WHEN is_boiler = 1 THEN inst ELSE 0 END) AS BIGINT)
+       |    AS n_boiler_instances,
+       |  CAST(FLOOR(SUM(CASE WHEN is_boiler = 1 THEN inst ELSE 0 END)
+       |    * 1000000 / greatest(SUM(inst), 1)) AS BIGINT) AS coverage_ppm
+       |FROM grams
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  /** Encoding-quality gate: per-doc counts of bytes-gone-wrong
+    * indicators — characters outside printable ASCII + whitespace,
+    * control characters, and U+FFFD replacement characters (the
+    * mojibake tell) — rolled up per source. A doc is clean when it has
+    * no non-ASCII and no replacement chars. All counts are integer
+    * length deltas of regex strips, identical in Spark's Java regex and
+    * DuckDB's RE2 for these hex classes.
+    *
+    * Scale shape: one narrow codegen'd pass (three regexp_replace over
+    * the scan), then a source-grain agg — the only exchange is one
+    * partial-counter row per (partition, source).
+    */
+  def encodingGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val printable = "[\\x20-\\x7e\\t\\n\\r]"
+    val ctrl = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+    val gated = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        length(col("text")).as("nc"),
+        length(regexp_replace(col("text"), printable, "")).as("non_ascii"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), ctrl, ""))).as("n_ctrl"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "�", ""))).as("n_repl"))
+    gated.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(((col("non_ascii") === 0) && (col("n_repl") === 0)).cast("long"))
+          .as("n_clean"),
+        sum(col("nc")).as("total_chars"),
+        sum(col("non_ascii")).as("total_non_ascii"),
+        sum(col("n_ctrl")).as("total_ctrl"),
+        sum(col("n_repl")).as("total_repl"))
+      .withColumn("clean_ppm",
+        floor(col("n_clean") * 1000000 / greatest(col("n_docs"), lit(1L)))
+          .cast("long"))
+      .orderBy("source")
+  }
+
+  val encodingGateSql: String =
+    s"""WITH g AS (
+       |  SELECT source, length(text) AS nc,
+       |    length(regexp_replace(text, '[\\x20-\\x7e\\t\\n\\r]', '', 'g'))
+       |      AS non_ascii,
+       |    length(text) - length(regexp_replace(text,
+       |      '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g')) AS n_ctrl,
+       |    length(text) - length(replace(text, chr(65533), '')) AS n_repl
+       |  FROM documents)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN non_ascii = 0 AND n_repl = 0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_clean,
+       |  CAST(SUM(nc) AS BIGINT) AS total_chars,
+       |  CAST(SUM(non_ascii) AS BIGINT) AS total_non_ascii,
+       |  CAST(SUM(n_ctrl) AS BIGINT) AS total_ctrl,
+       |  CAST(SUM(n_repl) AS BIGINT) AS total_repl,
+       |  CAST(FLOOR(SUM(CASE WHEN non_ascii = 0 AND n_repl = 0
+       |      THEN 1 ELSE 0 END) * 1000000
+       |    / greatest(COUNT(*), 1)) AS BIGINT) AS clean_ppm
+       |FROM g
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  /** Temperature-flattened domain mixture (the multilingual-sampling
+    * recipe): per-source weights `w = floor(1000·√n)` (α = 0.5,
+    * integerized so the weight SUM is exact and order-independent),
+    * a corpus budget of ⌊N/2⌋ docs allotted proportionally to weight,
+    * and per-doc keep decisions by md5-uniform against the source's
+    * keep probability — re-running on any partitioning keeps the SAME
+    * docs (the [[Sampling.trainSplit]] determinism contract).
+    *
+    * The keep probability is computed as IEEE doubles over exact
+    * integers with an identical operand tree in both engines, floored
+    * BEFORE the bigint cast (DuckDB casts double→int by rounding,
+    * Spark by truncation — floor-then-cast is exact either way).
+    *
+    * Scale shape: source-grain stats (bounded) broadcast back over a
+    * map-side hash filter; no fact-sized exchange at all beyond the
+    * one stats agg.
+    */
+  def domainMixture(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source")
+    val stats = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", floor(sqrt(col("n_docs").cast("double")) * 1000.0)
+        .cast("long"))
+    val totals = stats.agg(sum("w").as("sw"), sum("n_docs").as("n_total"))
+      .withColumn("budget", expr("n_total div 2"))
+    val withP = stats.crossJoin(broadcast(totals))
+      .withColumn("p_keep_ppm",
+        least(lit(1000000L),
+          floor((col("budget").cast("double") * col("w").cast("double") *
+            lit(1000000.0)) /
+            (col("sw").cast("double") * col("n_docs").cast("double")))
+            .cast("long")))
+      .select("source", "n_docs", "w", "p_keep_ppm")
+    docs
+      .withColumn("u_ppm", pmod(TextAnalysis.md5Hash60(
+        concat(lit("mix:"), col("doc_id").cast("string"))), lit(1000000L)))
+      .join(Joins.broadcastIfSmall(withP,
+        Tables.documents(spark, sfDir)), Seq("source"))
+      .groupBy("source")
+      .agg(first(col("n_docs")).as("n_docs"), first(col("w")).as("w"),
+        first(col("p_keep_ppm")).as("p_keep_ppm"),
+        sum((col("u_ppm") < col("p_keep_ppm")).cast("long")).as("n_kept"))
+      .orderBy("source")
+  }
+
+  val domainMixtureSql: String =
+    s"""WITH stats AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(FLOOR(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000.0) AS BIGINT)
+       |      AS w
+       |  FROM documents GROUP BY source),
+       |tot AS (
+       |  SELECT CAST(SUM(w) AS BIGINT) AS sw,
+       |    CAST(SUM(n_docs) AS BIGINT) AS n_total,
+       |    CAST(SUM(n_docs) // 2 AS BIGINT) AS budget
+       |  FROM stats),
+       |p AS (
+       |  SELECT source, n_docs, w,
+       |    least(1000000, CAST(FLOOR(
+       |      (CAST(budget AS DOUBLE) * CAST(w AS DOUBLE) * 1000000.0) /
+       |      (CAST(sw AS DOUBLE) * CAST(n_docs AS DOUBLE))) AS BIGINT))
+       |      AS p_keep_ppm
+       |  FROM stats, tot)
+       |SELECT d.source, CAST(MIN(p.n_docs) AS BIGINT) AS n_docs,
+       |  CAST(MIN(p.w) AS BIGINT) AS w,
+       |  CAST(MIN(p.p_keep_ppm) AS BIGINT) AS p_keep_ppm,
+       |  CAST(SUM(CASE WHEN
+       |      ${TextAnalysis.md5Hash60Sql("'mix:' || CAST(doc_id AS VARCHAR)")}
+       |        % 1000000 < p.p_keep_ppm
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM documents d JOIN p ON d.source = p.source
+       |GROUP BY d.source
+       |ORDER BY d.source""".stripMargin
+
   def decontaminationSql(n: Int = 5, evalMod: Int = 5): String =
     s"""WITH ${shingleHashesSql(n)},
        |ev AS (SELECT DISTINCT h FROM hs WHERE doc_id % $evalMod = 0),
