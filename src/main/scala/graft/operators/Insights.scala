@@ -646,8 +646,12 @@ object Insights {
       .groupBy(col("r_name"), monthOf.as("m"))
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"),
         count(lit(1)).as("n"))
-    val spine = orders
-      .agg(min(monthOf).as("lo"), max(monthOf).as("hi"))
+    // bounds come from the aggregated monthly frame (bounded rows), not
+    // a second orders scan — AQE reuses monthly's exchange, and the
+    // spine spans exactly the joined months (identical here, where
+    // order→customer FK integrity holds)
+    val spine = monthly
+      .agg(min(col("m")).as("lo"), max(col("m")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"))).as("m"))
       .crossJoin(broadcast(Tables.region(spark, sfDir).select("r_name")))
     spine.join(monthly, Seq("r_name", "m"), "left")
@@ -671,9 +675,7 @@ object Insights {
       |  JOIN region ON n_regionkey = r_regionkey
       |  GROUP BY 1, 2),
       |bounds AS (
-      |  SELECT min(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS lo,
-      |         max(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS hi
-      |  FROM orders),
+      |  SELECT min(m) AS lo, max(m) AS hi FROM monthly),
       |spine AS (
       |  SELECT r_name, unnest(range(lo, hi + 1)) AS m
       |  FROM bounds, region)

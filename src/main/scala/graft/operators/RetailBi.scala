@@ -40,12 +40,16 @@ object RetailBi {
     * sorts.
     */
   def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
-    val orders = Tables.orders(spark, sfDir)
-    val anchor = orders.agg(max(to_date(col("o_orderdate"))).as("anchor"))
-    val cust = orders
+    // one orders exchange feeds everything: the anchor date is
+    // max(last_date) over the customer grain (same value as a direct
+    // orders max, but its subtree shares cust0's exchange, so AQE
+    // reuses one scan instead of four)
+    val cust0 = Tables.orders(spark, sfDir)
       .groupBy("o_custkey")
       .agg(max(to_date(col("o_orderdate"))).as("last_date"),
         count(lit(1)).as("freq"), sum(monDec).as("mon_dec"))
+    val anchor = cust0.agg(max(col("last_date")).as("anchor"))
+    val cust = cust0
       .crossJoin(broadcast(anchor))
       .select(col("o_custkey"),
         datediff(col("anchor"), col("last_date")).cast("long").as("rec"),
@@ -121,27 +125,35 @@ object RetailBi {
     * doubles over identical int64 operands with an identical operand
     * tree in both engines (the SNIPPETS left-fold convention).
     *
-    * Scale shape: the self-join is WITHIN an order (both sides hash-
-    * partitioned on l_orderkey — one co-partitioned exchange, pair
-    * blowup bounded by items-per-order², never corpus²); item counts
-    * live at part grain (a bounded dim, size-gated broadcast); N is a
-    * 1-row agg. The `a < b` key order canonicalizes each pair once.
+    * Scale shape: ONE exchange of the fact (the groupBy on the order
+    * key, building each order's sorted item set — bounded by items-per-
+    * order); pair generation is then a map-side array combination over
+    * that set (no self-join, no second fact exchange — the sorted array
+    * canonicalizes `a < b` for free), and item counts and the order
+    * count are derived from the SAME aggregated base, so AQE reuses its
+    * exchange instead of rescanning. Pair blowup stays items-per-
+    * order², never corpus².
     */
   def basketPairs(spark: SparkSession, sfDir: String,
       minPairs: Int = 2): DataFrame = {
-    val items = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val pairs = items.select(col("o"), col("p").as("part_a"))
-      .join(items.select(col("o"), col("p").as("part_b")), Seq("o"))
-      .filter(col("part_a") < col("part_b"))
+    val baskets = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey").as("o"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+    val pairs = baskets
+      .select(explode(expr(
+        """flatten(transform(items,
+          |  (x, i) -> transform(slice(items, i + 2, size(items)),
+          |    y -> struct(x AS part_a, y AS part_b))))""".stripMargin))
+        .as("pr"))
+      .select(col("pr.part_a"), col("pr.part_b"))
       .groupBy("part_a", "part_b")
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= minPairs)
-    val itemCounts = items.groupBy(col("p"))
+    val itemCounts = baskets
+      .select(explode(col("items")).as("p"))
+      .groupBy(col("p"))
       .agg(count(lit(1)).as("n_item"))
-    val nOrders = items.select("o").distinct()
-      .agg(count(lit(1)).as("n_orders"))
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
     pairs
       .join(Joins.broadcastIfSmall(
           itemCounts.select(col("p").as("part_a"), col("n_item").as("n_a")),
