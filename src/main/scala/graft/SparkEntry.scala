@@ -194,6 +194,11 @@ object SparkEntry {
     "q98_boilerplate" -> ((s, d) => Corpus.boilerplateGrams(s, d)),
     "q99_encoding_gate" -> ((s, d) => Corpus.encodingGate(s, d)),
     "q100_domain_mixture" -> ((s, d) => Corpus.domainMixture(s, d)),
+    // statistical QA: Benford, independence, anomaly z, concentration
+    "q101_benford" -> ((s, d) => StatQa.benfordAudit(s, d)),
+    "q102_independence" -> ((s, d) => StatQa.segmentRegionIndependence(s, d)),
+    "q103_daily_anomalies" -> ((s, d) => StatQa.dailyAnomalies(s, d)),
+    "q104_revenue_gini" -> ((s, d) => StatQa.revenueGini(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -302,5 +307,9 @@ object SparkEntry {
     "q98_boilerplate" -> Corpus.boilerplateGramsSql(),
     "q99_encoding_gate" -> Corpus.encodingGateSql,
     "q100_domain_mixture" -> Corpus.domainMixtureSql,
+    "q101_benford" -> StatQa.benfordAuditSql,
+    "q102_independence" -> StatQa.segmentRegionIndependenceSql,
+    "q103_daily_anomalies" -> StatQa.dailyAnomaliesSql(),
+    "q104_revenue_gini" -> StatQa.revenueGiniSql,
   )
 }

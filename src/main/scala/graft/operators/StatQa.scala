@@ -1,0 +1,258 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Statistical data-quality audits: Benford first-digit conformance,
+  * cross-tab independence, robust daily anomaly scores, and revenue
+  * concentration (Gini). The auditing layer a production warehouse runs
+  * beside its BI queries — every statistic here is engineered for
+  * bit-identical results on any partitioning and in both engines:
+  * integer counts, decimal moment sums converted to double once, and
+  * shared Scala-computed literals interpolated into BOTH the Spark plan
+  * and the DuckDB oracle (so transcendentals like log10 are evaluated
+  * exactly once, at plan-build time, never per-engine).
+  */
+object StatQa {
+
+  /** Benford's-law expected share of first significant digit `d`, in
+    * ppm — computed HERE (JVM, once) and embedded as a literal in both
+    * engines' plans, so no engine ever evaluates log10.
+    */
+  private val benfordPpm: Map[Int, Long] =
+    (1 to 9).map(d => d -> math.floor(
+      math.log10(1.0 + 1.0 / d) * 1000000.0).toLong).toMap
+
+  /** Benford first-digit audit over order totals: observed counts and
+    * ppm share of each leading significant digit vs the Benford
+    * expectation, with the per-digit deviation. Fraud/garbage screens
+    * run exactly this over money columns.
+    *
+    * The first significant digit is extracted integer-exactly: cents =
+    * round(x·100) as bigint, then the first character of the decimal
+    * rendering of that integer — no float formatting, no log10 in
+    * either engine.
+    *
+    * Scale shape: one narrow projection, one 9-group agg — partial
+    * counters collapse map-side; the exchange carries ≤9 rows per
+    * partition.
+    */
+  def benfordAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val expectedCol = benfordPpm.foldLeft(lit(0L)) { case (acc, (d, p)) =>
+      when(col("digit") === d, lit(p)).otherwise(acc)
+    }
+    Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 0)
+      .select(substring(round(col("o_totalprice") * 100).cast("bigint")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit")
+      .agg(count(lit(1)).as("n_orders"))
+      .withColumn("total", sum(col("n_orders")).over(Window.partitionBy()))
+      .select(col("digit"), col("n_orders"),
+        floor(col("n_orders") * 1000000 / col("total")).cast("long")
+          .as("observed_ppm"),
+        expectedCol.as("expected_ppm"))
+      .withColumn("deviation_ppm",
+        (col("observed_ppm") - col("expected_ppm")).cast("long"))
+      .orderBy("digit")
+  }
+
+  def benfordAuditSql: String = {
+    val cases = (1 to 9).map(d =>
+      s"WHEN digit = $d THEN ${benfordPpm(d)}").mkString(" ")
+    s"""WITH d AS (
+       |  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+       |    AS VARCHAR), 1, 1) AS INT) AS digit
+       |  FROM orders WHERE o_totalprice > 0),
+       |c AS (SELECT digit, COUNT(*) AS n_orders FROM d GROUP BY digit)
+       |SELECT digit, n_orders,
+       |  CAST(FLOOR(n_orders * 1000000 / SUM(n_orders) OVER ()) AS BIGINT)
+       |    AS observed_ppm,
+       |  CAST(CASE $cases END AS BIGINT) AS expected_ppm,
+       |  CAST(FLOOR(n_orders * 1000000 / SUM(n_orders) OVER ())
+       |    - CASE $cases END AS BIGINT) AS deviation_ppm
+       |FROM c
+       |ORDER BY digit""".stripMargin
+  }
+
+  /** Cross-tab independence audit of customer market segment × region:
+    * observed cell counts against the independence expectation
+    * `row·col/N`, with each cell's chi-square contribution. The
+    * expectation and contribution are IEEE doubles over exact integer
+    * counts with identical operand trees in both engines; the audit
+    * reports per-cell (the bounded 5×5 grid), so no cross-cell float
+    * sum ever happens.
+    *
+    * Scale shape: one broadcast dim join, one exchange to the bounded
+    * cell grid; marginals are windows OVER that grid, not the fact.
+    */
+  def segmentRegionIndependence(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val custRegion = Tables.customer(spark, sfDir)
+      .select(col("c_mktsegment"), col("c_nationkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)
+          .select("n_nationkey", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)
+          .select("r_regionkey", "r_name")),
+        col("n_regionkey") === col("r_regionkey"))
+    val bySeg = Window.partitionBy("c_mktsegment")
+    val byReg = Window.partitionBy("r_name")
+    custRegion
+      .groupBy("c_mktsegment", "r_name")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total", sum("n").over(bySeg))
+      .withColumn("col_total", sum("n").over(byReg))
+      .withColumn("grand", sum("n").over(Window.partitionBy()))
+      .withColumn("expected",
+        (col("row_total").cast("double") * col("col_total").cast("double")) /
+          col("grand").cast("double"))
+      .withColumn("chi2_contrib",
+        ((col("n").cast("double") - col("expected")) *
+          (col("n").cast("double") - col("expected"))) / col("expected"))
+      .select(col("c_mktsegment"), col("r_name"), col("n"),
+        col("row_total"), col("col_total"), col("expected"),
+        col("chi2_contrib"))
+      .orderBy("c_mktsegment", "r_name")
+  }
+
+  val segmentRegionIndependenceSql: String =
+    """WITH cells AS (
+      |  SELECT c_mktsegment, r_name, COUNT(*) AS n
+      |  FROM customer
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY c_mktsegment, r_name),
+      |m AS (
+      |  SELECT c_mktsegment, r_name, n,
+      |    SUM(n) OVER (PARTITION BY c_mktsegment) AS row_total,
+      |    SUM(n) OVER (PARTITION BY r_name) AS col_total,
+      |    SUM(n) OVER () AS grand
+      |  FROM cells)
+      |SELECT c_mktsegment, r_name, n,
+      |  CAST(row_total AS BIGINT) AS row_total,
+      |  CAST(col_total AS BIGINT) AS col_total,
+      |  (CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE))
+      |    / CAST(grand AS DOUBLE) AS expected,
+      |  ((CAST(n AS DOUBLE) - (CAST(row_total AS DOUBLE)
+      |      * CAST(col_total AS DOUBLE)) / CAST(grand AS DOUBLE))
+      |   * (CAST(n AS DOUBLE) - (CAST(row_total AS DOUBLE)
+      |      * CAST(col_total AS DOUBLE)) / CAST(grand AS DOUBLE)))
+      |  / ((CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE))
+      |      / CAST(grand AS DOUBLE)) AS chi2_contrib
+      |FROM m
+      |ORDER BY c_mktsegment, r_name""".stripMargin
+
+  /** Daily revenue anomaly flags: each ship-day's revenue z-scored
+    * against the corpus-wide daily mean/stddev, computed from exact
+    * decimal moment sums at day grain (the [[Features.exactCorr]]
+    * reproducible-statistics pattern — no double partial sums). Days
+    * with |z| > `zCut` flag as anomalies.
+    *
+    * Scale shape: the fact collapses to day grain in one exchange;
+    * moments and z-scores live on the bounded day frame (windows over
+    * ~thousands of rows, partitioned arbitrarily — here a grand-total
+    * window documented dim-sized like q06).
+    */
+  def dailyAnomalies(spark: SparkSession, sfDir: String,
+      zCut: Double = 3.0): DataFrame = {
+    val daily = Tables.lineitem(spark, sfDir)
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(sum(Insights.revenueDec).as("rev_dec"))
+    val all = Window.partitionBy()
+    daily
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("s1", sum(col("rev_dec")).over(all))
+      .withColumn("s2", sum(col("rev_dec") * col("rev_dec")).over(all))
+      .select(col("day"), col("rev_dec").cast("double").as("revenue"),
+        col("n"), col("s1").cast("double").as("s1d"),
+        col("s2").cast("double").as("s2d"))
+      .withColumn("mean", col("s1d") / col("n").cast("double"))
+      .withColumn("sd", sqrt((col("s2d") -
+        (col("s1d") * col("s1d")) / col("n").cast("double")) /
+        col("n").cast("double")))
+      .withColumn("z", (col("revenue") - col("mean")) / col("sd"))
+      .withColumn("is_anomaly", (abs(col("z")) > zCut).cast("int"))
+      .select("day", "revenue", "mean", "sd", "z", "is_anomaly")
+      .orderBy("day")
+  }
+
+  def dailyAnomaliesSql(zCut: Double = 3.0): String =
+    s"""WITH daily AS (
+       |  SELECT CAST(l_shipdate AS DATE) AS day,
+       |    SUM(${Insights.revenueSql}) AS rev_dec
+       |  FROM lineitem GROUP BY 1),
+       |m AS (
+       |  SELECT day, CAST(rev_dec AS DOUBLE) AS revenue,
+       |    COUNT(*) OVER () AS n,
+       |    CAST(SUM(rev_dec) OVER () AS DOUBLE) AS s1d,
+       |    CAST(SUM(rev_dec * rev_dec) OVER () AS DOUBLE) AS s2d
+       |  FROM daily),
+       |z AS (
+       |  SELECT day, revenue, s1d / CAST(n AS DOUBLE) AS mean,
+       |    sqrt((s2d - (s1d * s1d) / CAST(n AS DOUBLE))
+       |      / CAST(n AS DOUBLE)) AS sd
+       |  FROM m)
+       |SELECT day, revenue, mean, sd,
+       |  (revenue - mean) / sd AS z,
+       |  CAST(abs((revenue - mean) / sd) > $zCut AS INT) AS is_anomaly
+       |FROM z
+       |ORDER BY day""".stripMargin
+
+  /** Revenue concentration per part type: the exact Gini coefficient of
+    * part-level revenue within each type, from the rank-weighted sum
+    * formula `G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx)` over parts ranked
+    * ascending (ties broken by part key — a total order, so ranks and
+    * the decimal rank-weighted sum are deterministic). Σ i·xᵢ and Σx
+    * are exact decimal sums; the final expression is scalar IEEE.
+    *
+    * Scale shape: fact → part grain in one exchange; the rank window
+    * partitions by p_type over the bounded part catalog (same
+    * dim-sized reasoning as the ABC window).
+    */
+  def revenueGini(spark: SparkSession, sfDir: String): DataFrame = {
+    val byType = Window.partitionBy("p_type")
+      .orderBy(col("rev"), col("l_partkey"))
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_partkey")
+      .agg(sum(Insights.revenueDec).as("rev"))
+      .join(Joins.broadcastIfSmall(
+          Tables.part(spark, sfDir).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("rk", row_number().over(byType))
+      .groupBy("p_type")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("rev")).as("sx"),
+        sum(col("rev") * col("rk").cast("decimal(18,0)")).as("six"))
+      .select(col("p_type"), col("n_parts"),
+        col("sx").cast("double").as("revenue"),
+        ((lit(2.0) * col("six").cast("double") -
+          (col("n_parts") + 1).cast("double") * col("sx").cast("double")) /
+          (col("n_parts").cast("double") * col("sx").cast("double")))
+          .as("gini"))
+      .orderBy("p_type")
+  }
+
+  val revenueGiniSql: String =
+    s"""WITH pr AS (
+       |  SELECT l_partkey, SUM(${Insights.revenueSql}) AS rev
+       |  FROM lineitem GROUP BY l_partkey),
+       |ranked AS (
+       |  SELECT p_type, rev,
+       |    ROW_NUMBER() OVER (PARTITION BY p_type
+       |      ORDER BY rev, l_partkey) AS rk
+       |  FROM pr JOIN part ON l_partkey = p_partkey),
+       |agg AS (
+       |  SELECT p_type, COUNT(*) AS n_parts, SUM(rev) AS sx,
+       |    SUM(rev * CAST(rk AS DECIMAL(18,0))) AS six
+       |  FROM ranked GROUP BY p_type)
+       |SELECT p_type, n_parts, CAST(sx AS DOUBLE) AS revenue,
+       |  (2.0 * CAST(six AS DOUBLE)
+       |    - CAST(n_parts + 1 AS DOUBLE) * CAST(sx AS DOUBLE))
+       |  / (CAST(n_parts AS DOUBLE) * CAST(sx AS DOUBLE)) AS gini
+       |FROM agg
+       |ORDER BY p_type""".stripMargin
+}

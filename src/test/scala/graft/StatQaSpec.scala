@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.StatQa
+
+/** Semantic invariants for the statistical-QA wave (q101–q104). */
+class StatQaSpec extends SparkSpec {
+
+  test("q101 Benford: expected ppm shares are the log10 ladder and sum to ~1e6") {
+    val rows = StatQa.benfordAudit(spark, sf0001).collect()
+    assert(rows.map(_.getAs[Int]("digit")).toSeq == (1 to 9))
+    val exp = rows.map(_.getAs[Long]("expected_ppm"))
+    assert(exp.head == 301029L && exp.last == 45757L) // floor(log10(2)e6), floor(log10(10/9)e6)
+    assert(exp.sorted.reverse.toSeq == exp.toSeq, "expected ppm must decrease in d")
+    val sumObs = rows.map(_.getAs[Long]("observed_ppm")).sum
+    assert(sumObs <= 1000000L && sumObs > 1000000L - 9)
+  }
+
+  test("q102 independence: marginals close and contributions non-negative") {
+    val rows = StatQa.segmentRegionIndependence(spark, sf0001).collect()
+    val grand = rows.map(_.getAs[Long]("n")).sum
+    rows.foreach { r =>
+      assert(r.getAs[Double]("chi2_contrib") >= 0.0)
+      assert(r.getAs[Double]("expected") > 0.0)
+    }
+    // row marginals equal the sum of each segment's cells, and the
+    // distinct row marginals add back to the grand total
+    val segs = rows.groupBy(_.getAs[String]("c_mktsegment"))
+    segs.foreach { case (_, rs) =>
+      assert(rs.head.getAs[Long]("row_total") == rs.map(_.getAs[Long]("n")).sum)
+    }
+    assert(segs.values.map(_.head.getAs[Long]("row_total")).sum == grand)
+  }
+
+  test("q103 anomalies: z-scores standardize (mean~0) and flags match the cut") {
+    val rows = StatQa.dailyAnomalies(spark, sf0001).collect()
+    assert(rows.length > 100)
+    val zs = rows.map(_.getAs[Double]("z"))
+    assert(math.abs(zs.sum / zs.length) < 1e-9, "z mean should be ~0")
+    rows.foreach { r =>
+      assert((r.getAs[Int]("is_anomaly") == 1) ==
+        (math.abs(r.getAs[Double]("z")) > 3.0))
+    }
+  }
+
+  test("q104 Gini: coefficients in [0,1) and a uniform distribution scores ~0") {
+    val rows = StatQa.revenueGini(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val g = r.getAs[Double]("gini")
+      assert(g >= -1e-9 && g < 1.0, s"gini out of range: $r")
+    }
+  }
+}
