@@ -199,6 +199,9 @@ object SparkEntry {
     "q102_independence" -> ((s, d) => StatQa.segmentRegionIndependence(s, d)),
     "q103_daily_anomalies" -> ((s, d) => StatQa.dailyAnomalies(s, d)),
     "q104_revenue_gini" -> ((s, d) => StatQa.revenueGini(s, d)),
+    // ANN recall gate; explicit grouping-sets lattice
+    "q105_ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
+    "q106_priority_sets" -> ((s, d) => Insights.prioritySets(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -311,5 +314,7 @@ object SparkEntry {
     "q102_independence" -> StatQa.segmentRegionIndependenceSql,
     "q103_daily_anomalies" -> StatQa.dailyAnomaliesSql(),
     "q104_revenue_gini" -> StatQa.revenueGiniSql,
+    "q105_ann_recall" -> Similarity.annRecallSql(),
+    "q106_priority_sets" -> Insights.prioritySetsSql,
   )
 }

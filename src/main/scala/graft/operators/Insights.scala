@@ -688,6 +688,55 @@ object Insights {
       |  ON s.r_name = mo.r_name AND s.m = mo.m
       |ORDER BY region, sales_year, sales_month""".stripMargin
 
+  /** Explicit GROUPING SETS — the lattice shape CUBE (q85) and ROLLUP
+    * (q44) can't express: region marginals, priority marginals, and the
+    * grand total, WITHOUT the region×priority cross cells. This is the
+    * "three independent dashboard tiles in one pass" pattern: Spark
+    * plans one Expand over the three sets instead of three scans.
+    *
+    * Scale shape: one broadcast-dim join, one Expand(3) + hash agg —
+    * the exchange carries only the bounded marginal keys.
+    */
+  def prioritySets(spark: SparkSession, sfDir: String): DataFrame = {
+    val custRegion = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_nationkey")
+      .join(broadcast(Tables.nation(spark, sfDir)
+          .select("n_nationkey", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)
+          .select("r_regionkey", "r_name")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("r_name"))
+    Tables.orders(spark, sfDir)
+      .join(Joins.broadcastIfSmall(custRegion,
+        Tables.customer(spark, sfDir)),
+        col("o_custkey") === col("c_custkey"))
+      .groupingSets(
+        Seq(Seq(col("r_name")), Seq(col("o_orderpriority")), Seq()),
+        col("r_name"), col("o_orderpriority"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"),
+        count(lit(1)).as("n_orders"),
+        grouping_id().cast("int").as("grouping_level"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("revenue"), col("n_orders"), col("grouping_level"))
+      .orderBy("grouping_level", "region", "priority")
+  }
+
+  val prioritySetsSql: String =
+    """SELECT COALESCE(r_name, 'ALL') AS region,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_orders,
+      |  CAST(GROUPING(r_name, o_orderpriority) AS INT) AS grouping_level
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY GROUPING SETS ((r_name), (o_orderpriority), ())
+      |ORDER BY grouping_level, region, priority""".stripMargin
+
   /** Percent-of-parent share: each brand's revenue as a share of its
     * part-type parent (q06 is share-of-grand-total; this is the
     * two-level hierarchical version every drill-down dashboard needs).

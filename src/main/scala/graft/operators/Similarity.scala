@@ -493,4 +493,51 @@ object Similarity {
        |FROM pairs
        |WHERE ${cosineExprDuck("e_a", "e_b")} >= $threshold
        |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** Recall@k of the LSH index against brute-force ground truth — the
+    * "measure, don't guess" gate every ANN deployment needs before it
+    * replaces exact search. Per query: how many of the true top-k the
+    * banded index returned, as integer ppm.
+    *
+    * Both inputs are the deterministic, individually oracle-checked
+    * queries (q23/q24), so the intersection is deterministic too. Scale
+    * shape: the truth side is k·nQueries rows (bounded), broadcast into
+    * a left join over the equally bounded approx side; in production
+    * this runs on a sampled query panel, never the full corpus.
+    */
+  def annRecall(spark: SparkSession, sfDir: String, nQueries: Int = 10,
+      k: Int = 5): DataFrame = {
+    val truth = knnBruteForce(spark, sfDir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    val approx = annLsh(spark, sfDir, nQueries, k)
+      .select("query_id", "neighbor_id")
+    approx
+      .join(broadcast(truth), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_returned"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+      .withColumn("recall_ppm",
+        floor(col("n_hits") * 1000000 / lit(k)).cast("long"))
+      .orderBy("query_id")
+  }
+
+  def annRecallSql(nQueries: Int = 10, k: Int = 5): String = {
+    // per the SNIPPETS stripMargin rule: never stripMargin a template
+    // with interpolated SQL inside — substitute AFTER stripMargin
+    val template =
+      s"""WITH truth AS (SELECT * FROM (@TRUTH@)),
+         |approx AS (SELECT * FROM (@APPROX@))
+         |SELECT a.query_id, COUNT(*) AS n_returned,
+         |  CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hits,
+         |  CAST(FLOOR(SUM(CASE WHEN t.neighbor_id IS NOT NULL
+         |      THEN 1 ELSE 0 END) * 1000000 / $k) AS BIGINT) AS recall_ppm
+         |FROM approx a LEFT JOIN truth t
+         |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+         |GROUP BY a.query_id
+         |ORDER BY a.query_id""".stripMargin
+    template
+      .replace("@TRUTH@", knnBruteForceSql(nQueries, k))
+      .replace("@APPROX@", annLshSql(nQueries, k))
+  }
 }
