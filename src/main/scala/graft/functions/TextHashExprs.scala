@@ -19,9 +19,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * shingle×hash. 10-40x faster on the minhash/simhash paths, which at
   * 100 TB are the dominant map-side cost of dedup.
   *
-  * CodegenFallback is deliberate: the win is loop-native eval, and these
-  * produce one value per row from one input — codegen would only inline
-  * the call site. Null semantics follow UnaryExpression.nullSafeEval.
+  * The md5-based expressions stay on CodegenFallback (their cost is the
+  * MessageDigest calls, which codegen cannot improve); the pure-
+  * arithmetic ANN expressions ([[CosineSimExpr]], [[LshSigExpr]])
+  * implement real doGenCode — their loops emit into the stage, avoiding
+  * the fallback's per-row row materialization and result boxing, with
+  * generated FP order identical to interpreted eval. Null semantics
+  * follow UnaryExpression.nullSafeEval.
   */
 object HashUtil {
   /** 60-bit portable hash: first 15 hex nibbles of md5 (== Spark SQL
@@ -192,11 +196,48 @@ case class MinGramFpExpr(child: Expression, gram: Int = 8)
   * results, DuckDB-oracle-portable).
   */
 case class CosineSimExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override protected def withNewChildrenInternal(l: Expression,
       r: Expression): CosineSimExpr = copy(left = l, right = r)
   override def prettyName: String = "graft_cosine"
+
+  // real codegen (not CodegenFallback): the loop body is emitted into
+  // the stage, so per-row cost avoids the fallback's row materialization
+  // and Double boxing. The generated arithmetic replays nullSafeEval's
+  // exact FP order (three separate left folds) — bit-identical results.
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "graft_cosine: dimension mismatch (" + $n + " vs " +
+         |      $b.numElements() + ")");
+         |}
+         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $v = (double) $a.getFloat($i); $nx += $v * $v;
+         |}
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $v = (double) $b.getFloat($i); $ny += $v * $v;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) *
+         |  java.lang.Math.sqrt($ny));
+       """.stripMargin
+    })
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -284,11 +325,41 @@ case class ArgMaxCosineExpr(child: Expression, centroids: Array[Array[Float]])
   * identical values to the HOF form (same left-fold dot order).
   */
 case class LshSigExpr(child: Expression, planes: Array[Array[Int]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override protected def withNewChildInternal(c: Expression): LshSigExpr =
     copy(child = c)
   override def prettyName: String = "graft_lsh_sig"
+
+  // real codegen: the plane matrix rides along as a referenced object
+  // (the broadcast-the-model pattern at expression grain); the emitted
+  // loops replay nullSafeEval's fold order exactly
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val planesRef = ctx.addReferenceObj("planes", planes, "int[][]")
+      val n = ctx.freshName("n")
+      val sig = ctx.freshName("sig")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val coefs = ctx.freshName("coefs")
+      s"""
+         |final int $n = $v.numElements();
+         |long $sig = 0L;
+         |for (int $p = 0; $p < $planesRef.length; $p++) {
+         |  final int[] $coefs = $planesRef[$p];
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += ((double) $v.getFloat($i)) * ((double) $coefs[$i]);
+         |  }
+         |  if ($dot > 0) $sig |= (1L << $p);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
 
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]

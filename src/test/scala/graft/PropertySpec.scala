@@ -17,6 +17,29 @@ class PropertySpec extends SparkSpec {
     (0 until n).flatMap(i =>
       g.apply(Gen.Parameters.default, Seed(i.toLong)))
 
+  test("cosine/lsh codegen path is bit-identical to interpreted eval") {
+    import org.apache.spark.sql.functions.col
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-5.0f, 5.0f))
+    val rows = samples(Gen.zip(vecGen, vecGen), 60)
+      .map { case (a, b) => (a.toArray, b.toArray) }
+    val df = rows.toDF("a", "b")
+    val planes = graft.operators.Similarity.planeSigns.map(_.take(16))
+    def run(codegen: String): Seq[(Double, Long)] = {
+      val prev = spark.conf.get("spark.sql.codegen.factoryMode")
+      try {
+        spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+        df.select(
+            graft.functions.cosine_sim(col("a"), col("b")).as("c"),
+            graft.functions.lsh_sig(col("a"), planes).as("s"))
+          .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+      } finally spark.conf.set("spark.sql.codegen.factoryMode", prev)
+    }
+    val gen = run("CODEGEN_ONLY")
+    val interp = run("NO_CODEGEN")
+    assert(gen == interp,
+      "generated arithmetic must replay the interpreted fold order exactly")
+  }
+
   test("derived amounts: 0 <= unit_price <= price, total >= 0, for qty>0 and disc in [0,100]") {
     val cases = samples(for {
       price <- Gen.choose(0.01, 100000.0)
