@@ -41,7 +41,12 @@ object Bench {
     // interleaved (full sweep, then again) so co-scheduled noise does
     // not hit both runs of the same query.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    // dev loop: SPARK_GRAFT_BENCH_ONLY=q94_basket_pairs,q85_revenue_cube
+    // restricts the sweep while iterating on one plan (driver leaves it unset)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val sweeps = (1 to passes).map(_ => names.map(n => n -> run(n)).toMap)
     val results = names.map { n =>
       val ts = sweeps.map(_(n))

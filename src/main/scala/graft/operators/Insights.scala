@@ -581,25 +581,34 @@ object Insights {
     * hierarchical prefix subtotals; CUBE adds the column marginals,
     * e.g. per-returnflag totals across all regions).
     *
-    * Scale shape: Spark plans CUBE as a single Expand (4 grouping sets)
-    * + one hash aggregation — the exchange carries (region, flag,
-    * grouping_id) keys, still tiny at any fact size. NULL group keys
-    * are coalesced to 'ALL' (same presentation contract as q44: NULL
+    * Scale shape: the aggregate-then-cube rewrite. Spark plans CUBE as
+    * Expand × grouping-sets BEFORE the partial aggregate, so cubing the
+    * fact directly hashes every fact row 4 times; instead the fact is
+    * collapsed to base grain (region × flag — one ordinary exchange
+    * whose map side already reduces to ≤15 rows per partition) and the
+    * CUBE's Expand runs over the ~15-row base frame. Exact because SUM
+    * and COUNT re-aggregate (Σ of partial Σs, Σ of partial counts) and
+    * the money stays DECIMAL through both levels. NULL group keys are
+    * coalesced to 'ALL' (same presentation contract as q44: NULL
     * renders differently in Spark parquet vs DuckDB fetchdf).
     */
-  def revenueCube(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.lineitem(spark, sfDir)
+  def revenueCube(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.lineitem(spark, sfDir)
       .join(Joins.broadcastIfSmall(storeRegion(spark, sfDir)),
         col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("r_name"), col("l_returnflag"))
+      .agg(sum(revenueDec).as("rev_dec"), count(lit(1)).as("n_base"))
+    base
       .cube(col("r_name"), col("l_returnflag"))
-      .agg(sum(revenueDec).cast("double").as("revenue"),
-        count(lit(1)).as("n_sales"),
+      .agg(sum(col("rev_dec")).cast("double").as("revenue"),
+        sum(col("n_base")).as("n_sales"),
         grouping_id().cast("int").as("grouping_level"))
       .select(
         coalesce(col("r_name"), lit("ALL")).as("region"),
         coalesce(col("l_returnflag"), lit("ALL")).as("return_flag"),
         col("revenue"), col("n_sales"), col("grouping_level"))
       .orderBy("grouping_level", "region", "return_flag")
+  }
 
   val revenueCubeSql: String =
     s"""SELECT COALESCE(r_name, 'ALL') AS region,

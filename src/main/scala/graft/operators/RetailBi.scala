@@ -153,6 +153,10 @@ object RetailBi {
       .select(explode(col("items")).as("p"))
       .groupBy(col("p"))
       .agg(count(lit(1)).as("n_item"))
+    // Catalyst rewrites this count to a 1-column (l_orderkey) scan +
+    // map-side distinct rather than reusing the fat o-grain collect_set
+    // exchange — at 100 TB that's the cheaper branch (one narrow column
+    // re-read, small distinct exchange), so we keep the plain form.
     val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
     pairs
       .join(Joins.broadcastIfSmall(
