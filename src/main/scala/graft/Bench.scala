@@ -48,14 +48,28 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val sweeps = (1 to passes).map(_ => names.map(n => n -> run(n)).toMap)
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val results = names.map { n =>
       val ts = sweeps.map(_(n))
-      n -> (if (ts.exists(_ >= 0)) ts.filter(_ >= 0).min else -1.0)
+      n -> (if (ts.exists(_ >= 0)) r3(ts.filter(_ >= 0).min) else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes}""")
+    val total = r3(results.map(_._2).filter(_ >= 0).sum)
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes}"""
+    println(line)
+    // The driver keeps only the last ~2000 chars of output; with 100+
+    // queries the detail line above overflows that window and the head
+    // (the total!) is lost. Repeat a short summary LAST so the tail
+    // always carries the headline numbers, and persist the full line.
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(8)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"slowest":$slowest,"sf":"$sfDir","passes":$passes}""")
+    try {
+      val p = java.nio.file.Paths.get("bench_detail.json")
+      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }
