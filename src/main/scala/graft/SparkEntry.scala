@@ -202,6 +202,29 @@ object SparkEntry {
     // ANN recall gate; explicit grouping-sets lattice
     "q105_ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
     "q106_priority_sets" -> ((s, d) => Insights.prioritySets(s, d)),
+    // --- round-4 wave 2: frontier/sampling/skew/reconcile/tokenizer ---
+    // 2-D Pareto frontier (bucket-local pass, NOT the O(n^2) self-join)
+    "q107_skyline" -> ((s, d) => Skyline.skylineParts(s, d)),
+    // deterministic weighted sample (priority sampling, u/w order keys)
+    "q108_weighted_sample" -> ((s, d) => Sampling.weightedSample(s, d)),
+    // stratified sample with exact per-language quotas
+    "q109_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
+    // heavy-hitter key-skew audit (salting/AQE decision input)
+    "q110_heavy_hitters" -> ((s, d) => StatQa.heavyHitters(s, d)),
+    // FULL OUTER cross-source daily reconciliation
+    "q111_daily_reconcile" -> ((s, d) => Validation.dailyReconcile(s, d)),
+    // BPE first-merge pair counts off the vocabulary (tokenizer induction)
+    "q112_bpe_merges" -> ((s, d) => Corpus.bpeMerges(s, d)),
+    // per-group top-k via the custom TopKByValue Aggregator (UDAF path)
+    "q113_topk_per_segment" -> ((s, d) => Insights.topCustomersPerSegment(s, d)),
+    // weekday seasonality profile (ppm shares + seasonal index)
+    "q114_weekday_seasonality" -> ((s, d) => RetailBi.weekdaySeasonality(s, d)),
+    // analytic rank features (percent_rank / cume_dist, tie-free order)
+    "q115_price_ranks" -> ((s, d) => Features.priceRanks(s, d)),
+    // exact weighted median from integer prefix sums (no interpolation)
+    "q116_weighted_median" -> ((s, d) => Features.weightedMedian(s, d)),
+    // correlated EXISTS / NOT EXISTS via spark.sql (ANSI text == oracle)
+    "q117_exists_subquery" -> ((s, d) => Insights.qualifiedOrders(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -316,5 +339,16 @@ object SparkEntry {
     "q104_revenue_gini" -> StatQa.revenueGiniSql,
     "q105_ann_recall" -> Similarity.annRecallSql(),
     "q106_priority_sets" -> Insights.prioritySetsSql,
+    "q107_skyline" -> Skyline.skylinePartsSql,
+    "q108_weighted_sample" -> Sampling.weightedSampleSql(),
+    "q109_stratified_sample" -> Sampling.stratifiedSampleSql(),
+    "q110_heavy_hitters" -> StatQa.heavyHittersSql(),
+    "q111_daily_reconcile" -> Validation.dailyReconcileSql,
+    "q112_bpe_merges" -> Corpus.bpeMergesSql(),
+    "q113_topk_per_segment" -> Insights.topCustomersPerSegmentSql(),
+    "q114_weekday_seasonality" -> RetailBi.weekdaySeasonalitySql,
+    "q115_price_ranks" -> Features.priceRanksSql,
+    "q116_weighted_median" -> Features.weightedMedianSql,
+    "q117_exists_subquery" -> Insights.qualifiedOrdersSql,
   )
 }

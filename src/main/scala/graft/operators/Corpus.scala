@@ -460,4 +460,46 @@ object Corpus {
        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
        |WHERE d.doc_id % $evalMod <> 0
        |ORDER BY d.doc_id""".stripMargin
+
+  /** The counting step of one BPE merge round — the tokenizer-induction
+    * primitive: corpus frequency of every adjacent character pair,
+    * weighted by word frequency (the pair with the top count is what a
+    * BPE trainer would merge first). Two-stage reduction: corpus →
+    * word-frequency table first (the vocabulary is orders of magnitude
+    * smaller than the token stream), then pairs explode off the VOCAB,
+    * not the corpus — at 100 TB the expensive explode touches |vocab|
+    * rows, and both aggs are partial→final hash aggregates.
+    *
+    * ORACLE CONTRACT — like [[TextAnalysis.fingerprints]], character
+    * positions count UTF-16 code units in Spark vs code points in
+    * DuckDB: identical for the driver's ASCII corpus.
+    */
+  def bpeMerges(spark: SparkSession, sfDir: String,
+      topN: Int = 20): DataFrame = {
+    val words = Tables.documents(spark, sfDir)
+      .select(explode(expr(tokensSparkSql)).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    words
+      .select(col("f"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum("f").as("merge_count"))
+      .orderBy(col("merge_count").desc, col("pair"))
+      .limit(topN)
+  }
+
+  def bpeMergesSql(topN: Int = 20): String =
+    s"""WITH toks AS (
+       |  SELECT unnest($tokensDuckSql) AS w FROM documents),
+       |words AS (
+       |  SELECT w, COUNT(*) AS f FROM toks
+       |  WHERE length(w) >= 2 GROUP BY w),
+       |pairs AS (
+       |  SELECT substr(w, CAST(i AS INT), 2) AS pair, f
+       |  FROM words, UNNEST(range(1, length(w))) AS u(i))
+       |SELECT pair, CAST(SUM(f) AS BIGINT) AS merge_count
+       |FROM pairs GROUP BY pair
+       |ORDER BY merge_count DESC, pair
+       |LIMIT $topN""".stripMargin
 }

@@ -298,9 +298,13 @@ object Dedup {
     // stripMargin runs on the template BEFORE substituting the inner
     // query: the pairs SQL contains lines starting with '||', which an
     // outer stripMargin would truncate to '|'
-    s"""WITH RECURSIVE np AS (
+    // AS MATERIALIZED is load-bearing: DuckDB inlines CTEs by default,
+    // so without it the recursive fixpoint re-evaluates the whole
+    // MinHash/banding/Jaccard pipeline on EVERY iteration (observed:
+    // ~1 CPU-hour at sf0.1 vs seconds materialized)
+    s"""WITH RECURSIVE np AS MATERIALIZED (
        |  SELECT doc_a, doc_b FROM (@PAIRS@) pairs),
-       |und AS (
+       |und AS MATERIALIZED (
        |  SELECT doc_a AS s, doc_b AS d FROM np
        |  UNION ALL
        |  SELECT doc_b AS s, doc_a AS d FROM np),

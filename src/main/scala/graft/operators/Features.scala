@@ -15,6 +15,50 @@ import graft.sources.Tables
   */
 object Features {
 
+  /** Engine-portable exact-decimal → double conversion for values whose
+    * SCALED integer exceeds 2^53. Above that line the two engines stop
+    * agreeing on a plain cast: Spark rounds the decimal to double once
+    * (correctly — BigDecimal.doubleValue), while DuckDB converts the
+    * int128 payload and divides by 10^scale — two roundings, which for
+    * ~1 in 2000 values lands 1 ulp away (observed: q69's second moments
+    * at sf0.001). The fix decomposes the scaled integer at a 1e9
+    * boundary:
+    *
+    *   sc = c * 10^scale          (exact integer, both engines)
+    *   hi = sc div 1e9, lo = sc mod 1e9   (exact integer arithmetic)
+    *   d  = (double(hi) * 1e9 + double(lo)) / 10^scale
+    *
+    * lo < 1e9 converts exactly; every remaining step is a single
+    * correctly-rounded IEEE op on identical operands in both engines,
+    * so the result is bit-identical by construction (it may differ from
+    * the ideal single rounding in the last ulp — irrelevant, both
+    * engines agree). `scale` must be ≥ the value's fractional digits
+    * (so sc is integral) and the value nonnegative with sc < ~1.8e28
+    * (hi must fit an exact uint64 conversion); decimal moments are far
+    * inside both bounds.
+    */
+  def decToDouble(c: org.apache.spark.sql.Column,
+      scale: Int): org.apache.spark.sql.Column = {
+    val pow = BigInt(10).pow(scale).toLong
+    // decimal(29,0): big enough for any moment here, small enough that
+    // the /1e9 quotient keeps ≥9 fractional digits after Spark's
+    // precision-cap scale adjustment — i.e. floor() sees the exact value
+    val sc = (c * lit(pow)).cast("decimal(29,0)")
+    val hi = floor(sc / lit(1000000000L)).cast("decimal(29,0)")
+    val lo = (sc - hi * lit(1000000000L)).cast("decimal(29,0)")
+    (hi.cast("double") * lit(1.0e9) + lo.cast("double")) /
+      lit(pow.toDouble)
+  }
+
+  /** DuckDB twin of [[decToDouble]] — same decomposition on HUGEINT. */
+  def decToDoubleSql(e: String, scale: Int): String = {
+    val pow = BigInt(10).pow(scale)
+    s"""((CAST(CAST(($e) * $pow AS HUGEINT) // 1000000000 AS DOUBLE)
+       |  * 1000000000.0
+       |  + CAST(CAST(($e) * $pow AS HUGEINT) % 1000000000 AS DOUBLE))
+       |  / $pow.0)""".stripMargin
+  }
+
   /** Equi-depth (decile) binning of event values per type — the
     * rank-based feature transform. ntile over a per-type window with a
     * total order (value, event_id tiebreak), rolled up to bin
@@ -61,18 +105,23 @@ object Features {
         sum(x).as("sx"), sum(y).as("sy"),
         sum(x * x).as("sxx"), sum(y * y).as("syy"),
         sum(x * y).as("sxy"))
+      // second moments overflow the 2^53 exact-cast range — convert via
+      // the [[decToDouble]] decomposition (plain casts diverge 1 ulp
+      // between engines; observed on syy at sf0.001)
       .select(col("l_returnflag"), col("n"),
-        ((col("n").cast("double") * col("sxy").cast("double") -
-          col("sx").cast("double") * col("sy").cast("double")) /
-          (sqrt(col("n").cast("double") * col("sxx").cast("double") -
-            col("sx").cast("double") * col("sx").cast("double")) *
-            sqrt(col("n").cast("double") * col("syy").cast("double") -
-              col("sy").cast("double") * col("sy").cast("double"))))
+        col("n").cast("double").as("nd"),
+        decToDouble(col("sx"), 2).as("sxd"),
+        decToDouble(col("sy"), 2).as("syd"),
+        decToDouble(col("sxx"), 4).as("sxxd"),
+        decToDouble(col("syy"), 4).as("syyd"),
+        decToDouble(col("sxy"), 4).as("sxyd"))
+      .select(col("l_returnflag"), col("n"),
+        ((col("nd") * col("sxyd") - col("sxd") * col("syd")) /
+          (sqrt(col("nd") * col("sxxd") - col("sxd") * col("sxd")) *
+            sqrt(col("nd") * col("syyd") - col("syd") * col("syd"))))
           .as("corr_qty_price"),
-        ((col("n").cast("double") * col("sxy").cast("double") -
-          col("sx").cast("double") * col("sy").cast("double")) /
-          (col("n").cast("double") * col("sxx").cast("double") -
-            col("sx").cast("double") * col("sx").cast("double")))
+        ((col("nd") * col("sxyd") - col("sxd") * col("syd")) /
+          (col("nd") * col("sxxd") - col("sxd") * col("sxd")))
           .as("beta_price_per_qty"))
       .orderBy("l_returnflag")
   }
@@ -88,23 +137,105 @@ object Features {
               |    SUM(CAST(l_quantity AS DECIMAL(18,2))
               |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
               |  FROM lineitem GROUP BY l_returnflag""".stripMargin
+    val d = s"""SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+               |    ${decToDoubleSql("sx", 2)} AS sxd,
+               |    ${decToDoubleSql("sy", 2)} AS syd,
+               |    ${decToDoubleSql("sxx", 4)} AS sxxd,
+               |    ${decToDoubleSql("syy", 4)} AS syyd,
+               |    ${decToDoubleSql("sxy", 4)} AS sxyd
+               |  FROM ($m)""".stripMargin
     s"""SELECT l_returnflag, n,
-       |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-       |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-       |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-       |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-       |    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-       |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       |  (nd * sxyd - sxd * syd)
+       |  / (sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd))
        |    AS corr_qty_price,
-       |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-       |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-       |  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-       |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |  (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
        |    AS beta_price_per_qty
        |FROM (
-       |  $m)
+       |  $d)
        |ORDER BY l_returnflag""".stripMargin
   }
+
+  /** Analytic rank functions: percent_rank and cume_dist of part price
+    * within its type — the [0,1]-normalized rank features a model
+    * pipeline feeds instead of raw prices. Both engines define
+    * percent_rank = (rank-1)/(n-1) and cume_dist = rank_rows/n; with
+    * the unique (price, partkey) order the ranks are tie-free, so the
+    * doubles are single identical IEEE divisions. Types with one part
+    * are excluded (percent_rank's 0/0 is engine-defined there).
+    * The window partitions by p_type — bounded by the type domain.
+    */
+  def priceRanks(spark: SparkSession, sfDir: String): DataFrame = {
+    val byType = Window.partitionBy("p_type")
+    val ord = Window.partitionBy("p_type")
+      .orderBy(col("price"), col("p_partkey"))
+    Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_type"),
+        col("p_retailprice").as("price"))
+      .withColumn("n_in_type", count(lit(1)).over(byType))
+      .filter(col("n_in_type") >= 2)
+      .withColumn("pr", percent_rank().over(ord))
+      .withColumn("cd", cume_dist().over(ord))
+      .orderBy("p_type", "price", "p_partkey")
+  }
+
+  val priceRanksSql: String =
+    """WITH c AS (
+      |  SELECT p_partkey, p_type, p_retailprice AS price,
+      |    COUNT(*) OVER (PARTITION BY p_type) AS n_in_type
+      |  FROM part),
+      |f AS (SELECT * FROM c WHERE n_in_type >= 2)
+      |SELECT p_partkey, p_type, price, CAST(n_in_type AS BIGINT)
+      |    AS n_in_type,
+      |  PERCENT_RANK() OVER (PARTITION BY p_type
+      |    ORDER BY price, p_partkey) AS pr,
+      |  CUME_DIST() OVER (PARTITION BY p_type
+      |    ORDER BY price, p_partkey) AS cd
+      |FROM f
+      |ORDER BY p_type, price, p_partkey""".stripMargin
+
+  /** Exact weighted median (lower median) of line price weighted by
+    * quantity, per return flag: the smallest price whose cumulative
+    * weight reaches half the total. Entirely integer arithmetic on the
+    * weights (quantity is integral), so the breakpoint is
+    * engine-exact — no percentile interpolation. Collapses to
+    * (flag, price) grain first (partial agg), then one per-flag
+    * prefix-sum window; for a corpus where one flag's distinct-price
+    * set outgrows a partition, the scale path is the
+    * [[ScalableKeys.withPrefixSum]] range-partition + offsets form.
+    */
+  def weightedMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Window.partitionBy("l_returnflag").orderBy("price")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val all = Window.partitionBy("l_returnflag")
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice").as("price"),
+        round(col("l_quantity")).cast("long").as("w"))
+      .groupBy("l_returnflag", "price").agg(sum("w").as("w"))
+      .withColumn("cumw", sum("w").over(ord))
+      .withColumn("total", sum("w").over(all))
+      .filter(col("cumw") * 2 >= col("total"))
+      .groupBy("l_returnflag")
+      .agg(min("price").as("weighted_median"),
+        max("total").as("total_weight"))
+      .orderBy("l_returnflag")
+  }
+
+  val weightedMedianSql: String =
+    """WITH g AS (
+      |  SELECT l_returnflag, l_extendedprice AS price,
+      |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (
+      |  SELECT l_returnflag, price, w,
+      |    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+      |    SUM(w) OVER (PARTITION BY l_returnflag) AS total
+      |  FROM g)
+      |SELECT l_returnflag, MIN(price) AS weighted_median,
+      |  CAST(MAX(total) AS BIGINT) AS total_weight
+      |FROM c WHERE cumw * 2 >= total
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
 
   /** Fixed-width histogram of order totals in integer cents — bin
     * arithmetic entirely in BIGINT (cents div binWidthCents), so bin

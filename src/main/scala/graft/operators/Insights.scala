@@ -781,4 +781,67 @@ object Insights {
        |    AS BIGINT) AS share_ppm
        |FROM b
        |ORDER BY p_type, p_brand""".stripMargin
+
+  /** Top-k customers per market segment through the custom
+    * [[graft.functions.TopKByValue]] Aggregator — the UDAF form of
+    * per-group top-N. Unlike the ROW_NUMBER window (q42's shape), the
+    * aggregate's state is a bounded k-list, so the exchange carries at
+    * most k rows per (segment, partition) and no per-segment sort ever
+    * materializes — the right shape when groups are huge and k is
+    * small. The oracle is the definitional window form; the unique
+    * custkey tiebreak makes both engine-exact.
+    */
+  def topCustomersPerSegment(spark: SparkSession, sfDir: String,
+      k: Int = 3): DataFrame = {
+    val topk = udaf(graft.functions.TopKByValue(k))
+    Tables.customer(spark, sfDir)
+      .groupBy("c_mktsegment")
+      .agg(topk(col("c_acctbal"), col("c_custkey"), col("c_name"))
+        .as("top"))
+      .select(col("c_mktsegment"), posexplode(col("top")))
+      .select(col("c_mktsegment"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.key").as("c_custkey"), col("col.tag").as("c_name"),
+        col("col.sortVal").as("c_acctbal"))
+      .orderBy("c_mktsegment", "rank")
+  }
+
+  /** Correlated-subquery surface: EXISTS / NOT EXISTS through
+    * `spark.sql` (SURVEY §3 entry point 2 — SQL text, not DataFrame
+    * combinators). The SQL is pure ANSI, so the very same text IS the
+    * DuckDB oracle. Catalyst rewrites the EXISTS to a left-semi and the
+    * NOT EXISTS to a left-anti join on o_orderkey (RewritePredicateSubquery)
+    * — the same shuffle shape as the hand-built q10 anti-joins, so the
+    * subquery form costs nothing extra at scale.
+    */
+  def qualifiedOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("orders", "lineitem").foreach { t =>
+      graft.sources.Tables.load(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+    spark.sql(qualifiedOrdersSql)
+  }
+
+  /** Oracle == the query text itself (ANSI; AnsiSqlSpec-portable). */
+  val qualifiedOrdersSql: String =
+    """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total
+      |FROM orders o
+      |WHERE EXISTS (
+      |    SELECT 1 FROM lineitem l
+      |    WHERE l.l_orderkey = o.o_orderkey
+      |      AND CAST(l.l_quantity AS DOUBLE) >= 45.0)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l
+      |    WHERE l.l_orderkey = o.o_orderkey
+      |      AND CAST(l.l_discount AS DOUBLE) > 0.08)
+      |ORDER BY o_orderkey""".stripMargin
+
+  def topCustomersPerSegmentSql(k: Int = 3): String =
+    s"""WITH r AS (
+       |  SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
+       |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+       |      ORDER BY c_acctbal DESC, c_custkey) AS rank
+       |  FROM customer)
+       |SELECT c_mktsegment, CAST(rank AS INT) AS rank,
+       |  c_custkey, c_name, c_acctbal
+       |FROM r WHERE rank <= $k
+       |ORDER BY c_mktsegment, rank""".stripMargin
 }

@@ -340,4 +340,42 @@ object RetailBi {
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
+
+  /** Weekday seasonality profile: revenue share and a seasonal index
+    * per ship weekday (1=Mon..7=Sun, the reference's B8 convention) —
+    * index 1_000_000 ppm = that weekday carries exactly its uniform
+    * 1/7 share. One partial→final agg to 7 rows; the grand total is a
+    * window over those 7 rows (bounded, the q06 pattern). Shares in
+    * integer ppm via FLOOR over exact decimal division (the q89
+    * idiom) so both engines agree bit-for-bit at any revenue scale.
+    */
+  def weekdaySeasonality(spark: SparkSession, sfDir: String): DataFrame = {
+    val wAll = Window.partitionBy()
+    Tables.lineitem(spark, sfDir)
+      .select(Cleaning.weekdayMon1(to_date(col("l_shipdate")))
+          .cast("int").as("weekday"),
+        Insights.revenueDec.as("rev"))
+      .groupBy("weekday")
+      .agg(sum("rev").as("revd"))
+      .withColumn("total", sum("revd").over(wAll))
+      .select(col("weekday"), col("revd").cast("double").as("revenue"),
+        floor(col("revd") * 1000000 / col("total")).cast("long")
+          .as("share_ppm"),
+        floor(col("revd") * 7000000 / col("total")).cast("long")
+          .as("index_ppm"))
+      .orderBy("weekday")
+  }
+
+  val weekdaySeasonalitySql: String =
+    s"""WITH wd AS (
+       |  SELECT CAST(isodow(CAST(l_shipdate AS TIMESTAMP)) AS INT)
+       |      AS weekday,
+       |    SUM(${Insights.revenueSql}) AS revd
+       |  FROM lineitem GROUP BY 1),
+       |t AS (SELECT SUM(revd) AS total FROM wd)
+       |SELECT weekday, CAST(revd AS DOUBLE) AS revenue,
+       |  CAST(FLOOR(revd * 1000000 / total) AS BIGINT) AS share_ppm,
+       |  CAST(FLOOR(revd * 7000000 / total) AS BIGINT) AS index_ppm
+       |FROM wd, t
+       |ORDER BY weekday""".stripMargin
 }

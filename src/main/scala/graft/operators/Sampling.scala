@@ -110,6 +110,84 @@ object Sampling {
       .orderBy("pack_id")
   }
 
+  /** Weighted sample without replacement via priority sampling
+    * (Efraimidis-Spirakis order sampling with the monotone u/w key):
+    * each doc draws a deterministic md5-uniform u in [0,1) and is
+    * ranked by u / weight — the k smallest keys are the sample, so
+    * heavier docs (here: longer, weight = n_chars) are proportionally
+    * likelier to be chosen, yet the draw is a pure hash of the doc id:
+    * same sample on any partitioning, any cluster size, both engines.
+    *
+    * All arithmetic is single IEEE divisions of exactly-representable
+    * inputs (2^60 is a power of two), so the keys — and the ORDER BY —
+    * are bit-identical in Spark and DuckDB. The plan is a narrow
+    * map-side projection + TakeOrderedAndProject: no global sort, no
+    * shuffle of the corpus at 100 TB.
+    */
+  def weightedSample(spark: SparkSession, sfDir: String,
+      k: Int = 50): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars").as("weight"),
+        ((md5Hash60(concat(lit("ws:"), col("doc_id").cast("string")))
+            .cast("double") / lit(1152921504606846976L).cast("double"))
+          / col("n_chars").cast("double")).as("priority"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(k)
+
+  def weightedSampleSql(k: Int = 50): String =
+    s"""SELECT doc_id, n_chars AS weight,
+       |  (CAST(${md5Hash60Sql("'ws:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+       |     / CAST(1152921504606846976 AS DOUBLE))
+       |    / CAST(n_chars AS DOUBLE) AS priority
+       |FROM documents WHERE n_chars > 0
+       |ORDER BY priority, doc_id
+       |LIMIT $k""".stripMargin
+
+  /** Stratified sample with exact per-stratum quotas: within each
+    * language stratum, rank docs by a deterministic hash and keep
+    * exactly ceil(|stratum| / denom) of them — the equal-rate design
+    * that, unlike the per-row hash-threshold split ([[trainSplit]]),
+    * guarantees the drawn count per stratum is exact, not binomial.
+    *
+    * The quota join broadcasts the per-language counts (bounded by the
+    * language-code domain, like nation/region). The rank window
+    * partitions by lang — the shuffle carries (doc_id, lang, hash),
+    * never text; a pathologically hot stratum degrades like
+    * [[domainCaps]] (documented two-phase cutoff path).
+    */
+  def stratifiedSample(spark: SparkSession, sfDir: String,
+      denom: Int = 5): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        md5Hash60(concat(lit("strat:"), col("doc_id").cast("string")))
+          .as("h"))
+    val quotas = d.groupBy("lang")
+      .agg(expr(s"(count(1) + ${denom - 1}) div $denom").as("quota"))
+    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    d.withColumn("rk", row_number().over(w))
+      .join(broadcast(quotas), Seq("lang"))
+      .filter(col("rk") <= col("quota"))
+      .select(col("lang"), col("doc_id"), col("rk"), col("quota"))
+      .orderBy("lang", "rk")
+  }
+
+  def stratifiedSampleSql(denom: Int = 5): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |    ${md5Hash60Sql("'strat:' || CAST(doc_id AS VARCHAR)")} AS h
+       |  FROM documents),
+       |q AS (SELECT lang,
+       |    CAST((COUNT(*) + ${denom - 1}) // $denom AS BIGINT) AS quota
+       |  FROM d GROUP BY lang),
+       |r AS (SELECT doc_id, lang,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+       |  FROM d)
+       |SELECT r.lang, r.doc_id, CAST(rk AS INT) AS rk, quota
+       |FROM r JOIN q ON r.lang = q.lang
+       |WHERE rk <= quota
+       |ORDER BY r.lang, rk""".stripMargin
+
   def seqPackingSql(budget: Int = 512): String =
     s"""WITH t AS (
        |  SELECT doc_id,

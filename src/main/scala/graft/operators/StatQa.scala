@@ -159,17 +159,23 @@ object StatQa {
     */
   def dailyAnomalies(spark: SparkSession, sfDir: String,
       zCut: Double = 3.0): DataFrame = {
+    // second moment on the SCALED INTEGER (rev·10^4): a decimal square
+    // would get different result scales in Spark (precision-capped to 6)
+    // vs DuckDB (8), and both its sum and s1 overflow the 2^53
+    // exact-cast range — integer moments + Features.decToDouble keep
+    // every value and conversion engine-identical at any sf.
     val daily = Tables.lineitem(spark, sfDir)
       .groupBy(to_date(col("l_shipdate")).as("day"))
       .agg(sum(Insights.revenueDec).as("rev_dec"))
+      .withColumn("c4", (col("rev_dec") * 10000).cast("decimal(29,0)"))
     val all = Window.partitionBy()
     daily
       .withColumn("n", count(lit(1)).over(all))
       .withColumn("s1", sum(col("rev_dec")).over(all))
-      .withColumn("s2", sum(col("rev_dec") * col("rev_dec")).over(all))
+      .withColumn("s2i", sum(col("c4") * col("c4")).over(all))
       .select(col("day"), col("rev_dec").cast("double").as("revenue"),
-        col("n"), col("s1").cast("double").as("s1d"),
-        col("s2").cast("double").as("s2d"))
+        col("n"), Features.decToDouble(col("s1"), 4).as("s1d"),
+        (Features.decToDouble(col("s2i"), 0) / lit(1.0e8)).as("s2d"))
       .withColumn("mean", col("s1d") / col("n").cast("double"))
       .withColumn("sd", sqrt((col("s2d") -
         (col("s1d") * col("s1d")) / col("n").cast("double")) /
@@ -185,12 +191,21 @@ object StatQa {
        |  SELECT CAST(l_shipdate AS DATE) AS day,
        |    SUM(${Insights.revenueSql}) AS rev_dec
        |  FROM lineitem GROUP BY 1),
-       |m AS (
+       |d2 AS (
+       |  SELECT day, rev_dec,
+       |    CAST(rev_dec * 10000 AS HUGEINT) AS c4
+       |  FROM daily),
+       |mm AS (
        |  SELECT day, CAST(rev_dec AS DOUBLE) AS revenue,
        |    COUNT(*) OVER () AS n,
-       |    CAST(SUM(rev_dec) OVER () AS DOUBLE) AS s1d,
-       |    CAST(SUM(rev_dec * rev_dec) OVER () AS DOUBLE) AS s2d
-       |  FROM daily),
+       |    SUM(rev_dec) OVER () AS s1,
+       |    SUM(c4 * c4) OVER () AS s2i
+       |  FROM d2),
+       |m AS (
+       |  SELECT day, revenue, n,
+       |    ${Features.decToDoubleSql("s1", 4)} AS s1d,
+       |    (${Features.decToDoubleSql("s2i", 0)} / 100000000.0) AS s2d
+       |  FROM mm),
        |z AS (
        |  SELECT day, revenue, s1d / CAST(n AS DOUBLE) AS mean,
        |    sqrt((s2d - (s1d * s1d) / CAST(n AS DOUBLE))
@@ -227,11 +242,17 @@ object StatQa {
       .agg(count(lit(1)).as("n_parts"),
         sum(col("rev")).as("sx"),
         sum(col("rev") * col("rk").cast("decimal(18,0)")).as("six"))
+      // six (rank-weighted revenue) crosses 2^53 scaled well before sf1
+      // — portable decToDouble conversions (scale 6 covers Spark's
+      // precision-capped product scale; the value is integral at 1e-4,
+      // so scaling by 1e6 stays exact in both engines)
       .select(col("p_type"), col("n_parts"),
-        col("sx").cast("double").as("revenue"),
-        ((lit(2.0) * col("six").cast("double") -
-          (col("n_parts") + 1).cast("double") * col("sx").cast("double")) /
-          (col("n_parts").cast("double") * col("sx").cast("double")))
+        Features.decToDouble(col("sx"), 4).as("revenue"),
+        ((lit(2.0) * Features.decToDouble(col("six"), 6) -
+          (col("n_parts") + 1).cast("double") *
+            Features.decToDouble(col("sx"), 4)) /
+          (col("n_parts").cast("double") *
+            Features.decToDouble(col("sx"), 4)))
           .as("gini"))
       .orderBy("p_type")
   }
@@ -249,10 +270,44 @@ object StatQa {
        |  SELECT p_type, COUNT(*) AS n_parts, SUM(rev) AS sx,
        |    SUM(rev * CAST(rk AS DECIMAL(18,0))) AS six
        |  FROM ranked GROUP BY p_type)
-       |SELECT p_type, n_parts, CAST(sx AS DOUBLE) AS revenue,
-       |  (2.0 * CAST(six AS DOUBLE)
-       |    - CAST(n_parts + 1 AS DOUBLE) * CAST(sx AS DOUBLE))
-       |  / (CAST(n_parts AS DOUBLE) * CAST(sx AS DOUBLE)) AS gini
+       |SELECT p_type, n_parts,
+       |  ${Features.decToDoubleSql("sx", 4)} AS revenue,
+       |  (2.0 * ${Features.decToDoubleSql("six", 6)}
+       |    - CAST(n_parts + 1 AS DOUBLE)
+       |      * ${Features.decToDoubleSql("sx", 4)})
+       |  / (CAST(n_parts AS DOUBLE)
+       |      * ${Features.decToDoubleSql("sx", 4)}) AS gini
        |FROM agg
        |ORDER BY p_type""".stripMargin
+
+  /** Heavy-hitter key audit: the top-N event users by row count with
+    * their corpus share in exact ppm — the skew-diagnosis input that
+    * decides whether a key needs [[Salting]] or an AQE skew-join hint
+    * before a 100 TB groupBy/join on it. One partial→final count agg;
+    * the grand total re-aggregates the same exchange (ReusedExchange,
+    * no second events scan) and rides along as a 1-row broadcast.
+    * Integer ppm (bigint div) keeps shares engine-exact.
+    */
+  def heavyHitters(spark: SparkSession, sfDir: String,
+      topN: Int = 20): DataFrame = {
+    val g = Tables.events(spark, sfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    val total = g.agg(sum("cnt").as("total_events"))
+    g.crossJoin(broadcast(total))
+      .select(col("user_id"), col("cnt"),
+        expr("CAST(cnt * 1000000 div total_events AS BIGINT)")
+          .as("share_ppm"))
+      .orderBy(col("cnt").desc, col("user_id"))
+      .limit(topN)
+  }
+
+  def heavyHittersSql(topN: Int = 20): String =
+    s"""WITH g AS (
+       |  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
+       |t AS (SELECT SUM(cnt) AS total_events FROM g)
+       |SELECT user_id, CAST(cnt AS BIGINT) AS cnt,
+       |  CAST(cnt * 1000000 // total_events AS BIGINT) AS share_ppm
+       |FROM g, t
+       |ORDER BY cnt DESC, user_id
+       |LIMIT $topN""".stripMargin
 }

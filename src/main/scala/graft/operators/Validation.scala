@@ -210,4 +210,53 @@ object Validation {
        |  (SELECT COUNT(*) FROM dead_li),
        |  (SELECT COUNT(*) FROM lineitem) - (SELECT COUNT(*) FROM dead_li)
        |ORDER BY table_name""".stripMargin
+
+  /** Cross-source daily reconciliation via FULL OUTER join: order
+    * revenue per day vs event volume per day, with a presence flag
+    * showing which source is missing the date — the standard "do the
+    * warehouse and the clickstream agree on what days exist" audit.
+    * Both inputs aggregate to day grain BEFORE the join, so the full
+    * outer join (sort-merge at scale) carries one row per day per
+    * side, not raw facts. Metrics are coalesced to 0 rather than left
+    * NULL: nullable-int columns decay to float64 in pandas and the
+    * presence flag already encodes missingness.
+    */
+  def dailyReconcile(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revd"),
+        count(lit(1)).as("n_ord"))
+    val e = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_ev"))
+    o.join(e, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("revd").cast("double"), lit(0.0)).as("order_revenue"),
+        coalesce(col("n_ord"), lit(0L)).as("n_orders"),
+        coalesce(col("n_ev"), lit(0L)).as("n_events"),
+        when(col("n_ord").isNotNull && col("n_ev").isNotNull, lit("both"))
+          .when(col("n_ord").isNull, lit("events_only"))
+          .otherwise(lit("orders_only")).as("presence"))
+      .orderBy("day")
+  }
+
+  val dailyReconcileSql: String =
+    """WITH o AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revd,
+      |    COUNT(*) AS n_ord
+      |  FROM orders GROUP BY 1),
+      |e AS (
+      |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    COUNT(*) AS n_ev
+      |  FROM events GROUP BY 1)
+      |SELECT COALESCE(o.day, e.day) AS day,
+      |  CAST(COALESCE(revd, 0) AS DOUBLE) AS order_revenue,
+      |  CAST(COALESCE(n_ord, 0) AS BIGINT) AS n_orders,
+      |  CAST(COALESCE(n_ev, 0) AS BIGINT) AS n_events,
+      |  CASE WHEN o.day IS NOT NULL AND e.day IS NOT NULL THEN 'both'
+      |       WHEN o.day IS NULL THEN 'events_only'
+      |       ELSE 'orders_only' END AS presence
+      |FROM o FULL OUTER JOIN e ON o.day = e.day
+      |ORDER BY day""".stripMargin
 }

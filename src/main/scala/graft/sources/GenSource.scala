@@ -7,8 +7,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -30,7 +30,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *     column pruning reaches the reader via
   *     [[SupportsPushDownRequiredColumns]] (unrequested columns are
   *     never generated); LIMIT pushes down via
-  *     [[SupportsPushDownLimit]] and caps the generated range itself.
+  *     [[SupportsPushDownLimit]] and caps the generated range itself;
+  *     range/equality predicates on the table's id column push down via
+  *     [[SupportsPushDownFilters]] and trim the generated id range —
+  *     the generator-source analog of parquet min/max pruning (a
+  *     `WHERE sales_id BETWEEN a AND b` generates b-a+1 rows, not
+  *     `rows`). Filters on any other column stay post-scan.
   *
   * Distributions mirror [[graft.etl.RetailDataGen]] (and through it the
   * reference generator's ranges/weights); values differ only in the
@@ -123,20 +128,57 @@ private[sources] class GenTable(props: Map[String, String])
 
 private[sources] class GenScanBuilder(table: String, props: Map[String, String])
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownFilters {
   private var required: StructType = GenSource.schemaFor(table)
   private var limit: Option[Long] = None
+  private var lo = 1L
+  private var hi = Long.MaxValue
+  private var pushed: Array[Filter] = Array.empty
+
+  // the id column IS the row counter, so range predicates on it map
+  // exactly to trimming the generated range
+  private val idCol = table match {
+    case "customers" => "customer_id"
+    case "products"  => "product_id"
+    case "stores"    => "store_id"
+    case _           => "sales_id"
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
   override def pushLimit(n: Int): Boolean = { limit = Some(n.toLong); true }
 
+  private def bound(f: Filter): Option[Unit] = f match {
+    case EqualTo(`idCol`, v: Number) =>
+      lo = math.max(lo, v.longValue); hi = math.min(hi, v.longValue); Some(())
+    case GreaterThan(`idCol`, v: Number) =>
+      lo = math.max(lo, v.longValue + 1); Some(())
+    case GreaterThanOrEqual(`idCol`, v: Number) =>
+      lo = math.max(lo, v.longValue); Some(())
+    case LessThan(`idCol`, v: Number) =>
+      hi = math.min(hi, v.longValue - 1); Some(())
+    case LessThanOrEqual(`idCol`, v: Number) =>
+      hi = math.min(hi, v.longValue); Some(())
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, rest) = filters.partition(f => bound(f).isDefined)
+    pushed = sup
+    rest // residual filters Spark must still evaluate
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
   override def build(): Scan = {
     val rows0 = props.getOrElse("rows", "1000").toLong
-    val rows = limit.fold(rows0)(math.min(rows0, _))
+    val first = math.max(1L, lo)
+    val lastByRange = math.min(rows0, hi)
+    val last = limit.fold(lastByRange)(n =>
+      math.min(lastByRange, first + n - 1))
     new GenScan(table, required,
-      rows,
+      first, last,
       props.getOrElse("seed", "42").toLong,
       props.getOrElse("numpartitions", "8").toInt,
       props.getOrElse("ncustomers", "1000").toLong,
@@ -150,29 +192,32 @@ private[sources] case class GenRange(start: Long, end: Long)
     extends InputPartition
 
 private[sources] class GenScan(table: String, required: StructType,
-    rows: Long, seed: Long, numPartitions: Int, nCustomers: Long,
-    nProducts: Long, nStores: Long, anchor: String) extends Scan with Batch {
+    first: Long, last: Long, seed: Long, numPartitions: Int,
+    nCustomers: Long, nProducts: Long, nStores: Long, anchor: String)
+    extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftGenScan(table=$table, rows=$rows, seed=$seed, " +
+    s"GraftGenScan(table=$table, idRange=[$first,$last], seed=$seed, " +
       s"columns=[${required.fieldNames.mkString(",")}])"
 
   override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.max(0L, last - first + 1)
+    if (n == 0) return Array.empty
     val parts = math.max(1, numPartitions)
-    val step = math.max(1L, (rows + parts - 1) / parts)
-    (1L to rows by step)
-      .map(s => GenRange(s, math.min(s + step, rows + 1))).toArray
+    val step = math.max(1L, (n + parts - 1) / parts)
+    (first to last by step)
+      .map(s => GenRange(s, math.min(s + step, last + 1))).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GenReaderFactory(table, required.fieldNames, rows, seed, nCustomers,
+    GenReaderFactory(table, required.fieldNames, seed, nCustomers,
       nProducts, nStores, anchor)
 }
 
 private[sources] case class GenReaderFactory(table: String,
-    columns: Array[String], rows: Long, seed: Long, nCustomers: Long,
+    columns: Array[String], seed: Long, nCustomers: Long,
     nProducts: Long, nStores: Long, anchor: String)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {

@@ -13,9 +13,14 @@ class AnsiSqlSpec extends SparkSpec {
     "q04_balance_bucket", "q05_kpi_summary", "q06_category_share",
     "q12_row_counts",
     // round-3 additions whose oracles are dialect-free
+    // q69 left this list in round 4: its oracle now converts the >2^53
+    // moments via Features.decToDoubleSql (HUGEINT + `//`, DuckDB-only)
     "q59_scd2", "q61_bloom_join", "q63_click_funnel", "q66_latest_by_user",
-    "q69_exact_corr", "q74_set_cohorts",
-    "q78_debounce", "q79_active_users", "q80_retention", "q81_streaks")
+    "q74_set_cohorts",
+    "q78_debounce", "q79_active_users", "q80_retention", "q81_streaks",
+    // round-4 wave 2 dialect-free oracles
+    "q107_skyline", "q111_daily_reconcile", "q113_topk_per_segment",
+    "q115_price_ranks", "q116_weighted_median", "q117_exists_subquery")
 
   private def registerViews(): Unit = {
     Seq("region", "nation", "customer", "supplier", "part", "orders",

@@ -42,9 +42,37 @@ class GenSourceSpec extends SparkSpec {
     val scan = df.queryExecution.sparkPlan.collect {
       case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
     }.head
-    assert(scan.scan.description().contains("rows=5"),
+    assert(scan.scan.description().contains("idRange=[1,5]"),
       s"limit not pushed: ${scan.scan.description()}")
     assert(df.count() == 5)
+  }
+
+  test("id-range filter pushdown trims generation instead of post-filtering") {
+    val df = gen("sales", 1000000)
+      .filter(col("sales_id") >= 100 && col("sales_id") <= 199)
+    val scan = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }.head
+    assert(scan.scan.description().contains("idRange=[100,199]"),
+      s"filter not pushed: ${scan.scan.description()}")
+    assert(df.count() == 100)
+    // pushed rows are the SAME rows a post-filter would keep
+    // (counter-based cells are a pure function of the id)
+    val post = gen("sales", 1000)
+      .filter(col("sales_id") >= 100 && col("sales_id") <= 199)
+      .orderBy("sales_id").collect()
+    assert(df.orderBy("sales_id").collect().toSeq === post.toSeq)
+  }
+
+  test("non-id filters stay post-scan and still evaluate correctly") {
+    val df = gen("sales", 500).filter(col("quantity") === 3)
+    val scan = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }.head
+    assert(scan.scan.description().contains("idRange=[1,500]"),
+      s"non-id filter must not trim the range: ${scan.scan.description()}")
+    assert(df.collect().forall(_.getAs[Int]("quantity") == 3))
+    assert(df.count() > 0)
   }
 
   test("domains match the datagen contract (ids, age, FK ranges, weighted tiers)") {
