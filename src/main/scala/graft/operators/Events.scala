@@ -546,43 +546,57 @@ object Events {
     * integer MICROSECONDS — no float timestamp subtraction) between a
     * user's consecutive events, attributed to the later event's type;
     * summarized with exact min/max and R-7 interpolated median/p90
-    * (same percentile contract as q49).
+    * (same percentile contract as q49), computed scale-safe via
+    * [[Features.weightedPercentiles]].
     *
-    * Scale shape: one exchange on user_id for the lag, then a bounded
-    * per-type agg; the percentile state is per-group sorted values —
-    * fine at event-type cardinality, the heavy lifting stays in the
-    * user-partitioned window.
+    * Scale shape: one exchange on user_id for the lag, ONE collapse to
+    * (type, gap) grain, then both the base stats and the prefix-sum
+    * percentiles derive from that bounded grain (one exchange,
+    * deduplicated by ReuseExchange) — no percentile buffer ever sees
+    * an event row; state is bounded by the gap-value domain per type.
     */
   def interarrival(spark: SparkSession, sfDir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    Tables.events(spark, sfDir)
+    val grain = Tables.events(spark, sfDir)
       .withColumn("us", unix_micros(col("ts")))
       .withColumn("prev_us", lag(col("us"), 1).over(byUser))
       .filter(col("prev_us").isNotNull)
       .select(col("event_type"), (col("us") - col("prev_us")).as("gap_us"))
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n_gaps"),
+      .groupBy("event_type", "gap_us")
+      .agg(count(lit(1)).as("w"))
+    val base = grain.groupBy("event_type")
+      .agg(sum("w").as("n_gaps"),
         min("gap_us").as("min_gap_us"),
-        max("gap_us").as("max_gap_us"),
-        expr("percentile(gap_us, 0.5)").as("median_gap_us"),
-        expr("percentile(gap_us, 0.9)").as("p90_gap_us"))
-      .orderBy("event_type")
+        max("gap_us").as("max_gap_us"))
+    val pct = Features.weightedPercentiles(grain, Seq("event_type"),
+      "gap_us", "w",
+      Seq("median_gap_us" -> 0.5, "p90_gap_us" -> 0.9))
+    base.join(pct, Seq("event_type")).orderBy("event_type")
   }
 
-  val interarrivalSql: String =
-    """WITH ev AS (SELECT user_id, event_id, event_type,
-      |            epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
-      |g AS (
-      |  SELECT event_type,
-      |    us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
-      |      AS gap_us
-      |  FROM ev)
-      |SELECT event_type, COUNT(*) AS n_gaps,
-      |  MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us,
-      |  quantile_cont(gap_us, 0.5) AS median_gap_us,
-      |  quantile_cont(gap_us, 0.9) AS p90_gap_us
-      |FROM g
-      |WHERE gap_us IS NOT NULL
-      |GROUP BY event_type
-      |ORDER BY event_type""".stripMargin
+  val interarrivalSql: String = {
+    val pctSql = Features.weightedPercentilesSql("g", Seq("event_type"),
+      "gap_us", "w", Seq("median_gap_us" -> 0.5, "p90_gap_us" -> 0.9))
+    s"""WITH ev AS (SELECT user_id, event_id, event_type,
+       |            epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+       |raw AS (
+       |  SELECT event_type,
+       |    us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+       |      AS gap_us
+       |  FROM ev),
+       |g AS (
+       |  SELECT event_type, gap_us, COUNT(*) AS w
+       |  FROM raw WHERE gap_us IS NOT NULL
+       |  GROUP BY event_type, gap_us),
+       |b AS (
+       |  SELECT event_type, CAST(SUM(w) AS BIGINT) AS n_gaps,
+       |    MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us
+       |  FROM g GROUP BY event_type),
+       |p AS (
+       |  $pctSql)
+       |SELECT b.event_type, n_gaps, min_gap_us, max_gap_us,
+       |  median_gap_us, p90_gap_us
+       |FROM b JOIN p ON b.event_type = p.event_type
+       |ORDER BY b.event_type""".stripMargin
+  }
 }

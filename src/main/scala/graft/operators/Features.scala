@@ -42,8 +42,20 @@ object Features {
     val pow = BigInt(10).pow(scale).toLong
     // decimal(29,0): big enough for any moment here, small enough that
     // the /1e9 quotient keeps ≥9 fractional digits after Spark's
-    // precision-cap scale adjustment — i.e. floor() sees the exact value
-    val sc = (c * lit(pow)).cast("decimal(29,0)")
+    // precision-cap scale adjustment — i.e. floor() sees the exact value.
+    // Widening to (38,0) would cap that quotient's scale at 6, where
+    // HALF_UP rounding can cross an integer boundary and break the
+    // floor — so the width stays 29 and the range is GUARDED instead:
+    // beyond ~1e28 the narrowing cast would silently null, so fail
+    // loudly (assert_true) rather than let outputs go null at large sf.
+    val sc0 = (c * lit(pow)).cast("decimal(38,0)")
+    val inRange = sc0.isNull ||
+      abs(sc0) < lit(BigDecimal("10000000000000000000000000000"))
+    val sc = when(
+      assert_true(inRange, lit("decToDouble: |value|*1e" + scale +
+        " >= 1e28 - outside the exact-floor range; split the sum or " +
+        "reduce the scale")).isNull,
+      sc0).cast("decimal(29,0)")
     val hi = floor(sc / lit(1000000000L)).cast("decimal(29,0)")
     val lo = (sc - hi * lit(1000000000L)).cast("decimal(29,0)")
     (hi.cast("double") * lit(1.0e9) + lo.cast("double")) /
@@ -57,6 +69,184 @@ object Features {
        |  * 1000000000.0
        |  + CAST(CAST(($e) * $pow AS HUGEINT) % 1000000000 AS DOUBLE))
        |  / $pow.0)""".stripMargin
+  }
+
+  /** Scale-safe exact percentiles over an already-collapsed
+    * (group, value, weight) grain: R-7 linear interpolation computed
+    * with prefix sums instead of a percentile buffer. Shape:
+    *
+    *   1. one per-group prefix-sum window over the VALUE GRAIN (state
+    *      bounded by the value domain, never by fact rows);
+    *   2. a per-group agg that picks the two bracketing values
+    *      `v_lo = value at 0-based rank ⌊h⌋`, `v_hi = rank ⌊h⌋+1`
+    *      (h = (n−1)·p, the R-7 position) via `min(when(cumw > ⌊h⌋))`;
+    *   3. `v_lo + (h−⌊h⌋)·(v_hi − v_lo)` — the exact expression both
+    *      engines evaluate on bit-identical double operands, so results
+    *      hash-match quantile semantics by construction.
+    *
+    * This replaces `percentile()` on the 100 TB read path: Spark's
+    * exact percentile buffers every distinct value per group inside ONE
+    * aggregation buffer on one executor, while this form keeps the
+    * collapse a spillable hash aggregate and the window input
+    * domain-bounded. For a group whose distinct-value set outgrows a
+    * partition, the scale path swaps the window for the
+    * [[ScalableKeys]] range-partition + per-partition-offset prefix
+    * sum (q116 contract — same breakpoint algebra).
+    *
+    * `grain` carries a BIGINT multiplicity in `weightCol`; duplicate
+    * (groupCols, valueCol) rows are allowed — the breakpoint pick is
+    * tie-stable (whatever the intra-tie running-sum order, the row
+    * crossing rank k carries the same VALUE). `ps` maps output column
+    * name → percentile.
+    */
+  def weightedPercentiles(grain: DataFrame, groupCols: Seq[String],
+      valueCol: String, weightCol: String,
+      ps: Seq[(String, Double)]): DataFrame = {
+    val pb = Window.partitionBy(groupCols.map(col): _*)
+    // both frames share one (partition, order) spec → ONE WindowExec,
+    // one sort; the group total rides the entire-partition frame
+    val ordRun = pb.orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ordAll = pb.orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val c = grain
+      .withColumn("__cumw", sum(col(weightCol)).over(ordRun))
+      .withColumn("__n", sum(col(weightCol)).over(ordAll))
+    val aggs = ps.flatMap { case (name, p) =>
+      // h exactly as DuckDB computes it: double(n-1) * double(p)
+      val h = (col("__n") - 1).cast("double") * lit(p)
+      val kLo = floor(h) // LongType in Spark; integral either way
+      Seq(
+        min(when(col("__cumw") > kLo, col(valueCol))).as(s"__lo_$name"),
+        min(when(col("__cumw") > kLo + 1, col(valueCol))).as(s"__hi_$name"),
+        max(h - kLo).as(s"__f_$name"))
+    }
+    val out = ps.map { case (name, _) =>
+      val lo = col(s"__lo_$name").cast("double")
+      val hi = coalesce(col(s"__hi_$name"), col(s"__lo_$name"))
+        .cast("double")
+      (lo + col(s"__f_$name") * (hi - lo)).as(name)
+    }
+    // the grouped agg needs no exchange: the window output is already
+    // hash(groupCols)-partitioned. The trailing repartition(1) is a
+    // MATERIALIZATION BARRIER on the group-count-bounded result, not a
+    // distribution choice: without an exchange above the window chain,
+    // a downstream global ORDER BY's range-partition sampling pass
+    // re-executes the entire chain a second time (measured ~2x on the
+    // percentile family).
+    c.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(groupCols.map(col) ++ out: _*)
+      .repartition(1)
+  }
+
+  /** Row-grain form of [[weightedPercentiles]]: ATTACHES the R-7
+    * percentile columns to every grain row via unbounded-frame window
+    * aggregates over the same per-group partitioning, instead of
+    * collapsing. Use when a downstream derivation needs the breakpoint
+    * next to each row (e.g. MAD's |value − median|): everything after
+    * the grain exchange — running sum, breakpoint pick, derivation,
+    * even a re-collapse on a derived column — stays in ONE hash(group)
+    * stage with no joins, no broadcasts and no further exchanges
+    * (window output partitioning already satisfies any groupBy on a
+    * subset of the group columns).
+    */
+  def withWeightedPercentiles(grain: DataFrame, groupCols: Seq[String],
+      valueCol: String, weightCol: String,
+      ps: Seq[(String, Double)]): DataFrame = {
+    val pb = Window.partitionBy(groupCols.map(col): _*)
+    val ordRun = pb.orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ordAll = pb.orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    var c = grain
+      .withColumn("__cumw", sum(col(weightCol)).over(ordRun))
+      .withColumn("__n", sum(col(weightCol)).over(ordAll))
+    // h/kLo must be materialized columns: they feed the when() inside
+    // the next window batch, and window exprs can't nest. Every frame
+    // shares the one (partition, order) spec, so each batch is a
+    // single WindowExec and the sort happens once.
+    for ((name, p) <- ps) {
+      // h exactly as DuckDB computes it: double(n-1) * double(p)
+      c = c.withColumn(s"__h_$name",
+          (col("__n") - 1).cast("double") * lit(p))
+        .withColumn(s"__k_$name", floor(col(s"__h_$name")))
+    }
+    for ((name, _) <- ps) {
+      c = c.withColumn(s"__rlo_$name",
+          min(when(col("__cumw") > col(s"__k_$name"), col(valueCol)))
+            .over(ordAll))
+        .withColumn(s"__rhi_$name",
+          min(when(col("__cumw") > col(s"__k_$name") + 1, col(valueCol)))
+            .over(ordAll))
+    }
+    val out = ps.map { case (name, _) =>
+      val lo = col(s"__rlo_$name").cast("double")
+      val hi = coalesce(col(s"__rhi_$name"), col(s"__rlo_$name"))
+        .cast("double")
+      (lo + (col(s"__h_$name") - col(s"__k_$name")) * (hi - lo)).as(name)
+    }
+    c.select(grain.columns.map(col) ++ out: _*)
+  }
+
+  /** [[weightedPercentiles]] over raw rows: collapses to value grain
+    * (one spillable partial-agg pass) and weights by multiplicity.
+    */
+  def groupPercentiles(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, ps: Seq[(String, Double)]): DataFrame =
+    weightedPercentiles(
+      df.groupBy((groupCols :+ valueCol).map(col): _*)
+        .agg(count(lit(1)).as("__w")),
+      groupCols, valueCol, "__w", ps)
+
+  /** DuckDB twin of [[weightedPercentiles]] — same prefix-sum + R-7
+    * expression tree, emitted as a standalone SELECT over `src` (a
+    * table, CTE name, or parenthesized subquery). Every float step is
+    * written with the identical operand tree as the Spark side
+    * (CAST(n-1 AS DOUBLE) * CAST(p AS DOUBLE), FLOOR, the
+    * lo + f*(hi-lo) blend), so the cells are bit-identical.
+    */
+  def weightedPercentilesSql(src: String, groupCols: Seq[String],
+      valueExpr: String, weightExpr: String,
+      ps: Seq[(String, Double)]): String = {
+    val grpSel = if (groupCols.isEmpty) "" else groupCols.mkString(", ") + ", "
+    val grpBy =
+      if (groupCols.isEmpty) "" else "GROUP BY " + groupCols.mkString(", ")
+    val pbOrd = if (groupCols.isEmpty) ""
+      else s"PARTITION BY ${groupCols.mkString(", ")} "
+    val aggs = ps.map { case (name, p) =>
+      val h = s"CAST(n - 1 AS DOUBLE) * CAST($p AS DOUBLE)"
+      s"""    MIN(CASE WHEN cumw > FLOOR($h) THEN v END) AS lo_$name,
+         |    MIN(CASE WHEN cumw > FLOOR($h) + 1 THEN v END) AS hi_$name,
+         |    MAX($h - FLOOR($h)) AS f_$name""".stripMargin
+    }.mkString(",\n")
+    val outs = ps.map { case (name, _) =>
+      s"""CAST(lo_$name AS DOUBLE) + f_$name *
+         |    (CAST(COALESCE(hi_$name, lo_$name) AS DOUBLE)
+         |      - CAST(lo_$name AS DOUBLE)) AS $name""".stripMargin
+    }.mkString(",\n  ")
+    s"""SELECT ${grpSel}$outs
+       |FROM (
+       |  SELECT ${grpSel}
+       |$aggs
+       |  FROM (
+       |    SELECT ${grpSel}($valueExpr) AS v,
+       |      SUM($weightExpr) OVER (${pbOrd}ORDER BY ($valueExpr)
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+       |      SUM($weightExpr) OVER (${if (pbOrd.isEmpty) "" else pbOrd.trim})
+       |        AS n
+       |    FROM $src) pc
+       |  $grpBy) pa""".stripMargin
+  }
+
+  /** DuckDB twin of [[groupPercentiles]]: value-grain collapse inline. */
+  def groupPercentilesSql(src: String, groupCols: Seq[String],
+      valueExpr: String, ps: Seq[(String, Double)]): String = {
+    val grpSel = if (groupCols.isEmpty) "" else groupCols.mkString(", ") + ", "
+    val grain =
+      s"""(SELECT ${grpSel}($valueExpr) AS v, COUNT(*) AS w
+         |     FROM $src GROUP BY ${grpSel}($valueExpr)) vg""".stripMargin
+    weightedPercentilesSql(grain, groupCols, "v", "w", ps)
   }
 
   /** Equi-depth (decile) binning of event values per type — the
@@ -206,7 +396,10 @@ object Features {
   def weightedMedian(spark: SparkSession, sfDir: String): DataFrame = {
     val ord = Window.partitionBy("l_returnflag").orderBy("price")
       .rowsBetween(Window.unboundedPreceding, 0)
-    val all = Window.partitionBy("l_returnflag")
+    // same (partition, order) spec as `ord` so both frames share one
+    // WindowExec and one sort
+    val all = Window.partitionBy("l_returnflag").orderBy("price")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     Tables.lineitem(spark, sfDir)
       .select(col("l_returnflag"), col("l_extendedprice").as("price"),
         round(col("l_quantity")).cast("long").as("w"))
@@ -217,6 +410,9 @@ object Features {
       .groupBy("l_returnflag")
       .agg(min("price").as("weighted_median"),
         max("total").as("total_weight"))
+      // materialization barrier (3 rows): without it the ORDER BY's
+      // range sampling re-runs the prefix-sum window (measured ~2x)
+      .repartition(1)
       .orderBy("l_returnflag")
   }
 
@@ -324,52 +520,72 @@ object Features {
     * (q52) — MAD has a 50% breakdown point, so a heavy-tailed price
     * column can't drag the fence the way it drags stddev.
     *
-    * Determinism: medians are R-7 interpolated over identical inputs
+    * Determinism: medians are R-7 interpolated via the
+    * [[weightedPercentiles]] prefix-sum form over identical inputs
     * (q49 contract); |x − med| and k·mad are IEEE double ops on
     * bit-identical operands; the fence compare is strict.
     *
-    * Scale shape: two percentile aggs at group grain plus two
-    * broadcast joins of the per-group medians (the per-group frames are
-    * bounded by group cardinality — they do NOT scale with the fact, so
-    * the unconditional broadcast is safe here, unlike a dim table).
+    * Scale shape: ONE collapse of the fact to (flag, price, weight)
+    * grain — everything downstream (median, the |x−med| re-grain, MAD,
+    * the outlier-weight rollup) runs on frames bounded by the price
+    * DOMAIN, never by fact rows; no percentile buffers anywhere.
+    * Medians attach per-row via [[withWeightedPercentiles]]'s
+    * unbounded-frame window aggregates, so the whole post-grain chain
+    * (median → deviation re-grain → MAD → rollup) is a SINGLE
+    * hash(flag) stage: no joins, no broadcasts, three exchanges total
+    * (grain, flag, final ORDER BY).
     */
   def madOutliers(spark: SparkSession, sfDir: String,
       k: Double = 3.0): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
-      .select(col("l_returnflag"), col("l_extendedprice").as("price"))
-    val med = li.groupBy("l_returnflag")
-      .agg(expr("percentile(price, 0.5)").as("med"))
-    val dev = li.join(broadcast(med), Seq("l_returnflag"))
-      .withColumn("adev", abs(col("price") - col("med")))
-    val mad = dev.groupBy("l_returnflag")
-      .agg(expr("percentile(adev, 0.5)").as("mad"))
-    dev.join(broadcast(mad), Seq("l_returnflag"))
+    val grain = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"), col("l_extendedprice").as("price"))
+      .agg(count(lit(1)).as("w"))
+    val withMed = withWeightedPercentiles(grain, Seq("l_returnflag"),
+      "price", "w", Seq("med" -> 0.5))
+    // no re-grain on the deviation: the breakpoint pick is tie-stable
+    // (duplicate |price − med| values pick the same bracketing VALUES
+    // whatever the intra-tie cumw order), so the second prefix-sum
+    // chain runs directly on the attached frame — one sort, zero
+    // additional aggregates, still inside the hash(flag) stage
+    val dev = withMed.withColumn("adev", abs(col("price") - col("med")))
+    withWeightedPercentiles(dev, Seq("l_returnflag"),
+      "adev", "w", Seq("mad" -> 0.5))
       .groupBy("l_returnflag")
-      .agg(count(lit(1)).as("n_rows"),
-        first(col("med")).as("median_price"),
-        first(col("mad")).as("mad"),
-        sum((col("adev") > lit(k) * col("mad")).cast("long"))
-          .as("n_outliers"))
+      .agg(sum("w").as("n_rows"),
+        max(col("med")).as("median_price"),
+        max(col("mad")).as("mad"),
+        sum(when(col("adev") > lit(k) * col("mad"), col("w"))
+          .otherwise(lit(0L))).as("n_outliers"))
+      // materialization barrier (3 rows) so the ORDER BY's range
+      // sampling doesn't re-execute the window chain (see
+      // weightedPercentiles)
+      .repartition(1)
       .orderBy("l_returnflag")
   }
 
-  def madOutliersSql(k: Double = 3.0): String =
-    s"""WITH li AS (
-       |  SELECT l_returnflag, l_extendedprice AS price FROM lineitem),
+  def madOutliersSql(k: Double = 3.0): String = {
+    val medSql = weightedPercentilesSql("grain", Seq("l_returnflag"),
+      "price", "w", Seq("med" -> 0.5))
+    val madSql = weightedPercentilesSql("ag", Seq("l_returnflag"),
+      "adev", "w", Seq("mad" -> 0.5))
+    s"""WITH grain AS (
+       |  SELECT l_returnflag, l_extendedprice AS price, COUNT(*) AS w
+       |  FROM lineitem GROUP BY 1, 2),
        |med AS (
-       |  SELECT l_returnflag, quantile_cont(price, 0.5) AS med
-       |  FROM li GROUP BY l_returnflag),
-       |dev AS (
-       |  SELECT li.l_returnflag, price, med, abs(price - med) AS adev
-       |  FROM li JOIN med ON li.l_returnflag = med.l_returnflag),
+       |  $medSql),
+       |ag AS (
+       |  SELECT g.l_returnflag, abs(price - med) AS adev,
+       |    SUM(w) AS w, MAX(med) AS med
+       |  FROM grain g JOIN med ON g.l_returnflag = med.l_returnflag
+       |  GROUP BY 1, 2),
        |mad AS (
-       |  SELECT l_returnflag, quantile_cont(adev, 0.5) AS mad
-       |  FROM dev GROUP BY l_returnflag)
-       |SELECT dev.l_returnflag, COUNT(*) AS n_rows,
-       |  MIN(med) AS median_price, MIN(mad) AS mad,
-       |  CAST(SUM(CASE WHEN adev > $k * mad THEN 1 ELSE 0 END) AS BIGINT)
-       |    AS n_outliers
-       |FROM dev JOIN mad ON dev.l_returnflag = mad.l_returnflag
-       |GROUP BY dev.l_returnflag
-       |ORDER BY dev.l_returnflag""".stripMargin
+       |  $madSql)
+       |SELECT ag.l_returnflag, CAST(SUM(w) AS BIGINT) AS n_rows,
+       |  MAX(ag.med) AS median_price, MAX(mad.mad) AS mad,
+       |  CAST(SUM(CASE WHEN adev > $k * mad.mad THEN w ELSE 0 END)
+       |    AS BIGINT) AS n_outliers
+       |FROM ag JOIN mad ON ag.l_returnflag = mad.l_returnflag
+       |GROUP BY ag.l_returnflag
+       |ORDER BY ag.l_returnflag""".stripMargin
+  }
 }

@@ -239,28 +239,77 @@ object Insights {
   }
 
   /** Exact percentile KPIs per return flag (median/p90 quantity, median
-    * line price). Spark's `percentile` and DuckDB's `quantile_cont` both
-    * compute the R-7 linearly-interpolated quantile, so the cells match
-    * bit-exact on identical inputs. Exact percentile is a sort-based
-    * aggregate — the scale knob is `approx_percentile` (t-digest
-    * sketch, merged map-side like the HLL KPI), same call shape.
+    * line price), R-7 interpolated — computed scale-safe via
+    * [[Features.groupPercentiles]]: collapse to (flag, value) grain
+    * first, then prefix-sum breakpoint selection. No percentile buffer
+    * ever sees a fact row; per-column state is bounded by the value
+    * DOMAIN (quantities are small integers, prices a bounded price
+    * list). Two narrow single-column collapses replace the one
+    * sort-heavy percentile agg; the 3-row results join broadcast. The
+    * approximate twin for sketchable accuracy needs is
+    * [[approxPercentileSummary]] (t-digest, merged map-side).
     */
-  def percentileSummary(spark: SparkSession, sfDir: String): DataFrame =
+  def percentileSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    // ONE fact scan: stack both measure columns map-side (a 2× explode
+    // is free next to a shuffle), collapse to (flag, measure, value)
+    // grain, run the prefix-sum breakpoints per (flag, measure), then
+    // pivot the 6 bounded rows back to the KPI layout.
+    val stacked = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), explode(array(
+        struct(lit("qty").as("vc"),
+          col("l_quantity").cast("double").as("v")),
+        struct(lit("price").as("vc"),
+          col("l_extendedprice").cast("double").as("v")))).as("s"))
+      .select(col("l_returnflag"), col("s.vc").as("vc"), col("s.v").as("v"))
+    val grain = stacked.groupBy("l_returnflag", "vc", "v")
+      .agg(count(lit(1)).as("w"))
+    Features.weightedPercentiles(grain, Seq("l_returnflag", "vc"),
+        "v", "w", Seq("p50" -> 0.5, "p90" -> 0.9))
+      .groupBy("l_returnflag")
+      .agg(
+        max(when(col("vc") === "qty", col("p50"))).as("median_qty"),
+        max(when(col("vc") === "qty", col("p90"))).as("p90_qty"),
+        max(when(col("vc") === "price", col("p50"))).as("median_price"))
+      .orderBy("l_returnflag")
+  }
+
+  val percentileSummarySql: String = {
+    val qtySql = Features.groupPercentilesSql("lineitem",
+      Seq("l_returnflag"), "l_quantity",
+      Seq("median_qty" -> 0.5, "p90_qty" -> 0.9))
+    val priceSql = Features.groupPercentilesSql("lineitem",
+      Seq("l_returnflag"), "l_extendedprice",
+      Seq("median_price" -> 0.5))
+    s"""WITH qy AS (
+       |  $qtySql),
+       |pr AS (
+       |  $priceSql)
+       |SELECT qy.l_returnflag, median_qty, p90_qty, median_price
+       |FROM qy JOIN pr ON qy.l_returnflag = pr.l_returnflag
+       |ORDER BY qy.l_returnflag""".stripMargin
+  }
+
+  /** Approximate twin of [[percentileSummary]] for the 100 TB read
+    * path: `approx_percentile` (t-digest sketch, accuracy parameter =
+    * 1/eps) merges map-side like any partial aggregate — constant
+    * memory per group regardless of the value domain. Rows-only
+    * registration (q45 contract): sketch results are
+    * implementation-defined, so the oracle can't hash-match them; the
+    * tolerance against the exact q49 values is asserted in ScalaTest
+    * instead (ApproxSpec).
+    */
+  def approxPercentileSummary(spark: SparkSession, sfDir: String,
+      accuracy: Int = 10000): DataFrame =
     Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"))
       .agg(
-        expr("percentile(l_quantity, 0.5)").as("median_qty"),
-        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
-        expr("percentile(l_extendedprice, 0.5)").as("median_price"))
+        expr(s"approx_percentile(l_quantity, 0.5, $accuracy)")
+          .cast("double").as("median_qty"),
+        expr(s"approx_percentile(l_quantity, 0.9, $accuracy)")
+          .cast("double").as("p90_qty"),
+        expr(s"approx_percentile(l_extendedprice, 0.5, $accuracy)")
+          .cast("double").as("median_price"))
       .orderBy("l_returnflag")
-
-  val percentileSummarySql: String =
-    """SELECT l_returnflag,
-      |  quantile_cont(l_quantity, 0.5) AS median_qty,
-      |  quantile_cont(l_quantity, 0.9) AS p90_qty,
-      |  quantile_cont(l_extendedprice, 0.5) AS median_price
-      |FROM lineitem GROUP BY l_returnflag
-      |ORDER BY l_returnflag""".stripMargin
 
   /** Category revenue mix with share-of-total % (F8; "Electronics 37.78%").
     * The grand total comes from an empty-frame window aggregate — a

@@ -307,9 +307,11 @@ object RetailBi {
     *
     * Scale shape: a fact-fact equi-join on the order key (both sides
     * hash-partition on it — at scale this is THE shuffle, and it's
-    * unavoidable and linear), then a bounded per-priority agg; the
-    * percentile state is per-priority sorted lags, fine at priority
-    * cardinality.
+    * unavoidable and linear), then ONE collapse to (priority, lag)
+    * grain — lags are small integers, so the grain is bounded by the
+    * lag-day DOMAIN, not by fact rows. Base stats and the prefix-sum
+    * percentiles ([[Features.weightedPercentiles]], q49 R-7 contract)
+    * both derive from that grain; no percentile buffer anywhere.
     */
   def shipLag(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
@@ -317,37 +319,53 @@ object RetailBi {
     val o = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_orderpriority"),
         to_date(col("o_orderdate")).as("placed"))
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
+    val grain = li.join(o, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_orderpriority"),
         datediff(col("ship"), col("placed")).cast("long").as("lag_days"))
-      .groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("n_lines"),
-        min("lag_days").as("min_lag"), max("lag_days").as("max_lag"),
-        percentile(col("lag_days"), lit(0.5)).as("median_lag"),
-        percentile(col("lag_days"), lit(0.9)).as("p90_lag"))
-      .orderBy("o_orderpriority")
+      .groupBy("o_orderpriority", "lag_days")
+      .agg(count(lit(1)).as("w"))
+    val base = grain.groupBy("o_orderpriority")
+      .agg(sum("w").as("n_lines"),
+        min("lag_days").as("min_lag"), max("lag_days").as("max_lag"))
+    val pct = Features.weightedPercentiles(grain, Seq("o_orderpriority"),
+      "lag_days", "w", Seq("median_lag" -> 0.5, "p90_lag" -> 0.9))
+    base.join(pct, Seq("o_orderpriority")).orderBy("o_orderpriority")
   }
 
-  val shipLagSql: String =
-    """SELECT o_orderpriority, COUNT(*) AS n_lines,
-      |  MIN(lag_days) AS min_lag, MAX(lag_days) AS max_lag,
-      |  quantile_cont(lag_days, 0.5) AS median_lag,
-      |  quantile_cont(lag_days, 0.9) AS p90_lag
-      |FROM (
-      |  SELECT o_orderpriority,
-      |    date_diff('day', CAST(o_orderdate AS DATE),
-      |      CAST(l_shipdate AS DATE)) AS lag_days
-      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
-      |GROUP BY o_orderpriority
-      |ORDER BY o_orderpriority""".stripMargin
+  val shipLagSql: String = {
+    val pctSql = Features.weightedPercentilesSql("g",
+      Seq("o_orderpriority"), "lag_days", "w",
+      Seq("median_lag" -> 0.5, "p90_lag" -> 0.9))
+    s"""WITH lg AS (
+       |  SELECT o_orderpriority,
+       |    date_diff('day', CAST(o_orderdate AS DATE),
+       |      CAST(l_shipdate AS DATE)) AS lag_days
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |g AS (
+       |  SELECT o_orderpriority, lag_days, COUNT(*) AS w
+       |  FROM lg GROUP BY o_orderpriority, lag_days),
+       |b AS (
+       |  SELECT o_orderpriority, CAST(SUM(w) AS BIGINT) AS n_lines,
+       |    MIN(lag_days) AS min_lag, MAX(lag_days) AS max_lag
+       |  FROM g GROUP BY o_orderpriority),
+       |p AS (
+       |  $pctSql)
+       |SELECT b.o_orderpriority, n_lines, min_lag, max_lag,
+       |  median_lag, p90_lag
+       |FROM b JOIN p ON b.o_orderpriority = p.o_orderpriority
+       |ORDER BY b.o_orderpriority""".stripMargin
+  }
 
   /** Weekday seasonality profile: revenue share and a seasonal index
     * per ship weekday (1=Mon..7=Sun, the reference's B8 convention) —
     * index 1_000_000 ppm = that weekday carries exactly its uniform
     * 1/7 share. One partial→final agg to 7 rows; the grand total is a
     * window over those 7 rows (bounded, the q06 pattern). Shares in
-    * integer ppm via FLOOR over exact decimal division (the q89
-    * idiom) so both engines agree bit-for-bit at any revenue scale.
+    * integer ppm via exact INTEGER division on cents-scaled sums (the
+    * heavy-hitters idiom) — engine-exact by construction at any
+    * revenue scale, unlike a decimal `/` whose result type diverges
+    * between engines (Spark keeps a scale-capped decimal, DuckDB
+    * returns DOUBLE).
     */
   def weekdaySeasonality(spark: SparkSession, sfDir: String): DataFrame = {
     val wAll = Window.partitionBy()
@@ -357,11 +375,13 @@ object RetailBi {
         Insights.revenueDec.as("rev"))
       .groupBy("weekday")
       .agg(sum("rev").as("revd"))
-      .withColumn("total", sum("revd").over(wAll))
+      // revd has scale 2, so *100 is integral — the cents cast is exact
+      .withColumn("cents", (col("revd") * 100).cast("decimal(38,0)"))
+      .withColumn("total", sum("cents").over(wAll))
       .select(col("weekday"), col("revd").cast("double").as("revenue"),
-        floor(col("revd") * 1000000 / col("total")).cast("long")
+        expr("CAST((cents * 1000000) div total AS BIGINT)")
           .as("share_ppm"),
-        floor(col("revd") * 7000000 / col("total")).cast("long")
+        expr("CAST((cents * 7000000) div total AS BIGINT)")
           .as("index_ppm"))
       .orderBy("weekday")
   }
@@ -372,10 +392,12 @@ object RetailBi {
        |      AS weekday,
        |    SUM(${Insights.revenueSql}) AS revd
        |  FROM lineitem GROUP BY 1),
-       |t AS (SELECT SUM(revd) AS total FROM wd)
+       |w2 AS (SELECT weekday, revd,
+       |    CAST(revd * 100 AS HUGEINT) AS cents FROM wd),
+       |t AS (SELECT SUM(cents) AS total FROM w2)
        |SELECT weekday, CAST(revd AS DOUBLE) AS revenue,
-       |  CAST(FLOOR(revd * 1000000 / total) AS BIGINT) AS share_ppm,
-       |  CAST(FLOOR(revd * 7000000 / total) AS BIGINT) AS index_ppm
-       |FROM wd, t
+       |  CAST((cents * 1000000) // total AS BIGINT) AS share_ppm,
+       |  CAST((cents * 7000000) // total AS BIGINT) AS index_ppm
+       |FROM w2, t
        |ORDER BY weekday""".stripMargin
 }

@@ -75,17 +75,20 @@ object Validation {
   /** IQR outlier audit (K-family extension): per return flag, count
     * line prices outside [q1 − 1.5·IQR, q3 + 1.5·IQR] — the classic
     * box-plot fence a data-quality gate applies before training-set
-    * inclusion. Two passes: an exact-percentile aggregate to a
-    * flag-grain fence table (bounded by the flag domain → broadcasts),
-    * then one fact scan counting violations. The fence arithmetic is
-    * written with the identical expression tree on both sides
-    * (q1 − 1.5·(q3−q1)), so the IEEE doubles agree bit-exact.
+    * inclusion. Two passes: a scale-safe exact-quartile aggregate
+    * ([[Features.groupPercentiles]] — value-grain collapse + prefix
+    * sum, no percentile buffer over fact rows) to a flag-grain fence
+    * table (bounded by the flag domain → broadcasts), then one fact
+    * scan counting violations. The fence arithmetic is written with
+    * the identical expression tree on both sides (q1 − 1.5·(q3−q1)),
+    * so the IEEE doubles agree bit-exact.
     */
   def outlierAudit(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
-    val fences = li.groupBy(col("l_returnflag"))
-      .agg(expr("percentile(l_extendedprice, 0.25)").as("q1"),
-        expr("percentile(l_extendedprice, 0.75)").as("q3"))
+    val fences = Features.groupPercentiles(
+      li.select(col("l_returnflag"), col("l_extendedprice")),
+      Seq("l_returnflag"), "l_extendedprice",
+      Seq("q1" -> 0.25, "q3" -> 0.75))
     val lo = col("q1") - lit(1.5) * (col("q3") - col("q1"))
     val hi = col("q3") + lit(1.5) * (col("q3") - col("q1"))
     li.join(Joins.broadcastIfSmall(fences), Seq("l_returnflag"))
@@ -97,11 +100,9 @@ object Validation {
   }
 
   val outlierAuditSql: String =
-    """WITH q AS (
-      |  SELECT l_returnflag,
-      |         quantile_cont(l_extendedprice, 0.25) AS q1,
-      |         quantile_cont(l_extendedprice, 0.75) AS q3
-      |  FROM lineitem GROUP BY l_returnflag)
+    s"""WITH q AS (
+      |  ${Features.groupPercentilesSql("lineitem", Seq("l_returnflag"),
+             "l_extendedprice", Seq("q1" -> 0.25, "q3" -> 0.75))})
       |SELECT l.l_returnflag, COUNT(*) AS n_rows,
       |  CAST(SUM(CASE WHEN l_extendedprice < q1 - 1.5 * (q3 - q1)
       |                  OR l_extendedprice > q3 + 1.5 * (q3 - q1)

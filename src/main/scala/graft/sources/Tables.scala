@@ -22,7 +22,12 @@ object Tables {
     // events.parquet ts is INT64 TIMESTAMP(NANOS); read as raw nanos
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     // cross-engine determinism: all timestamps interpreted in UTC
-    "spark.sql.session.timeZone" -> "UTC")
+    "spark.sql.session.timeZone" -> "UTC",
+    // static conf: generated-class cache (default 100 entries) churns
+    // on a 100+-query session, recompiling every stage's codegen on
+    // each re-run; a long-lived analytics session should amortize
+    // compilation, exactly as a warm cluster would
+    "spark.sql.codegen.cache.maxEntries" -> "5000")
 
   /** Apply [[graftConfigs]] to a builder and construct the session — the
     * one way every graft entrypoint (Verify, Bench, RunPipeline, dev
