@@ -69,7 +69,11 @@ object Bench {
     try {
       val p = java.nio.file.Paths.get("bench_detail.json")
       java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+    } catch {
+      case e: Throwable => // non-fatal, but don't lose the only signal
+        System.err.println(
+          s"[bench] WARN could not persist bench_detail.json: $e")
+    }
     spark.stop()
   }
 }

@@ -5,6 +5,8 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.operators.Joins
+
 /** The reference generator's validation report (SURVEY.md §2 K1-K3;
   * `scripts/generate_data.py:286-309`, `data/validation_report.txt`):
   * row counts, per-table null-cell totals, FK referential integrity —
@@ -36,13 +38,17 @@ object ValidationReport {
       "stores" -> stores, "sales" -> sales)
     val counts = tables.map { case (n, df) => n -> df.count() }
     val nulls = tables.map { case (n, df) => n -> nullCellCount(df) }
-    // FK integrity: sales rows whose FKs miss any dim (anti-join, E7/K2)
+    // FK integrity: sales rows whose FKs miss any dim (anti-join, E7/K2).
+    // The dims come from the seeded generator and scale with --rows, so
+    // the broadcast is SIZE-GATED (round-3 rule: no hard hint on
+    // anything that grows) — past the threshold Catalyst/AQE fall back
+    // to a shuffle anti-join.
     val bad =
-      sales.join(broadcast(customers.select("customer_id")),
+      sales.join(Joins.broadcastIfSmall(customers.select("customer_id")),
           Seq("customer_id"), "left_anti").count() +
-      sales.join(broadcast(products.select("product_id")),
+      sales.join(Joins.broadcastIfSmall(products.select("product_id")),
           Seq("product_id"), "left_anti").count() +
-      sales.join(broadcast(stores.select("store_id")),
+      sales.join(Joins.broadcastIfSmall(stores.select("store_id")),
           Seq("store_id"), "left_anti").count()
     Report(counts, nulls, bad)
   }

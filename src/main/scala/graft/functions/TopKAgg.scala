@@ -26,14 +26,34 @@ case class TopKByValue(k: Int)
   private def before(a: RankedRow, b: RankedRow): Boolean =
     a.sortVal > b.sortVal || (a.sortVal == b.sortVal && a.key < b.key)
 
-  private def trim(s: Seq[RankedRow]): Seq[RankedRow] =
-    s.sortWith(before).take(k)
-
+  // The buffer INVARIANT is "sorted by (sortVal DESC, key ASC), size
+  // <= k" — maintained by every operation below, so the hot reduce path
+  // is O(k) (early-exit O(1) for the common below-threshold row), not a
+  // per-row O(k log k) re-sort.
   override def zero: Seq[RankedRow] = Seq.empty
-  override def reduce(b: Seq[RankedRow], a: RankedRow): Seq[RankedRow] =
-    trim(b :+ a)
-  override def merge(b1: Seq[RankedRow], b2: Seq[RankedRow]): Seq[RankedRow] =
-    trim(b1 ++ b2)
+
+  override def reduce(b: Seq[RankedRow], a: RankedRow): Seq[RankedRow] = {
+    if (b.size >= k && !before(a, b.last)) b // below the current k-th: skip
+    else {
+      val (hd, tl) = b.span(before(_, a)) // insertion point, one linear pass
+      ((hd :+ a) ++ tl).take(k)
+    }
+  }
+
+  // one linear merge pass over two sorted buffers (classic merge step);
+  // indexed access because the encoder may hand back array-backed Seqs
+  // whose tail is a copy
+  override def merge(b1: Seq[RankedRow], b2: Seq[RankedRow]): Seq[RankedRow] = {
+    val (x, y) = (b1.toIndexedSeq, b2.toIndexedSeq)
+    val out = Seq.newBuilder[RankedRow]
+    var i = 0; var j = 0
+    while (i + j < k && (i < x.size || j < y.size)) {
+      if (j >= y.size || (i < x.size && before(x(i), y(j)))) {
+        out += x(i); i += 1
+      } else { out += y(j); j += 1 }
+    }
+    out.result()
+  }
   override def finish(r: Seq[RankedRow]): Seq[RankedRow] = r
   override def bufferEncoder: Encoder[Seq[RankedRow]] = ExpressionEncoder()
   override def outputEncoder: Encoder[Seq[RankedRow]] = ExpressionEncoder()

@@ -132,17 +132,37 @@ object RetailBi {
     * canonicalizes `a < b` for free), and item counts and the order
     * count are derived from the SAME aggregated base, so AQE reuses its
     * exchange instead of rescanning. Pair blowup stays items-per-
-    * order², never corpus².
+    * order², never corpus² — and items-per-order is itself CAPPED at
+    * `maxItems` before pair generation (first `maxItems` of the sorted
+    * set, deterministic), so one pathological mega-basket can't fan out
+    * an unbounded items² blob or overflow its task. Like the LSH
+    * mega-bucket cap, the cap is a documented RECALL trade: pairs
+    * involving an order's items beyond the cap are dropped; item counts
+    * and the lift denominators stay uncapped. Default 64 ≫ any real
+    * basket (reference carts are single-digit), so results are exact
+    * until an order is degenerate.
     */
   def basketPairs(spark: SparkSession, sfDir: String,
-      minPairs: Int = 2): DataFrame = {
-    val baskets = Tables.lineitem(spark, sfDir)
+      minPairs: Int = 2, maxItems: Int = 64): DataFrame =
+    basketPairsFrom(Tables.lineitem(spark, sfDir),
+      Tables.part(spark, sfDir), minPairs, maxItems)
+
+  /** [[basketPairs]] over an explicit lineitem frame (testability:
+    * the mega-basket cap is exercised on an adversarial fixture).
+    * `partProxy` sizes the item-count broadcast gate — item counts are
+    * bounded by the part catalog, so the catalog scan is the honest
+    * scaling upper bound.
+    */
+  def basketPairsFrom(lineitem: DataFrame, partProxy: DataFrame,
+      minPairs: Int, maxItems: Int): DataFrame = {
+    val baskets = lineitem
       .groupBy(col("l_orderkey").as("o"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
     val pairs = baskets
+      .withColumn("citems", expr(s"slice(items, 1, $maxItems)"))
       .select(explode(expr(
-        """flatten(transform(items,
-          |  (x, i) -> transform(slice(items, i + 2, size(items)),
+        """flatten(transform(citems,
+          |  (x, i) -> transform(slice(citems, i + 2, size(citems)),
           |    y -> struct(x AS part_a, y AS part_b))))""".stripMargin))
         .as("pr"))
       .select(col("pr.part_a"), col("pr.part_b"))
@@ -161,11 +181,11 @@ object RetailBi {
     pairs
       .join(Joins.broadcastIfSmall(
           itemCounts.select(col("p").as("part_a"), col("n_item").as("n_a")),
-          Tables.part(spark, sfDir)),
+          partProxy),
         Seq("part_a"))
       .join(Joins.broadcastIfSmall(
           itemCounts.select(col("p").as("part_b"), col("n_item").as("n_b")),
-          Tables.part(spark, sfDir)),
+          partProxy),
         Seq("part_b"))
       .crossJoin(broadcast(nOrders))
       .select(col("part_a"), col("part_b"), col("n_pair"),

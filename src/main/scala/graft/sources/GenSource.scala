@@ -134,6 +134,7 @@ private[sources] class GenScanBuilder(table: String, props: Map[String, String])
   private var lo = 1L
   private var hi = Long.MaxValue
   private var pushed: Array[Filter] = Array.empty
+  private var residual = false
 
   // the id column IS the row counter, so range predicates on it map
   // exactly to trimming the generated range
@@ -147,7 +148,13 @@ private[sources] class GenScanBuilder(table: String, props: Map[String, String])
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def pushLimit(n: Int): Boolean = { limit = Some(n.toLong); true }
+  // Spark pushes filters before the limit, so `residual` is known here.
+  // Refusing the push when a residual (non-id) filter remains makes
+  // limit-after-filter correctness a property of THIS source, not of
+  // the current planner's limit-past-filter rule (which could change
+  // in a Spark upgrade and silently under-return rows).
+  override def pushLimit(n: Int): Boolean =
+    if (residual) false else { limit = Some(n.toLong); true }
 
   private def bound(f: Filter): Option[Unit] = f match {
     case EqualTo(`idCol`, v: Number) =>
@@ -166,6 +173,7 @@ private[sources] class GenScanBuilder(table: String, props: Map[String, String])
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (sup, rest) = filters.partition(f => bound(f).isDefined)
     pushed = sup
+    residual = rest.nonEmpty
     rest // residual filters Spark must still evaluate
   }
 

@@ -47,6 +47,22 @@ class GenSourceSpec extends SparkSpec {
     assert(df.count() == 5)
   }
 
+  test("limit after a residual (non-id) filter does NOT cap the scan range") {
+    // the 5 matching rows may sit anywhere in the id space: capping the
+    // generated range at the limit would silently under-return rows, so
+    // pushLimit must refuse when a residual filter remains
+    val df = gen("products", 10000)
+      .filter(col("price") > 100.0).limit(5)
+    val scan = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }.head
+    val desc = scan.scan.description()
+    assert(!desc.contains("idRange=[1,5]"), s"limit capped the scan: $desc")
+    assert(df.count() == 5)
+    val got = df.collect().map(_.getAs[Double]("price"))
+    assert(got.forall(_ > 100.0))
+  }
+
   test("id-range filter pushdown trims generation instead of post-filtering") {
     val df = gen("sales", 1000000)
       .filter(col("sales_id") >= 100 && col("sales_id") <= 199)

@@ -172,6 +172,48 @@ class Wave4Spec extends SparkSpec {
     }
   }
 
+  test("TopKByValue O(k) buffer == ROW_NUMBER window on a random stream") {
+    // larger deterministic pseudo-random input exercises the sorted
+    // insert (head/middle/tail/skip) and linear-merge paths
+    val df = Seq.tabulate(500) { i =>
+      (s"g${i % 3}", ((i * 7919) % 101).toDouble, i.toLong, s"t$i")
+    }.toDF("g", "v", "k", "t").repartition(13)
+    val tk = udaf(graft.functions.TopKByValue(7))
+    val got = df.groupBy("g").agg(tk(col("v"), col("k"), col("t")).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.key"), col("col.tag"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("k"))
+    val want = df.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 7)
+      .select("g", "rank", "k", "t")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(got === want)
+  }
+
+  test("basketPairs mega-basket cap bounds the pair fan-out") {
+    // one degenerate 60-item basket + two normal 2-item baskets
+    val rows = (1 to 60).map(i => (1L, i.toLong)) ++
+      Seq((2L, 1L), (2L, 2L), (3L, 1L), (3L, 2L))
+    val li = rows.toDF("l_orderkey", "l_partkey")
+    val proxy = (1 to 60).map(_.toLong).toDF("p_partkey")
+    def run(cap: Int) =
+      RetailBi.basketPairsFrom(li, proxy, minPairs = 1, maxItems = cap)
+    // uncapped: the mega basket contributes C(60,2) pairs
+    assert(run(64).count() === 60L * 59 / 2)
+    // capped at 8: only the first 8 sorted items pair up -> C(8,2),
+    // and the small baskets' pair (1,2) keeps its FULL uncapped counts
+    val capped = run(8)
+    assert(capped.count() === 8L * 7 / 2)
+    val p12 = capped.filter(col("part_a") === 1 && col("part_b") === 2)
+      .select("n_pair", "n_a", "n_b").collect().head
+    assert(p12.getLong(0) === 3L) // orders 1, 2, 3 all pair (1,2)
+    assert(p12.getLong(1) === 3L && p12.getLong(2) === 3L) // counts uncapped
+  }
+
   test("decToDouble: exact below 2^53, replay-identical above it") {
     val df = Seq("123.45", "7096786968835.8685")
       .toDF("s").select(col("s").cast("decimal(38,4)").as("x"))
