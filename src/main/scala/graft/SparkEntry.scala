@@ -225,6 +225,21 @@ object SparkEntry {
     "q116_weighted_median" -> ((s, d) => Features.weightedMedian(s, d)),
     // correlated EXISTS / NOT EXISTS via spark.sql (ANSI text == oracle)
     "q117_exists_subquery" -> ((s, d) => Insights.qualifiedOrders(s, d)),
+    // --- round-5: sink fidelity + approximate twins for the 100 TB
+    // read path ---
+    // parquet replace+append then CSV sink/scan roundtrip, hash-checked
+    // cell-exact against the original table (A2/A3/A4 driver-visible)
+    "q118_sink_roundtrip" -> ((s, d) =>
+      graft.sources.Tables.ordersSinkRoundtrip(s, d)),
+    // t-digest approx percentiles beside exact q49 (rows-only; ApproxSpec
+    // asserts tolerance against the exact values)
+    "q119_approx_percentiles" -> ((s, d) =>
+      Insights.approxPercentileSummary(s, d)),
+    // Misra-Gries candidate + exact-verify heavy hitters beside exact
+    // q110 (rows-only; ApproxSpec asserts equality while the capacity
+    // guarantee holds, and recall on an adversarial fixture)
+    "q120_approx_heavy_hitters" -> ((s, d) =>
+      StatQa.approxHeavyHitters(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -350,5 +365,10 @@ object SparkEntry {
     "q115_price_ranks" -> Features.priceRanksSql,
     "q116_weighted_median" -> Features.weightedMedianSql,
     "q117_exists_subquery" -> Insights.qualifiedOrdersSql,
+    // q118: oracle reads the ORIGINAL table — equality proves the
+    // staged replace/append/CSV hops preserved every cell
+    "q118_sink_roundtrip" -> graft.sources.Tables.ordersSinkRoundtripSql,
+    // q119/q120 are rows-only by design (sketch outputs are
+    // implementation-defined; tolerance asserted in ApproxSpec)
   )
 }

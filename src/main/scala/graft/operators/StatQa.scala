@@ -310,4 +310,75 @@ object StatQa {
        |FROM g, t
        |ORDER BY cnt DESC, user_id
        |LIMIT $topN""".stripMargin
+
+  /** Approximate heavy hitters — the 100 TB twin of [[heavyHitters]]
+    * for key domains too large to count exactly (exact needs a
+    * full-cardinality groupBy; a billion-key domain means a
+    * billion-row exchange just to find 20 keys). Candidate+verify
+    * shape:
+    *
+    *   1. per-partition Misra-Gries summaries (bounded `capacity`
+    *      counters, amortized O(1)/row — the one justified
+    *      `mapPartitions`: genuinely imperative bounded-state
+    *      streaming). Any key with global count > n/capacity is
+    *      GUARANTEED to survive some partition's summary (averaging
+    *      argument), so candidate recall is provable, not heuristic.
+    *   2. one exact re-count of the ≤ partitions×capacity candidates
+    *      (size-gated broadcast semi-join — the fact is filtered
+    *      map-side, the exchange carries only candidate keys).
+    *
+    * Counts for REPORTED keys are exact; the approximation is solely
+    * in recall: ranks whose true count ≤ n/capacity may be missed.
+    * When topN-th count > n/capacity the output EQUALS the exact
+    * query (asserted on testdata in ApproxSpec). Registered rows-only
+    * (q45 contract): the guarantee is conditional, so the oracle
+    * can't hash it unconditionally.
+    */
+  def approxHeavyHitters(spark: SparkSession, sfDir: String,
+      topN: Int = 20, capacity: Int = 1024): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    approxHeavyHittersFrom(ev, "user_id", topN, capacity)
+  }
+
+  /** [[approxHeavyHitters]] over an explicit frame/key (testability:
+    * the capacity bound is exercised on an adversarial fixture).
+    */
+  def approxHeavyHittersFrom(df: DataFrame, keyCol: String,
+      topN: Int, capacity: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cands = df.select(col(keyCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        // Misra-Gries "frequent" summary: +1 if tracked, insert while
+        // room, else decrement-all (amortized against the inserts)
+        val m = scala.collection.mutable.HashMap.empty[Long, Long]
+        it.foreach { k =>
+          m.get(k) match {
+            case Some(v) => m.update(k, v + 1)
+            case None if m.size < capacity => m.update(k, 1L)
+            case None =>
+              m.mapValuesInPlace((_, v) => v - 1)
+              m.filterInPlace((_, v) => v > 0)
+          }
+        }
+        m.keysIterator
+      }
+      .distinct()
+      .toDF(keyCol)
+    // the candidate list is bounded by construction (≤ summaries ×
+    // capacity, further deduped), NOT by the data volume — the hard
+    // broadcast is safe in the q91 per-group-frame sense. A deployment
+    // raising capacity×partitions beyond broadcast range would swap
+    // this for Joins.bloomSemiJoin (same map-side-filter shape).
+    val exact = df
+      .join(broadcast(cands), Seq(keyCol), "left_semi")
+      .groupBy(keyCol).agg(count(lit(1)).as("cnt"))
+    val total = df.agg(count(lit(1)).as("total_events"))
+    exact.crossJoin(broadcast(total))
+      .select(col(keyCol), col("cnt"),
+        expr("CAST(cnt * 1000000 div total_events AS BIGINT)")
+          .as("share_ppm"))
+      .orderBy(col("cnt").desc, col(keyCol))
+      .limit(topN)
+  }
 }

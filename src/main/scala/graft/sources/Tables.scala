@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, md5}
+import org.apache.spark.sql.functions.{col, md5, to_date}
 import org.apache.spark.sql.types._
 
 /** Table catalog: explicit schemas + readers for the driver testdata
@@ -252,6 +252,45 @@ object Tables {
   val documentsJsonlRoundtripSql: String =
     """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val sinkStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q118 — staged-sink roundtrip fidelity for the remaining sinks
+    * (SURVEY.md §2 A2 CSV sink, A3 parquet append, A4 replace):
+    * replace-write the even-key half of `orders` into a parquet staging
+    * dir, APPEND the odd-key half, re-scan with the declared schema,
+    * export that to a header CSV, re-scan the CSV typed — and return
+    * the payload itself. The oracle reads the original parquet
+    * directly, so a hash match proves both sinks and both scans
+    * preserved every cell: doubles survive the CSV hop via Java's
+    * shortest-roundtrip formatting, and the timestamp is presented at
+    * DATE grain on both sides (the q97 date contract). Staging is
+    * memoized per dataset like the q48 JSONL stage.
+    */
+  def ordersSinkRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = sinkStaged.computeIfAbsent(sfDir, _ => {
+      val p = "/tmp/graft_stage/sink_orders_" +
+        Integer.toHexString(sfDir.hashCode)
+      val o = orders(spark, sfDir)
+      overwriteParquet(o.filter(col("o_orderkey") % 2 === 0), p + "/pq")
+      appendParquet(o.filter(col("o_orderkey") % 2 === 1), p + "/pq")
+      val back = spark.read.schema(ordersSchema).parquet(p + "/pq")
+      writeCsv(back.withColumn("o_orderdate", to_date(col("o_orderdate"))),
+        p + "/csv")
+      p
+    })
+    val csvSchema = StructType(ordersSchema.fields.map {
+      case f if f.name == "o_orderdate" => f.copy(dataType = DateType)
+      case f => f
+    })
+    readCsv(spark, base + "/csv", csvSchema).orderBy("o_orderkey")
+  }
+
+  val ordersSinkRoundtripSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+      |FROM orders ORDER BY o_orderkey""".stripMargin
 
   /** Parquet sink, append (SURVEY.md §2 A3 — the JDBC batch append becomes
     * a partitioned parquet append; per-job atomicity via the output

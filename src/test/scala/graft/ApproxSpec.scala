@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Insights, StatQa}
+
+/** Approximate-twin contracts (q119/q120): the rows-only registered
+  * sketch queries must track their exact counterparts within the
+  * documented tolerance — asserted here because the driver oracle
+  * can't hash implementation-defined sketch output.
+  */
+class ApproxSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q119 approx percentiles within 5% of the exact q49 values") {
+    val exact = Insights.percentileSummary(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    val approx = Insights.approxPercentileSummary(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    assert(approx.keySet === exact.keySet)
+    def close(a: Double, e: Double): Boolean =
+      math.abs(a - e) <= 0.05 * math.max(math.abs(e), 1.0)
+    exact.foreach { case (flag, (mq, pq, mp)) =>
+      val (amq, apq, amp) = approx(flag)
+      assert(close(amq, mq), s"median_qty $flag: $amq vs $mq")
+      assert(close(apq, pq), s"p90_qty $flag: $apq vs $pq")
+      assert(close(amp, mp), s"median_price $flag: $amp vs $mp")
+    }
+  }
+
+  test("q120 approx heavy hitters == exact q110 while capacity holds") {
+    // capacity (1024) far exceeds the user domain at sf0.001, so the
+    // Misra-Gries guarantee (count > n/capacity survives) covers every
+    // reported rank: candidate+verify must EQUAL the exact query
+    val exact = StatQa.heavyHitters(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val approx = StatQa.approxHeavyHitters(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(approx.toSeq === exact.toSeq)
+  }
+
+  test("q120 capacity bound still recalls a planted heavy key") {
+    // adversarial fixture: 5000 distinct singleton keys + one key with
+    // 500 occurrences, summarized with capacity 16 << 5001 distinct.
+    // MG guarantee: 500 > n/capacity = 5500/16 = 344 -> must survive,
+    // and its verified count is exact.
+    val rows = (1L to 5000L) ++ Seq.fill(500)(777777L)
+    val df = rows.toDF("user_id").repartition(8)
+    val got = StatQa.approxHeavyHittersFrom(df, "user_id",
+        topN = 1, capacity = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((777777L, 500L)))
+  }
+}
