@@ -240,6 +240,9 @@ object SparkEntry {
     // guarantee holds, and recall on an adversarial fixture)
     "q120_approx_heavy_hitters" -> ((s, d) =>
       StatQa.approxHeavyHitters(s, d)),
+    // measured recall/cost sweep over every (bands x bits) split of the
+    // LSH signature, ranked against the q23 brute-force ground truth
+    "q121_ann_config_sweep" -> ((s, d) => Similarity.annConfigSweep(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -370,5 +373,6 @@ object SparkEntry {
     "q118_sink_roundtrip" -> graft.sources.Tables.ordersSinkRoundtripSql,
     // q119/q120 are rows-only by design (sketch outputs are
     // implementation-defined; tolerance asserted in ApproxSpec)
+    "q121_ann_config_sweep" -> Similarity.annConfigSweepSql(),
   )
 }

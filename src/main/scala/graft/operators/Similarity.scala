@@ -231,29 +231,46 @@ object Similarity {
     * [[knnBruteForce]] in the test suite.
     */
   def annLsh(spark: SparkSession, sfDir: String, nQueries: Int = 10,
-      k: Int = 5): DataFrame = {
+      k: Int = 5): DataFrame =
+    lshTopK(spark, sfDir,
+      annLshCandidates(spark, sfDir, nQueries, nBands = 4, bitsPerBand = 4),
+      nQueries, k)
+
+  /** Banded candidate generation for a (nBands × bitsPerBand) split of
+    * the 16-bit signature (nBands·bitsPerBand ≤ 16): distinct
+    * (query_id, neighbor_id) pairs agreeing on ≥1 whole band.
+    *
+    * Band matching and candidate dedup carry ONLY ids: the multi-band
+    * OR produces up to nBands copies of each (query, neighbor) pair,
+    * and deduping them with the vectors attached would shuffle 2x64
+    * floats per copy. Here the distinct's exchange moves 16-byte id
+    * pairs; embeddings are re-attached afterwards (query side
+    * broadcast with the candidate list, corpus side read map-side).
+    */
+  def annLshCandidates(spark: SparkSession, sfDir: String, nQueries: Int,
+      nBands: Int, bitsPerBand: Int): DataFrame = {
+    val mask = (1 << bitsPerBand) - 1
     val emb = Tables.embeddings(spark, sfDir)
       .withColumn("sig", graft.functions.lsh_sig(col("embedding"), planeSigns))
     val bandExpr =
-      """transform(sequence(0, 3),
-        |  b -> concat(CAST(b AS STRING), ':',
-        |    CAST((sig >> (b * 4)) & 15 AS STRING)))""".stripMargin
-    // Band matching and candidate dedup carry ONLY ids: the multi-band
-    // OR produces up to 4 copies of each (query, neighbor) pair, and
-    // deduping them with the vectors attached would shuffle 2x64 floats
-    // per copy. Here the distinct's exchange moves 16-byte id pairs;
-    // embeddings are re-attached afterwards (query side broadcast with
-    // the candidate list, corpus side read map-side).
+      s"""transform(sequence(0, ${nBands - 1}),
+         |  b -> concat(CAST(b AS STRING), ':',
+         |    CAST((sig >> (b * $bitsPerBand)) & $mask AS STRING)))""".stripMargin
     val banded = emb
       .select(col("vec_id"), explode(expr(bandExpr)).as("band_key"))
     val queryBands = banded.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("band_key"))
     val candBands = banded.select(col("vec_id").as("neighbor_id"),
       col("band_key"))
-    val candIds = broadcast(queryBands).join(candBands, Seq("band_key"))
+    broadcast(queryBands).join(candBands, Seq("band_key"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
       .distinct()
+  }
+
+  /** Exact cosine top-k over a candidate id-pair list. */
+  private def lshTopK(spark: SparkSession, sfDir: String,
+      candIds: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val queryVecs = Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
@@ -539,5 +556,100 @@ object Similarity {
     template
       .replace("@TRUTH@", knnBruteForceSql(nQueries, k))
       .replace("@APPROX@", annLshSql(nQueries, k))
+  }
+
+  /** The (bands × bits) sweep configurations: every full-coverage split
+    * of the 16-bit signature. More, narrower bands = looser matching =
+    * higher recall AND more candidates — the dial this sweep measures.
+    */
+  val SweepConfigs: Seq[(Int, Int)] = Seq((2, 8), (4, 4), (8, 2), (16, 1))
+
+  /** ANN configuration sweep — recall@k vs candidate cost for every
+    * [[SweepConfigs]] banding of the same 16-bit signature, measured
+    * against the [[knnBruteForce]] ground truth (q23). One row per
+    * configuration: exact hit count, recall in integer ppm, and the
+    * candidate-pair count (the cost the banding buys recall with),
+    * ranked best-recall-then-cheapest. This turns the recall/cost
+    * trade from an asserted property into a measured, driver-checked
+    * result.
+    *
+    * Scale shape: each configuration reuses the one signature
+    * computation and exchanges only id pairs (the [[annLshCandidates]]
+    * contract); the truth side is k·nQueries rows broadcast once. The
+    * sweep output is bounded by |configs|.
+    */
+  def annConfigSweep(spark: SparkSession, sfDir: String,
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val truth = knnBruteForce(spark, sfDir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    SweepConfigs.map { case (nb, bits) =>
+      val cand = annLshCandidates(spark, sfDir, nQueries, nb, bits)
+      val hits = lshTopK(spark, sfDir, cand, nQueries, k)
+        .join(broadcast(truth), Seq("query_id", "neighbor_id"), "left")
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+      val cost = cand.agg(count(lit(1)).as("n_cand_pairs"))
+      hits.crossJoin(cost)
+        .select(lit(nb).as("n_bands"), lit(bits).as("bits_per_band"),
+          col("n_hits"),
+          expr(s"CAST(n_hits * 1000000 div ${nQueries * k} AS BIGINT)")
+            .as("recall_ppm"),
+          col("n_cand_pairs"))
+    }.reduce(_.unionByName(_))
+      .orderBy(desc("recall_ppm"), asc("n_cand_pairs"), asc("n_bands"))
+  }
+
+  def annConfigSweepSql(nQueries: Int = 10, k: Int = 5): String = {
+    val perConfig = SweepConfigs.map { case (nb, bits) =>
+      s"""SELECT $nb AS n_bands, $bits AS bits_per_band,
+         |  CAST((SELECT SUM(CASE WHEN t.neighbor_id IS NOT NULL
+         |          THEN 1 ELSE 0 END)
+         |    FROM (SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+         |            PARTITION BY query_id
+         |            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         |          FROM scored_${nb}_$bits) tk
+         |    LEFT JOIN truth t ON tk.query_id = t.query_id
+         |      AND tk.neighbor_id = t.neighbor_id
+         |    WHERE tk.rank <= $k) AS BIGINT) AS n_hits,
+         |  CAST((SELECT SUM(CASE WHEN t.neighbor_id IS NOT NULL
+         |          THEN 1 ELSE 0 END)
+         |    FROM (SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+         |            PARTITION BY query_id
+         |            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         |          FROM scored_${nb}_$bits) tk
+         |    LEFT JOIN truth t ON tk.query_id = t.query_id
+         |      AND tk.neighbor_id = t.neighbor_id
+         |    WHERE tk.rank <= $k) * 1000000 // ${nQueries * k} AS BIGINT)
+         |    AS recall_ppm,
+         |  (SELECT COUNT(*) FROM cands_${nb}_$bits) AS n_cand_pairs""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val configCtes = SweepConfigs.map { case (nb, bits) =>
+      val mask = (1 << bits) - 1
+      s"""banded_${nb}_$bits AS (
+         |  SELECT vec_id, embedding,
+         |    b || ':' || ((sig >> (b * $bits)) & $mask) AS band_key
+         |  FROM sigs, (SELECT UNNEST(range(0, $nb)) AS b)),
+         |cands_${nb}_$bits AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, e.vec_id AS neighbor_id
+         |  FROM banded_${nb}_$bits q JOIN banded_${nb}_$bits e
+         |    ON q.band_key = e.band_key AND e.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $nQueries),
+         |scored_${nb}_$bits AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    ${cosineExprDuck("qe.embedding", "ce.embedding")} AS cosine
+         |  FROM cands_${nb}_$bits c
+         |  JOIN embeddings qe ON qe.vec_id = c.query_id
+         |  JOIN embeddings ce ON ce.vec_id = c.neighbor_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sigs AS (
+       |  SELECT vec_id, embedding, ${lshSigExprDuck("embedding")} AS sig
+       |  FROM embeddings),
+       |truth AS (SELECT query_id, neighbor_id FROM (
+       |  @TRUTH@)),
+       |$configCtes
+       |SELECT * FROM (
+       |$perConfig)
+       |ORDER BY recall_ppm DESC, n_cand_pairs ASC, n_bands ASC"""
+      .stripMargin
+      .replace("@TRUTH@", knnBruteForceSql(nQueries, k))
   }
 }
