@@ -54,19 +54,18 @@ object RetailBi {
       .select(col("o_custkey"),
         datediff(col("anchor"), col("last_date")).cast("long").as("rec"),
         col("freq"), col("mon_dec").cast("double").as("mon"))
-    val breaks = cust.agg(
-      percentile(col("rec"), lit(0.2)).as("r1"),
-      percentile(col("rec"), lit(0.4)).as("r2"),
-      percentile(col("rec"), lit(0.6)).as("r3"),
-      percentile(col("rec"), lit(0.8)).as("r4"),
-      percentile(col("freq"), lit(0.2)).as("f1"),
-      percentile(col("freq"), lit(0.4)).as("f2"),
-      percentile(col("freq"), lit(0.6)).as("f3"),
-      percentile(col("freq"), lit(0.8)).as("f4"),
-      percentile(col("mon"), lit(0.2)).as("m1"),
-      percentile(col("mon"), lit(0.4)).as("m2"),
-      percentile(col("mon"), lit(0.6)).as("m3"),
-      percentile(col("mon"), lit(0.8)).as("m4"))
+    // quintile breakpoints via the q49 prefix-sum contract — the last
+    // percentile() holdout converted: rec/freq collapse to tiny value
+    // domains (days / order counts); mon's distinct set is
+    // customer-bounded, for which the sort-based window spills
+    // gracefully where a percentile buffer would OOM
+    def quints(vc: String, prefix: String) = Features.groupPercentiles(
+      cust.select(col(vc)), Seq(), vc,
+      Seq(s"${prefix}1" -> 0.2, s"${prefix}2" -> 0.4,
+        s"${prefix}3" -> 0.6, s"${prefix}4" -> 0.8))
+    val breaks = quints("rec", "r")
+      .crossJoin(quints("freq", "f"))
+      .crossJoin(quints("mon", "m"))
     def score(v: org.apache.spark.sql.Column, b: String): org.apache.spark.sql.Column =
       lit(1) + (v > col(s"${b}1")).cast("int") + (v > col(s"${b}2")).cast("int") +
         (v > col(s"${b}3")).cast("int") + (v > col(s"${b}4")).cast("int")
@@ -83,8 +82,12 @@ object RetailBi {
       .orderBy("r_score", "f_score", "m_score")
   }
 
-  val rfmSegmentsSql: String =
-    """WITH cust AS (
+  val rfmSegmentsSql: String = {
+    def quintsSql(vc: String, prefix: String) =
+      Features.groupPercentilesSql("cust", Seq(), vc,
+        Seq(s"${prefix}1" -> 0.2, s"${prefix}2" -> 0.4,
+          s"${prefix}3" -> 0.6, s"${prefix}4" -> 0.8))
+    s"""WITH cust AS (
       |  SELECT o_custkey,
       |    date_diff('day', MAX(CAST(o_orderdate AS DATE)),
       |      (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)) AS rec,
@@ -92,13 +95,9 @@ object RetailBi {
       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS mon
       |  FROM orders GROUP BY o_custkey),
       |b AS (
-      |  SELECT quantile_cont(rec, 0.2) AS r1, quantile_cont(rec, 0.4) AS r2,
-      |         quantile_cont(rec, 0.6) AS r3, quantile_cont(rec, 0.8) AS r4,
-      |         quantile_cont(freq, 0.2) AS f1, quantile_cont(freq, 0.4) AS f2,
-      |         quantile_cont(freq, 0.6) AS f3, quantile_cont(freq, 0.8) AS f4,
-      |         quantile_cont(mon, 0.2) AS m1, quantile_cont(mon, 0.4) AS m2,
-      |         quantile_cont(mon, 0.6) AS m3, quantile_cont(mon, 0.8) AS m4
-      |  FROM cust),
+      |  SELECT * FROM (${quintsSql("rec", "r")}) rb,
+      |    (${quintsSql("freq", "f")}) fb,
+      |    (${quintsSql("mon", "m")}) mb),
       |scored AS (
       |  SELECT o_custkey, mon,
       |    6 - (1 + CAST(CAST(rec AS DOUBLE) > r1 AS INT)
@@ -117,6 +116,7 @@ object RetailBi {
       |FROM scored
       |GROUP BY r_score, f_score, m_score
       |ORDER BY r_score, f_score, m_score""".stripMargin
+  }
 
   /** Market-basket pair affinity: for every pair of parts co-occurring
     * in ≥`minPairs` orders, the co-occurrence count, each part's own
