@@ -243,6 +243,10 @@ object SparkEntry {
     // measured recall/cost sweep over every (bands x bits) split of the
     // LSH signature, ranked against the q23 brute-force ground truth
     "q121_ann_config_sweep" -> ((s, d) => Similarity.annConfigSweep(s, d)),
+    // bigram-coverage quality score (integer-exact LM-filter stand-in)
+    "q122_bigram_coverage" -> ((s, d) => TextAnalysis.bigramCoverage(s, d)),
+    // deterministic shard assignment + balance audit (integer load ppm)
+    "q123_shard_stats" -> ((s, d) => Sampling.shardStats(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -374,5 +378,7 @@ object SparkEntry {
     // q119/q120 are rows-only by design (sketch outputs are
     // implementation-defined; tolerance asserted in ApproxSpec)
     "q121_ann_config_sweep" -> Similarity.annConfigSweepSql(),
+    "q122_bigram_coverage" -> TextAnalysis.bigramCoverageSql(),
+    "q123_shard_stats" -> Sampling.shardStatsSql(),
   )
 }

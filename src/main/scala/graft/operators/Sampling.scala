@@ -207,4 +207,52 @@ object Sampling {
        |  CAST(SUM(toks) AS DOUBLE) / $budget AS fill_ratio
        |FROM c GROUP BY pack_id
        |ORDER BY pack_id""".stripMargin
+
+  /** Deterministic shard assignment + balance audit — the "write the
+    * corpus as N stable shards" step before a training run, plus the
+    * skew check that tells you whether the shard key is safe to write
+    * by. shard = md5(doc_id) mod N (the trainSplit hash contract:
+    * adding docs never moves existing ones), reported at shard grain
+    * with doc/char loads and an integer-ppm load factor (1e6 = exactly
+    * the uniform share — the q114 index convention).
+    *
+    * Scale shape: the assignment is a narrow map-side projection; the
+    * audit is one partial→final agg to N rows; the grand total rides a
+    * window over those N rows (q06 pattern). The actual shard WRITE at
+    * 100 TB is `df.repartition(N, shard).write` — same expression, no
+    * extra pass.
+    */
+  def shardStats(spark: SparkSession, sfDir: String,
+      nShards: Int = 16): DataFrame = {
+    val wAll = Window.partitionBy()
+    Tables.documents(spark, sfDir)
+      .select(pmod(md5Hash60(col("doc_id").cast("string")), lit(nShards))
+          .cast("int").as("shard"),
+        col("n_chars"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("n_chars"))
+      .withColumn("total_docs", sum("n_docs").over(wAll))
+      .select(col("shard"), col("n_docs"), col("n_chars"),
+        expr(s"CAST(n_docs * $nShards * 1000000 div total_docs AS BIGINT)")
+          .as("load_ppm"))
+      .orderBy("shard")
+  }
+
+  def shardStatsSql(nShards: Int = 16): String =
+    s"""WITH s AS (
+       |  SELECT CAST(${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} % $nShards
+       |      AS INT) AS shard,
+       |    n_chars
+       |  FROM documents),
+       |g AS (
+       |  SELECT shard, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_chars) AS BIGINT) AS n_chars
+       |  FROM s GROUP BY shard),
+       |t AS (SELECT SUM(n_docs) AS total_docs FROM g)
+       |SELECT shard, n_docs, n_chars,
+       |  CAST(n_docs * $nShards * 1000000 // total_docs AS BIGINT)
+       |    AS load_ppm
+       |FROM g, t
+       |ORDER BY shard""".stripMargin
 }

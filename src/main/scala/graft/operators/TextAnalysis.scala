@@ -457,4 +457,68 @@ object TextAnalysis {
        |    AS min_gram_fp
        |FROM documents
        |ORDER BY doc_id""".stripMargin
+
+  /** Bigram-coverage quality score — the integer-exact stand-in for an
+    * LM-based quality filter: how much of each document's adjacent-word
+    * mass falls inside the corpus' own top-`topK` bigram vocabulary.
+    * Low coverage flags word-soup/mojibake/boilerplate-free-floating
+    * text the way low LM likelihood would, with no transcendental in
+    * sight (logprob sums differ in the last ulp between libm builds;
+    * counts and integer ppm never do).
+    *
+    * Scale shape: the bigram explode is map-side; the vocabulary agg
+    * exchanges (bigram, count) at vocabulary grain with map-side
+    * partial collapse, and the cutoff is a total-ordered
+    * TakeOrderedAndProject; the bounded top list broadcasts back over
+    * a per-doc partial-agg count. Docs with fewer than two tokens have
+    * no bigram mass and are excluded (coverage is undefined there).
+    */
+  def bigramCoverage(spark: SparkSession, sfDir: String,
+      topK: Int = 200): DataFrame = {
+    val bigrams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        expr("filter(split(lower(trim(text)), '\\\\s+'), w -> w <> '')")
+          .as("tks"))
+      .select(col("doc_id"), explode(expr(
+        """transform(slice(tks, 1, greatest(size(tks) - 1, 0)),
+          |  (w, i) -> concat(w, ' ', element_at(tks, i + 2)))""".stripMargin))
+        .as("bg"))
+    val top = bigrams.groupBy("bg").agg(count(lit(1)).as("tf"))
+      .orderBy(desc("tf"), asc("bg"))
+      .limit(topK)
+      .select(col("bg"), lit(1).as("hit"))
+    bigrams
+      .join(broadcast(top), Seq("bg"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_covered"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_covered"),
+        expr("CAST(n_covered * 1000000 div n_bigrams AS BIGINT)")
+          .as("coverage_ppm"))
+      .orderBy("doc_id")
+  }
+
+  def bigramCoverageSql(topK: Int = 200): String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, list_filter($tokensSql, w -> w <> '') AS tks
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(tks)),
+       |    i -> tks[CAST(i AS INT)] || ' ' || tks[CAST(i + 1 AS INT)]))
+       |    AS bg
+       |  FROM tk),
+       |top AS (
+       |  SELECT bg FROM (
+       |    SELECT bg, COUNT(*) AS tf FROM bg GROUP BY bg
+       |    ORDER BY tf DESC, bg ASC LIMIT $topK)),
+       |cov AS (
+       |  SELECT b.doc_id, COUNT(*) AS n_bigrams,
+       |    CAST(SUM(CASE WHEN t.bg IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_covered
+       |  FROM bg b LEFT JOIN top t ON b.bg = t.bg
+       |  GROUP BY b.doc_id)
+       |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, n_covered,
+       |  CAST(n_covered * 1000000 // n_bigrams AS BIGINT) AS coverage_ppm
+       |FROM cov
+       |ORDER BY doc_id""".stripMargin
 }
