@@ -20,10 +20,13 @@ class QueriesSpec extends SparkSpec {
   }
 
   test("every query has an oracle, except the documented approx whitelist") {
-    // q45 is HLL-approx: estimates are engine-specific by design, the
-    // driver records the weaker rows-only check. Anything else missing
-    // an oracle is a registration mistake, not a design choice.
-    val approxOnly = Set("q45_kpi_approx")
+    // q45 (HLL), q119 (t-digest) and q120 (Misra-Gries) are
+    // sketch-based: estimates are engine-specific by design, the
+    // driver records the weaker rows-only check and ApproxSpec holds
+    // the tolerance/equality contracts. Anything else missing an
+    // oracle is a registration mistake, not a design choice.
+    val approxOnly = Set("q45_kpi_approx", "q119_approx_percentiles",
+      "q120_approx_heavy_hitters")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing == approxOnly,
       s"queries without oracle beyond the whitelist: ${missing -- approxOnly}")
