@@ -172,14 +172,18 @@ object Features {
           (col("__n") - 1).cast("double") * lit(p))
         .withColumn(s"__k_$name", floor(col(s"__h_$name")))
     }
-    for ((name, _) <- ps) {
-      c = c.withColumn(s"__rlo_$name",
-          min(when(col("__cumw") > col(s"__k_$name"), col(valueCol)))
-            .over(ordAll))
-        .withColumn(s"__rhi_$name",
-          min(when(col("__cumw") > col(s"__k_$name") + 1, col(valueCol)))
-            .over(ordAll))
+    // all breakpoint picks in ONE projection: sequential withColumns
+    // would split them into separate Window operators (the extracted
+    // CASE WHEN pre-projection breaks spec-adjacency); a single select
+    // keeps every pick in one WindowExec over the existing sort
+    val picks = ps.flatMap { case (name, _) =>
+      Seq(
+        min(when(col("__cumw") > col(s"__k_$name"), col(valueCol)))
+          .over(ordAll).as(s"__rlo_$name"),
+        min(when(col("__cumw") > col(s"__k_$name") + 1, col(valueCol)))
+          .over(ordAll).as(s"__rhi_$name"))
     }
+    c = c.select(c.columns.map(col) ++ picks: _*)
     val out = ps.map { case (name, _) =>
       val lo = col(s"__rlo_$name").cast("double")
       val hi = coalesce(col(s"__rhi_$name"), col(s"__rlo_$name"))

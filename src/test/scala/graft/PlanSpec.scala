@@ -12,6 +12,28 @@ class PlanSpec extends SparkSpec {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("percentile family: no percentile buffer, one scan, merged windows (q91)") {
+    val df = graft.operators.Features.madOutliers(spark, sf0001)
+    df.collect() // finalize the adaptive plan (exchange reuse etc.)
+    // string checks on the FINAL adaptive plan only (the Initial Plan
+    // section repeats every node and would double the counts)
+    val p = plan(df).split("== Initial Plan ==").head
+    // the round-5 contract: breakpoints from prefix sums, never from
+    // Spark's unspillable percentile aggregation buffer
+    assert(!p.contains("percentile"), s"percentile buffer crept back:\n$p")
+    // ONE narrow fact scan feeds both the median and the MAD chain
+    assert("FileScan".r.findAllIn(p).length === 1,
+      s"expected 1 lineitem scan in:\n$p")
+    assert(p.contains("ReadSchema: struct<l_extendedprice:double,l_returnflag:string>"),
+      s"scan not pruned to the two needed columns:\n$p")
+    // each chain is one running-sum batch plus ONE merged pick batch (a
+    // split would re-buffer the partition per pick): 2 per chain
+    assert("Window ".r.findAllIn(p).length === 4,
+      s"expected 4 WindowExecs (2 chains x 2 batches) in:\n$p")
+    // no joins anywhere: medians attach via window aggregates
+    assert(!p.contains("Join"), s"unexpected join in:\n$p")
+  }
+
   test("q01: part side broadcasts; top-k plans as TakeOrderedAndProject") {
     val p = plan(Insights.topProductsByRevenue(spark, sf0001))
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
