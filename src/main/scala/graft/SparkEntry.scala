@@ -247,6 +247,10 @@ object SparkEntry {
     "q122_bigram_coverage" -> ((s, d) => TextAnalysis.bigramCoverage(s, d)),
     // deterministic shard assignment + balance audit (integer load ppm)
     "q123_shard_stats" -> ((s, d) => Sampling.shardStats(s, d)),
+    // REAL Structured Streaming run (file source -> watermarked window
+    // agg -> memory sink, available-now trigger); oracle = q26 batch SQL
+    "q124_streaming_hourly" -> ((s, d) =>
+      graft.streaming.EventStreams.hourlyByTypeAvailableNow(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -380,5 +384,7 @@ object SparkEntry {
     "q121_ann_config_sweep" -> Similarity.annConfigSweepSql(),
     "q122_bigram_coverage" -> TextAnalysis.bigramCoverageSql(),
     "q123_shard_stats" -> Sampling.shardStatsSql(),
+    // the streaming run must reproduce the BATCH oracle cell-exactly
+    "q124_streaming_hourly" -> Events.hourlyByTypeSql,
   )
 }

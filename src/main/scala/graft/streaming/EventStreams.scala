@@ -178,12 +178,42 @@ object EventStreams {
   /** Wire a streaming DataFrame from parquet (file-source streaming —
     * how a production deployment would tail an events directory).
     */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+  def readEventStream(spark: SparkSession, dir: String,
+      glob: Option[String] = None): DataFrame = {
     require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
       "set spark.sql.legacy.parquet.nanosAsLong=true at session build")
-    spark.readStream
+    val reader = spark.readStream
       .schema(graft.sources.Tables.eventsSchema)
-      .parquet(dir)
+    // the file source lists a DIRECTORY; a single-file table is selected
+    // by globbing within its parent, never by passing the file path
+    glob.foreach(g => reader.option("pathGlobFilter", g))
+    reader.parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  private val runCounter = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** q124 — the streaming engine made driver-visible: runs
+    * [[hourlyByType]] as a REAL Structured Streaming job (file source
+    * → watermark → stateful windowed aggregation → memory sink) under
+    * an available-now trigger, waits for it to drain, and returns the
+    * sink table. Complete output mode emits every window (append would
+    * withhold windows the final watermark hasn't passed), and the
+    * bounded replay arrives as one micro-batch (single source file),
+    * so no row is watermark-dropped — the result must equal the batch
+    * query cell-exactly, and the oracle IS the q26 batch SQL. This
+    * turns batch/stream parity from a unit-tested property
+    * (StreamingSpec's MemoryStream diff) into a driver-checked row.
+    */
+  def hourlyByTypeAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "graft_stream_hourly_" + runCounter.incrementAndGet()
+    val q = hourlyByType(
+      readEventStream(spark, sfDir, glob = Some("events.parquet")))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("window_start", "event_type")
   }
 }
