@@ -251,6 +251,10 @@ object SparkEntry {
     // agg -> memory sink, available-now trigger); oracle = q26 batch SQL
     "q124_streaming_hourly" -> ((s, d) =>
       graft.streaming.EventStreams.hourlyByTypeAvailableNow(s, d)),
+    // APPEND-mode streaming session windows: only sessions the final
+    // watermark passed are emitted; the oracle recomputes that cutoff
+    "q125_streaming_sessions" -> ((s, d) =>
+      graft.streaming.EventStreams.sessionWindowsAvailableNow(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -386,5 +390,7 @@ object SparkEntry {
     "q123_shard_stats" -> Sampling.shardStatsSql(),
     // the streaming run must reproduce the BATCH oracle cell-exactly
     "q124_streaming_hourly" -> Events.hourlyByTypeSql,
+    "q125_streaming_sessions" ->
+      graft.streaming.EventStreams.sessionWindowsAvailableNowSql,
   )
 }

@@ -205,6 +205,74 @@ object EventStreams {
     * turns batch/stream parity from a unit-tested property
     * (StreamingSpec's MemoryStream diff) into a driver-checked row.
     */
+  /** q125 — watermark semantics made driver-visible: runs
+    * [[sessionWindows]] as a real streaming job in APPEND mode, where
+    * a session row is emitted only once the watermark passes its
+    * window end. Under an available-now trigger the data arrives as
+    * one micro-batch (watermark still at its initial floor, nothing
+    * emitted), then the engine runs a no-data finalization batch with
+    * the advanced watermark — so the drained sink holds exactly the
+    * sessions whose end the FINAL watermark (max event time − 10 min)
+    * passed. That cutoff is deterministic for a bounded replay, and
+    * the oracle recomputes it in SQL: gap-sessionize with
+    * session_window's merge rule (micros diff < gap merges) and keep
+    * sessions with end + gap < max(ts) − 10 min. Late rows beyond the
+    * tail are therefore watermark-DROPPED by design — this registered
+    * row pins the eviction boundary, where q124 pins the aggregation.
+    */
+  def sessionWindowsAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "graft_stream_sessions_" + runCounter.incrementAndGet()
+    val q = sessionWindows(
+      readEventStream(spark, sfDir, glob = Some("events.parquet")))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .orderBy("user_id", "session_start")
+  }
+
+  /** Oracle for [[sessionWindowsAvailableNow]]: gap-sessionize with
+    * session_window's exact merge rule (µs diff < gap merges;
+    * end = last event + gap), keeping only sessions the final
+    * watermark passed. Spark tracks the watermark in MILLISECONDS
+    * (max event time truncated to ms, minus the delay) and finalizes
+    * windows with `end <= watermark`, so the cutoff is
+    * `epoch_us(end) <= (max_us // 1000 - 600000) * 1000` — encoded
+    * exactly, not approximated, so a session ending inside the
+    * truncated millisecond still classifies identically in both
+    * engines.
+    */
+  val sessionWindowsAvailableNowSql: String = {
+    val gapUs = 30L * 60 * 1000000
+    val delayMs = 10L * 60 * 1000
+    s"""WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+       |                   value FROM events),
+       |mx AS (SELECT max(epoch_us(ts)) AS max_us FROM ev),
+       |flagged AS (
+       |  SELECT *,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= $gapUs
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM ev
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sessions AS (
+       |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+       |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+       |  FROM flagged),
+       |agg AS (
+       |  SELECT user_id, session_seq, MIN(ts) AS session_start,
+       |         make_timestamp(MAX(epoch_us(ts)) + $gapUs) AS session_end,
+       |         COUNT(*) AS n_events,
+       |         CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value
+       |  FROM sessions GROUP BY 1, 2)
+       |SELECT session_start, session_end, user_id, n_events, sum_value
+       |FROM agg, mx
+       |WHERE epoch_us(session_end) <= (max_us // 1000 - $delayMs) * 1000
+       |ORDER BY user_id, session_start""".stripMargin
+  }
+
   def hourlyByTypeAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
     val name = "graft_stream_hourly_" + runCounter.incrementAndGet()
     val q = hourlyByType(
