@@ -255,6 +255,9 @@ object SparkEntry {
     // watermark passed are emitted; the oracle recomputes that cutoff
     "q125_streaming_sessions" -> ((s, d) =>
       graft.streaming.EventStreams.sessionWindowsAvailableNow(s, d)),
+    // backward as-of join: one key shuffle + shared window, no range
+    // fan-out; oracle is DuckDB's native ASOF LEFT JOIN
+    "q126_asof_attribution" -> ((s, d) => Events.purchaseClickAsof(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -392,5 +395,6 @@ object SparkEntry {
     "q124_streaming_hourly" -> Events.hourlyByTypeSql,
     "q125_streaming_sessions" ->
       graft.streaming.EventStreams.sessionWindowsAvailableNowSql,
+    "q126_asof_attribution" -> Events.purchaseClickAsofSql,
   )
 }

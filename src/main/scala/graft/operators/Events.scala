@@ -599,4 +599,42 @@ object Events {
        |FROM b JOIN p ON b.event_type = p.event_type
        |ORDER BY b.event_type""".stripMargin
   }
+
+  /** As-of join (q126): each purchase picks the user's most recent
+    * click at-or-before it — the point-in-time attribution lookup —
+    * via [[Joins.asofBackward]] (one key shuffle + shared window, no
+    * range fan-out). `wait_us` is the exact integer click→purchase
+    * latency; unmatched purchases (no prior click) keep NULL click
+    * columns. The oracle is DuckDB's native ASOF LEFT JOIN — an
+    * independently implemented algorithm agreeing cell-exact.
+    */
+  def purchaseClickAsof(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    Joins.asofBackward(purchases, clicks, "user_id",
+        leftTs = "purchase_ts", rightTs = "click_ts", rightOrd = "click_id")
+      .withColumn("wait_us",
+        unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+      .select("user_id", "purchase_id", "purchase_ts", "click_id",
+        "click_ts", "wait_us")
+      .orderBy("user_id", "purchase_ts", "purchase_id")
+  }
+
+  val purchaseClickAsofSql: String =
+    """WITH p AS (SELECT user_id, event_id AS purchase_id,
+      |                  CAST(ts AS TIMESTAMP) AS purchase_ts
+      |           FROM events WHERE event_type = 'purchase'),
+      |     c AS (SELECT user_id, event_id AS click_id,
+      |                  CAST(ts AS TIMESTAMP) AS click_ts
+      |           FROM events WHERE event_type = 'click')
+      |SELECT p.user_id, purchase_id, purchase_ts, click_id, click_ts,
+      |       epoch_us(purchase_ts) - epoch_us(click_ts) AS wait_us
+      |FROM p ASOF LEFT JOIN c
+      |  ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts
+      |ORDER BY p.user_id, purchase_ts, purchase_id""".stripMargin
 }

@@ -53,6 +53,59 @@ object Joins {
         org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s.trim)
     }
 
+  /** Backward (inclusive) as-of join: for every left row, attach the
+    * single right row with the greatest `rightTs <= leftTs` for the
+    * same `key` — the time-series point-in-time lookup Spark has no
+    * built-in operator for.
+    *
+    * Implementation is ONE shuffle with no pair fan-out: union the
+    * tagged sides (right-only columns null on left rows and vice
+    * versa via unionByName), then a per-key window ordered by
+    * (ts, tag, rightOrd) takes `last(_, ignoreNulls)` of each right
+    * column over the unbounded-preceding frame, and left rows are
+    * filtered back out. Right rows sort before left rows at an equal
+    * timestamp (tag 0 < 1), making the match inclusive; `rightOrd`
+    * (a unique right column) makes the pick deterministic if a key
+    * ever carries two right rows on the same microsecond — the
+    * LARGEST `rightOrd` wins.
+    *
+    * At 100 TB this is the right shape: a single hash exchange of
+    * left+right on `key` (exactly what a sort-merge join would move),
+    * the sort is per-partition, and per-row state in the window is
+    * one value per right column — no range-join explosion, no
+    * per-key driver loop. Skewed keys shard like any window (salting
+    * applies if one key dominates).
+    *
+    * Contract: `left` and `right` share ONLY `key` (rename payload
+    * columns first); both timestamp columns stay in the output.
+    */
+  def asofBackward(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightOrd: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, last, lit}
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared == Set(key),
+      s"left/right may share only the key '$key', found: $shared")
+    val tagged = left.withColumn("__tag", lit(1))
+      .unionByName(right.withColumn("__tag", lit(0)),
+        allowMissingColumns = true)
+    // order: event time (left rows carry leftTs, right rows rightTs),
+    // then tag (right first on ties), then the right-side unique ord
+    val ord = org.apache.spark.sql.functions.coalesce(col(leftTs), col(rightTs))
+    val w2 = Window.partitionBy(key).orderBy(ord, col("__tag"), col(rightOrd))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ONE select so every pick reads the original columns (sequential
+    // withColumn would re-order later picks by an already-replaced
+    // rightOrd) — and the shared (partition, order) spec keeps all
+    // picks in a single WindowExec
+    val rightOnly = right.columns.filterNot(_ == key)
+    val picks = rightOnly.map(c =>
+      last(col(c), ignoreNulls = true).over(w2).as(c))
+    tagged.select(col(key) +: left.columns.filterNot(_ == key).map(col) ++:
+        (col("__tag") +: picks.toSeq): _*)
+      .filter(col("__tag") === 1).drop("__tag")
+  }
+
   /** Bloom-filter pre-filtered semi join: `big ⋉ small` on an equi-key,
     * with a bloom built over the small side's keys applied map-side to
     * `big` BEFORE the shuffle — the exchange then carries only probable

@@ -57,6 +57,39 @@ class ClusterJoinSpec extends SparkSpec {
     assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty)
   }
 
+  test("asofBackward: inclusive boundary, same-ts determinism, no-match nulls, one WindowExec") {
+    import spark.implicits._
+    import graft.operators.Joins
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),  // exact-ts right row -> inclusive
+      (1L, 11L, ts("2024-01-01 11:00:00")),  // picks latest prior
+      (2L, 20L, ts("2024-01-01 09:00:00")),  // right rows only AFTER -> null
+      (3L, 30L, ts("2024-01-01 12:00:00")))  // two right rows same ts
+      .toDF("k", "lid", "lts")
+    val right = Seq(
+      (1L, 100L, ts("2024-01-01 09:30:00")),
+      (1L, 101L, ts("2024-01-01 10:00:00")),  // == left 10's ts
+      (1L, 102L, ts("2024-01-01 10:30:00")),
+      (2L, 200L, ts("2024-01-01 09:30:00")),  // after left 20
+      (3L, 300L, ts("2024-01-01 11:00:00")),  // same ts as 301
+      (3L, 301L, ts("2024-01-01 11:00:00")))
+      .toDF("k", "rid", "rts")
+    val out = Joins.asofBackward(left, right, "k",
+      leftTs = "lts", rightTs = "rts", rightOrd = "rid")
+    val byLid = out.collect().map(r =>
+      r.getLong(1) -> (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(byLid(10L) == 101L, "equal-ts right row must match (inclusive)")
+    assert(byLid(11L) == 102L, "latest prior right row wins")
+    assert(byLid(20L) == -1L, "no prior right row -> null payload")
+    assert(byLid(30L) == 301L, "same-ts right rows: largest rightOrd wins")
+    // AQE prints Final + Initial plans; count in the final section only
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("Window ".r.findAllIn(plan).length == 1,
+      s"both picks should share one WindowExec in:\n$plan")
+  }
+
   test("q61 query plan keeps the bloom filter below the semi join") {
     val plan = Insights.highValueItems(spark, sf0001)
       .queryExecution.executedPlan.toString
