@@ -258,6 +258,8 @@ object SparkEntry {
     // backward as-of join: one key shuffle + shared window, no range
     // fan-out; oracle is DuckDB's native ASOF LEFT JOIN
     "q126_asof_attribution" -> ((s, d) => Events.purchaseClickAsof(s, d)),
+    // CDC changeset extract: one full-outer sort-merge join, I/U/D ops
+    "q127_snapshot_diff" -> ((s, d) => Scd.customerSnapshotDiff(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -396,5 +398,6 @@ object SparkEntry {
     "q125_streaming_sessions" ->
       graft.streaming.EventStreams.sessionWindowsAvailableNowSql,
     "q126_asof_attribution" -> Events.purchaseClickAsofSql,
+    "q127_snapshot_diff" -> Scd.customerSnapshotDiffSql,
   )
 }

@@ -88,6 +88,87 @@ object Scd {
       .orderBy("c_custkey", "valid_from")
   }
 
+  /** CDC changeset extract — the inverse of [[applyType2]]: given two
+    * snapshots of the same keyed table, emit one row per changed key
+    * classified `I`/`U`/`D` (insert / update / delete), carrying the
+    * new values for I/U and the old values for D. Unchanged keys are
+    * dropped.
+    *
+    * Scale shape: ONE full-outer sort-merge join on the business key
+    * (both sides shuffle once, co-partitioned), a null-safe column
+    * compare for change detection (no row-hash shuffle), and a narrow
+    * projection — the standard way to derive a change feed when the
+    * source can't emit one (the reference's loader re-extracts full
+    * snapshots each run; this turns those into an incremental feed).
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, key: String,
+      tracked: Seq[String]): DataFrame = {
+    val o = oldSnap.alias("o")
+    val n = newSnap.alias("n")
+    val differs: Column = tracked
+      .map(c => !(col(s"o.$c") <=> col(s"n.$c")))
+      .reduce(_ || _)
+    val op = when(col(s"o.$key").isNull, lit("I"))
+      .when(col(s"n.$key").isNull, lit("D"))
+      .when(differs, lit("U"))
+    val payload = tracked.map(c =>
+      when(col(s"n.$key").isNull, col(s"o.$c")).otherwise(col(s"n.$c")).as(c))
+    o.join(n, col(s"o.$key") === col(s"n.$key"), "full_outer")
+      .withColumn("op", op)
+      .filter(col("op").isNotNull)
+      .select(Seq(col("op"),
+        coalesce(col(s"o.$key"), col(s"n.$key")).as(key)) ++ payload: _*)
+  }
+
+  /** Registered query: diff two deterministic customer snapshots —
+    * old = keys not divisible by 13, new = keys not divisible by 17
+    * with the q59 mutations (%7: acctbal+100, %11: segment MOVED) —
+    * so inserts, updates, and deletes all occur, derived identically
+    * in both engines.
+    */
+  def customerSnapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val oldSnap = cust.filter(pmod(col("c_custkey"), lit(13)) =!= 0)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        col("c_acctbal").cast("double").as("acctbal"))
+    val newSnap = cust.filter(pmod(col("c_custkey"), lit(17)) =!= 0)
+      .select(col("c_custkey"),
+        when(pmod(col("c_custkey"), lit(11)) === 0, lit("MOVED"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+        (col("c_acctbal").cast("double") +
+          when(pmod(col("c_custkey"), lit(7)) === 0, lit(100.0))
+            .otherwise(lit(0.0))).as("acctbal"))
+    snapshotDiff(oldSnap, newSnap, "c_custkey",
+        Seq("c_mktsegment", "acctbal"))
+      .orderBy("c_custkey")
+  }
+
+  val customerSnapshotDiffSql: String =
+    """WITH old AS (
+      |  SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS acctbal
+      |  FROM customer WHERE c_custkey % 13 <> 0),
+      |new AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 11 = 0 THEN 'MOVED' ELSE c_mktsegment END
+      |      AS c_mktsegment,
+      |    CAST(c_acctbal AS DOUBLE)
+      |      + CASE WHEN c_custkey % 7 = 0 THEN 100.0 ELSE 0.0 END AS acctbal
+      |  FROM customer WHERE c_custkey % 17 <> 0)
+      |SELECT
+      |  CASE WHEN o.c_custkey IS NULL THEN 'I'
+      |       WHEN n.c_custkey IS NULL THEN 'D'
+      |       ELSE 'U' END AS op,
+      |  COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+      |  CASE WHEN n.c_custkey IS NULL THEN o.c_mktsegment
+      |       ELSE n.c_mktsegment END AS c_mktsegment,
+      |  CASE WHEN n.c_custkey IS NULL THEN o.acctbal
+      |       ELSE n.acctbal END AS acctbal
+      |FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+      |WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+      |   OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+      |   OR o.acctbal IS DISTINCT FROM n.acctbal
+      |ORDER BY c_custkey""".stripMargin
+
   val customerScd2Sql: String =
     s"""WITH cur AS (
        |  SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS acctbal,

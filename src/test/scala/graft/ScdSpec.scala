@@ -59,4 +59,36 @@ class ScdSpec extends SparkSpec {
     assert(twice.count() == 1)
     assert(twice.filter(col("is_current") === 1).count() == 1)
   }
+
+  test("snapshotDiff round-trips: old + changeset reproduces new exactly") {
+    val cust = graft.sources.Tables.customer(spark, sf0001)
+    val oldSnap = cust.filter(pmod(col("c_custkey"), lit(13)) =!= 0)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        col("c_acctbal").cast("double").as("acctbal"))
+    val newSnap = cust.filter(pmod(col("c_custkey"), lit(17)) =!= 0)
+      .select(col("c_custkey"),
+        when(pmod(col("c_custkey"), lit(11)) === 0, lit("MOVED"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+        (col("c_acctbal").cast("double") +
+          when(pmod(col("c_custkey"), lit(7)) === 0, lit(100.0))
+            .otherwise(lit(0.0))).as("acctbal"))
+    val diff = Scd.snapshotDiff(oldSnap, newSnap, "c_custkey",
+      Seq("c_mktsegment", "acctbal"))
+    // every op class occurs in the fixture
+    val ops = diff.groupBy("op").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(Set("I", "U", "D").subsetOf(ops.keySet), s"ops seen: $ops")
+    // replay: (old minus D/U keys) union (I/U rows) == new
+    val dropKeys = diff.filter(col("op").isin("D", "U")).select("c_custkey")
+    val upserts = diff.filter(col("op").isin("I", "U"))
+      .drop("op")
+    val replayed = oldSnap.join(dropKeys, Seq("c_custkey"), "left_anti")
+      .unionByName(upserts)
+    assert(replayed.exceptAll(newSnap).isEmpty &&
+      newSnap.exceptAll(replayed).isEmpty,
+      "replaying the changeset onto old must reproduce new")
+    // unchanged keys emit nothing: diff of a snapshot with itself is empty
+    assert(Scd.snapshotDiff(newSnap, newSnap, "c_custkey",
+      Seq("c_mktsegment", "acctbal")).isEmpty)
+  }
 }
