@@ -260,6 +260,9 @@ object SparkEntry {
     "q126_asof_attribution" -> ((s, d) => Events.purchaseClickAsof(s, d)),
     // CDC changeset extract: one full-outer sort-merge join, I/U/D ops
     "q127_snapshot_diff" -> ((s, d) => Scd.customerSnapshotDiff(s, d)),
+    // distributed Lloyd k-means: decimal-exact centroid sums, cosine
+    // assignment; the trained-quantizer completion of q34's IVF
+    "q128_kmeans_clusters" -> ((s, d) => Similarity.kmeans(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -399,5 +402,6 @@ object SparkEntry {
       graft.streaming.EventStreams.sessionWindowsAvailableNowSql,
     "q126_asof_attribution" -> Events.purchaseClickAsofSql,
     "q127_snapshot_diff" -> Scd.customerSnapshotDiffSql,
+    "q128_kmeans_clusters" -> Similarity.kmeansSql(),
   )
 }

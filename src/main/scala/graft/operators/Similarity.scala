@@ -652,4 +652,177 @@ object Similarity {
       .stripMargin
       .replace("@TRUTH@", knnBruteForceSql(nQueries, k))
   }
+
+  // ---------------------------------------------------------------- kmeans
+
+  /** Cosine between a float-array column and a DOUBLE-array column
+    * (trained centroids are exact-decimal sums cast to double), same
+    * left-fold order as [[cosineExprSpark]].
+    */
+  private def cosFoldSpark(a: String, b: String): String =
+    s"""(aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * y),
+       |   CAST(0 AS DOUBLE), (acc, v) -> acc + v))
+       | / (sqrt(aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+       |   CAST(0 AS DOUBLE), (acc, v) -> acc + v))
+       |  * sqrt(aggregate(transform($b, y -> y * y),
+       |   CAST(0 AS DOUBLE), (acc, v) -> acc + v)))""".stripMargin
+
+  private def cosFoldDuck(a: String, b: String): String =
+    s"""(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(range(1, $Dim + 1),
+       |      i -> CAST($a[CAST(i AS INT)] AS DOUBLE) * $b[CAST(i AS INT)])),
+       |    (acc, v) -> acc + v))
+       | / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |      (acc, v) -> acc + v))
+       |  * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform($b, y -> y * y)),
+       |      (acc, v) -> acc + v)))""".stripMargin
+
+  /** Nearest-centroid assignment: broadcast the k-row centroid table,
+    * score every (vector, centroid) pair map-side, keep the best by
+    * (cosine DESC, cluster ASC) — ties break toward the lowest cluster
+    * id, [[graft.functions.ArgMaxCosineExpr]]'s rule. The window
+    * partitions by vec_id (high-cardinality), and the only exchange is
+    * that per-vector hash — the shape MLlib's KMeans uses per
+    * iteration, minus its per-iteration driver collect.
+    */
+  private def assignToCentroids(emb: DataFrame, cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("cluster"))
+    emb.crossJoin(broadcast(cent))
+      .withColumn("cos", expr(cosFoldSpark("embedding", "centroid")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "centroid")
+  }
+
+  /** Distributed Lloyd k-means over the embedding column (q128) — the
+    * trained-quantizer completion of [[annIvf]]'s sample seeding, and
+    * the clustering deliverable itself: per cluster, size, mean cosine
+    * to the trained centroid (coherence), and majority-label purity in
+    * integer ppm against the `label` ground truth.
+    *
+    * Engine-exact by construction, which is what makes a DuckDB oracle
+    * possible for an iterative fit:
+    *   - centroids are UN-normalized per-dimension SUMS — cosine is
+    *     invariant to positive scaling, so the mean's division (whose
+    *     decimal/decimal semantics differ between engines) never
+    *     happens;
+    *   - the sums aggregate in DECIMAL(28,10) (order-independent), and
+    *     a float's cast to scale-10 decimal can never sit exactly on a
+    *     rounding half-way point (no dyadic rational has a finite
+    *     decimal expansion ending in 5e-11), so both engines round
+    *     identically; the cast back to double is exact while the
+    *     scaled integer stays under 2^53 (~9e5 vectors of unit scale —
+    *     beyond that, route through Features.decToDouble);
+    *   - dot products and norms are fixed-order left folds.
+    *
+    * Scale shape: `iters + 1` passes over the vectors, each one
+    * broadcast-crossJoin (k rows) + per-vector window + one
+    * (cluster, dim)-grain partial-aggregated shuffle of ~k*64 decimal
+    * cells. No unbounded driver state: the seed pick is the same
+    * bounded TakeOrdered the IVF quantizer does, and iteration state
+    * lives in the lazy plan, not the driver.
+    */
+  def kmeans(spark: SparkSession, sfDir: String, k: Int = 8,
+      iters: Int = 1): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    // seed pick: first k vectors by (md5(vec_id), vec_id) — the IVF
+    // quantizer's order, cast to double once (bounded k-row collect)
+    val seeds = emb
+      .select(col("vec_id"), col("embedding"),
+        md5(col("vec_id").cast("string").cast("binary")).as("sk"))
+      .orderBy(asc("sk"), asc("vec_id")).limit(k).collect()
+      .zipWithIndex
+      .map { case (r, i) =>
+        (i.toLong, r.getAs[scala.collection.Seq[Float]]("embedding")
+          .map(_.toDouble))
+      }.toSeq
+    var cent = spark.createDataFrame(seeds).toDF("cluster", "centroid")
+    for (_ <- 1 to iters) {
+      cent = assignToCentroids(emb, cent)
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("cluster", "dim")
+        .agg(sum(expr("CAST(CAST(x AS DOUBLE) AS DECIMAL(28,10))")).as("s"))
+        .groupBy("cluster")
+        .agg(expr("transform(sort_array(collect_list(struct(dim, s)))," +
+          " p -> CAST(p.s AS DOUBLE))").as("centroid"))
+    }
+    // cos is a full-mantissa double: its decimal(28,10) cast CAN land
+    // within an FP-multiply of a rounding half-way point and diverge
+    // between engines (observed 2e-12 drift at sf0.01) — so coherence
+    // accumulates floor(cos*1e9) as exact integers instead, identical
+    // in both engines by construction (float-ORIGIN values, like the
+    // centroid component sums above, have no such hazard: their
+    // scale-10 images sit >= 2^-13 from any half-way point)
+    val fin = assignToCentroids(emb, cent)
+    val byCluster = fin.groupBy("cluster").agg(
+      count(lit(1)).as("n_vecs"),
+      (sum(floor(col("cos") * lit(1e9)).cast("bigint")).cast("double") /
+        lit(1e9) / count(lit(1))).as("avg_cos"))
+    val wLab = Window.partitionBy("cluster")
+      .orderBy(desc("cnt"), asc("label"))
+    val majority = fin.groupBy("cluster", "label")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(wLab))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("label").cast("bigint").as("maj_label"),
+        col("cnt").as("maj_cnt"))
+    byCluster.join(majority, Seq("cluster"))
+      .select(col("cluster"), col("n_vecs"), col("avg_cos"),
+        col("maj_label"),
+        expr("maj_cnt * 1000000L div n_vecs").as("purity_ppm"))
+      .orderBy("cluster")
+  }
+
+  /** DuckDB oracle for [[kmeans]] (iters = 1): seed, assign, decimal
+    * centroid sums, reassign, summarize — the full fit restated in SQL.
+    */
+  def kmeansSql(k: Int = 8): String = {
+    val assign = (centCte: String) =>
+      s"""SELECT vec_id, embedding, label, cluster, cos FROM (
+         |    SELECT e.vec_id, e.embedding, e.label, c.cluster,
+         |      ${cosFoldDuck("e.embedding", "c.centroid")} AS cos,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosFoldDuck("e.embedding", "c.centroid")} DESC,
+         |                 c.cluster) AS rn
+         |    FROM embeddings e CROSS JOIN $centCte c) WHERE rn = 1"""
+        .stripMargin
+    s"""WITH seeds AS (
+       |  SELECT CAST(rn - 1 AS BIGINT) AS cluster,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+       |  FROM (
+       |    SELECT vec_id, embedding, row_number() OVER (
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |    FROM embeddings)
+       |  WHERE rn <= $k),
+       |a1 AS (
+       |  ${assign("seeds")}),
+       |dims AS (SELECT CAST(unnest(range(1, $Dim + 1)) AS INT) AS dim),
+       |sums AS (
+       |  SELECT cluster, dim,
+       |    SUM(CAST(CAST(embedding[dim] AS DOUBLE) AS DECIMAL(28,10))) AS s
+       |  FROM a1 CROSS JOIN dims
+       |  GROUP BY cluster, dim),
+       |c1 AS (
+       |  SELECT cluster, list(CAST(s AS DOUBLE) ORDER BY dim) AS centroid
+       |  FROM sums GROUP BY cluster),
+       |a2 AS (
+       |  ${assign("c1")}),
+       |stats AS (
+       |  SELECT cluster, COUNT(*) AS n_vecs,
+       |    CAST(SUM(CAST(floor(cos * 1e9) AS BIGINT)) AS DOUBLE)
+       |      / 1e9 / COUNT(*) AS avg_cos
+       |  FROM a2 GROUP BY cluster),
+       |maj AS (
+       |  SELECT cluster, CAST(label AS BIGINT) AS maj_label, cnt FROM (
+       |    SELECT cluster, label, COUNT(*) AS cnt, row_number() OVER (
+       |      PARTITION BY cluster ORDER BY COUNT(*) DESC, label) AS rn
+       |    FROM a2 GROUP BY cluster, label) WHERE rn = 1)
+       |SELECT s.cluster, n_vecs, avg_cos, maj_label,
+       |       cnt * 1000000 // n_vecs AS purity_ppm
+       |FROM stats s JOIN maj m ON s.cluster = m.cluster
+       |ORDER BY s.cluster""".stripMargin
+  }
 }

@@ -102,4 +102,25 @@ class PropertySpec extends SparkSpec {
       assert(twice.count() === once.count())
     }
   }
+
+  test("kmeans: partitions all vectors, and a second Lloyd iteration never hurts the objective") {
+    import graft.operators.Similarity
+    val total = graft.sources.Tables.embeddings(spark, sf0001).count()
+    def objective(iters: Int): (Long, Double) = {
+      val rows = Similarity.kmeans(spark, sf0001, k = 8, iters = iters).collect()
+      assert(rows.length <= 8)
+      rows.foreach { r =>
+        assert(r.getLong(4) >= 0 && r.getLong(4) <= 1000000,
+          s"purity_ppm out of range: $r")
+      }
+      (rows.map(_.getLong(1)).sum,
+        rows.map(r => r.getDouble(2) * r.getLong(1)).sum)
+    }
+    val (n1, obj1) = objective(1)
+    val (n2, obj2) = objective(2)
+    assert(n1 == total && n2 == total, "every vector must land in a cluster")
+    // Lloyd monotonicity on the summed cosine objective (1e-6 slack for
+    // the floor-at-1e9 quantization in avg_cos)
+    assert(obj2 >= obj1 - 1e-6, s"objective regressed: $obj1 -> $obj2")
+  }
 }
