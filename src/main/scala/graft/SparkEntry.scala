@@ -263,6 +263,11 @@ object SparkEntry {
     // distributed Lloyd k-means: decimal-exact centroid sums, cosine
     // assignment; the trained-quantizer completion of q34's IVF
     "q128_kmeans_clusters" -> ((s, d) => Similarity.kmeans(s, d)),
+    // integer-exact damped PageRank over symmetrized q94 basket pairs
+    "q129_copurchase_rank" -> ((s, d) => Graph.copurchaseRank(s, d)),
+    // point-in-time join: orders resolve the segment valid on the
+    // order date against the Type-2 dim (equi key + date band)
+    "q130_pit_sales" -> ((s, d) => Scd.pitSales(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -403,5 +408,7 @@ object SparkEntry {
     "q126_asof_attribution" -> Events.purchaseClickAsofSql,
     "q127_snapshot_diff" -> Scd.customerSnapshotDiffSql,
     "q128_kmeans_clusters" -> Similarity.kmeansSql(),
+    "q129_copurchase_rank" -> Graph.copurchaseRankSql(),
+    "q130_pit_sales" -> Scd.pitSalesSql,
   )
 }

@@ -153,12 +153,22 @@ object RetailBi {
     * bounded by the part catalog, so the catalog scan is the honest
     * scaling upper bound.
     */
-  def basketPairsFrom(lineitem: DataFrame, partProxy: DataFrame,
-      minPairs: Int, maxItems: Int): DataFrame = {
-    val baskets = lineitem
+  /** Baskets at order grain: the ONE fact exchange the pair family
+    * builds on (sorted distinct item arrays).
+    */
+  private[operators] def baskets(lineitem: DataFrame): DataFrame =
+    lineitem
       .groupBy(col("l_orderkey").as("o"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
-    val pairs = baskets
+
+  /** Distinct co-purchase pairs (part_a < part_b) with basket counts,
+    * generated map-side from the basket arrays (items-per-order capped
+    * at `maxItems` — the mega-basket guard). Shared by q94 (lift) and
+    * q129 (PageRank edges).
+    */
+  private[operators] def basketPairCounts(baskets: DataFrame,
+      minPairs: Int, maxItems: Int): DataFrame =
+    baskets
       .withColumn("citems", expr(s"slice(items, 1, $maxItems)"))
       .select(explode(expr(
         """flatten(transform(citems,
@@ -169,7 +179,12 @@ object RetailBi {
       .groupBy("part_a", "part_b")
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= minPairs)
-    val itemCounts = baskets
+
+  def basketPairsFrom(lineitem: DataFrame, partProxy: DataFrame,
+      minPairs: Int, maxItems: Int): DataFrame = {
+    val bk = baskets(lineitem)
+    val pairs = basketPairCounts(bk, minPairs, maxItems)
+    val itemCounts = bk
       .select(explode(col("items")).as("p"))
       .groupBy(col("p"))
       .agg(count(lit(1)).as("n_item"))
@@ -177,7 +192,7 @@ object RetailBi {
     // map-side distinct rather than reusing the fat o-grain collect_set
     // exchange — at 100 TB that's the cheaper branch (one narrow column
     // re-read, small distinct exchange), so we keep the plain form.
-    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    val nOrders = bk.agg(count(lit(1)).as("n_orders"))
     pairs
       .join(Joins.broadcastIfSmall(
           itemCounts.select(col("p").as("part_a"), col("n_item").as("n_a")),

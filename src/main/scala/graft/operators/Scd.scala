@@ -169,6 +169,81 @@ object Scd {
       |   OR o.acctbal IS DISTINCT FROM n.acctbal
       |ORDER BY c_custkey""".stripMargin
 
+  /** Point-in-time (AS-OF-date) join against a Type-2 dim (q130): each
+    * order resolves the customer segment that was valid ON ITS ORDER
+    * DATE — equi-join on the business key plus the
+    * `valid_from <= date < valid_to` band, the canonical SCD2 lookup.
+    * The dim: segments seeded 1995-01-01, every 11th key re-segmented
+    * MOVED in a 1998-01-01 batch — so the same customer's orders split
+    * across segments at the batch boundary, which is exactly the
+    * behavior a Type-1 (overwrite) dim gets wrong.
+    *
+    * Scale shape: the planner extracts the equi-key (sort-merge or
+    * AQE-broadcast on c_custkey) and applies the date band as a join
+    * residual; each key carries ≤ version-count dim rows, so the match
+    * is 1:≤2 here and 1:few in general — no range-join explosion.
+    * Revenue aggregates in DECIMAL(18,2), presented as DOUBLE.
+    */
+  def pitSales(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val cur = cust.select(col("c_custkey"), col("c_mktsegment"))
+      .withColumn("valid_from", to_date(lit("1995-01-01")))
+      .withColumn("valid_to", to_date(lit(OpenEnd)))
+      .withColumn("is_current", lit(1))
+    val stg = cust.select(col("c_custkey"),
+      when(pmod(col("c_custkey"), lit(11)) === 0, lit("MOVED"))
+        .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+    val dim = applyType2(cur, stg, "c_custkey", Seq("c_mktsegment"),
+      "1998-01-01")
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("o_date"),
+        col("o_totalprice"))
+    orders.join(dim,
+        orders("o_custkey") === dim("c_custkey") &&
+          orders("o_date") >= dim("valid_from") &&
+          orders("o_date") < dim("valid_to"))
+      .groupBy(year(col("o_date")).as("order_year"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
+      .orderBy("order_year", "c_mktsegment")
+  }
+
+  val pitSalesSql: String =
+    s"""WITH cur AS (
+       |  SELECT c_custkey, c_mktsegment, DATE '1995-01-01' AS valid_from,
+       |         DATE '$OpenEnd' AS valid_to
+       |  FROM customer),
+       |stg AS (
+       |  SELECT c_custkey,
+       |    CASE WHEN c_custkey % 11 = 0 THEN 'MOVED' ELSE c_mktsegment END
+       |      AS c_mktsegment
+       |  FROM customer),
+       |chg AS (
+       |  SELECT cur.c_custkey
+       |  FROM cur JOIN stg USING (c_custkey)
+       |  WHERE cur.c_mktsegment IS DISTINCT FROM stg.c_mktsegment),
+       |dim AS (
+       |  SELECT c_custkey, c_mktsegment, valid_from,
+       |    DATE '1998-01-01' AS valid_to
+       |  FROM cur WHERE c_custkey IN (SELECT c_custkey FROM chg)
+       |  UNION ALL
+       |  SELECT c_custkey, c_mktsegment, valid_from, valid_to
+       |  FROM cur WHERE c_custkey NOT IN (SELECT c_custkey FROM chg)
+       |  UNION ALL
+       |  SELECT s.c_custkey, s.c_mktsegment, DATE '1998-01-01', DATE '$OpenEnd'
+       |  FROM stg s WHERE s.c_custkey IN (SELECT c_custkey FROM chg))
+       |SELECT year(CAST(o_orderdate AS DATE)) AS order_year, c_mktsegment,
+       |       COUNT(*) AS n_orders,
+       |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+       |         AS revenue
+       |FROM orders o JOIN dim d
+       |  ON o.o_custkey = d.c_custkey
+       | AND CAST(o.o_orderdate AS DATE) >= d.valid_from
+       | AND CAST(o.o_orderdate AS DATE) < d.valid_to
+       |GROUP BY 1, 2
+       |ORDER BY order_year, c_mktsegment""".stripMargin
+
   val customerScd2Sql: String =
     s"""WITH cur AS (
        |  SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS acctbal,
