@@ -36,11 +36,19 @@ object Graph {
     */
   def pagerank(edges: DataFrame, iters: Int = 3,
       dampPpm: Long = 850000L): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
+    // truncate the iterative lineage at the EDGE LIST (the
+    // Dedup.dedupClusters idiom) — one checkpoint, materialized once,
+    // so the (possibly expensive) edge construction never re-runs:
+    // every downstream frame (degrees, nodes, N, per-iteration joins)
+    // derives from the checkpointed list. Checkpointing the derived
+    // frames separately instead would materialize the construction
+    // once PER checkpoint (observed in DevProfile as a doubled
+    // pair-generation stage).
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val nodes = e.select(col("src").as("node")).distinct()
     val n1 = broadcast(nodes.agg(count(lit(1)).as("n")))
-    val ed = e.join(deg, Seq("src"))
+    val ed = e.join(deg, Seq("src")).localCheckpoint(true)
     var ranks = nodes.crossJoin(n1)
       .select(col("node"), expr(s"${Scale}L div n").as("r"))
     for (_ <- 1 to iters) {
