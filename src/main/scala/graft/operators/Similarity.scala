@@ -680,20 +680,30 @@ object Similarity {
        |      (acc, v) -> acc + v)))""".stripMargin
 
   /** Nearest-centroid assignment: broadcast the k-row centroid table,
-    * score every (vector, centroid) pair map-side, keep the best by
-    * (cosine DESC, cluster ASC) — ties break toward the lowest cluster
-    * id, [[graft.functions.ArgMaxCosineExpr]]'s rule. The window
-    * partitions by vec_id (high-cardinality), and the only exchange is
-    * that per-vector hash — the shape MLlib's KMeans uses per
-    * iteration, minus its per-iteration driver collect.
+    * score every (vector, centroid) pair map-side, and collapse the k
+    * scored rows per vector with a `max(struct(cos, -cluster, ...))`
+    * aggregation — (cos DESC, cluster ASC) argmax, ties toward the
+    * lowest cluster id, [[graft.functions.ArgMaxCosineExpr]]'s rule.
+    * The PARTIAL aggregate runs map-side, so the per-vector exchange
+    * carries ONE row per vector, not k (a window over vec_id would
+    * shuffle every vector k times). `carryVec` threads the embedding
+    * through only when the next step (centroid update) needs it.
     */
-  private def assignToCentroids(emb: DataFrame, cent: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("cluster"))
-    emb.crossJoin(broadcast(cent))
+  private def assignToCentroids(emb: DataFrame, cent: DataFrame,
+      carryVec: Boolean): DataFrame = {
+    val scored = emb.crossJoin(broadcast(cent))
       .withColumn("cos", expr(cosFoldSpark("embedding", "centroid")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn", "centroid")
+      .withColumn("negc", -col("cluster"))
+    // (cos, negc) is unique per vector (negc distinct across the k
+    // rows), so the struct max never compares the payload fields
+    val payload = Seq(col("label")) ++
+      (if (carryVec) Seq(col("embedding")) else Nil)
+    val best = scored.groupBy("vec_id")
+      .agg(max(struct(Seq(col("cos"), col("negc")) ++ payload: _*)).as("m"))
+    val out = Seq(col("vec_id"), col("m.cos").as("cos"),
+      (-col("m.negc")).as("cluster"), col("m.label").as("label")) ++
+      (if (carryVec) Seq(col("m.embedding").as("embedding")) else Nil)
+    best.select(out: _*)
   }
 
   /** Distributed Lloyd k-means over the embedding column (q128) — the
@@ -718,7 +728,7 @@ object Similarity {
     *   - dot products and norms are fixed-order left folds.
     *
     * Scale shape: `iters + 1` passes over the vectors, each one
-    * broadcast-crossJoin (k rows) + per-vector window + one
+    * broadcast-crossJoin (k rows) + map-side argmax collapse + one
     * (cluster, dim)-grain partial-aggregated shuffle of ~k*64 decimal
     * cells. No unbounded driver state: the seed pick is the same
     * bounded TakeOrdered the IVF quantizer does, and iteration state
@@ -741,7 +751,7 @@ object Similarity {
       }.toSeq
     var cent = spark.createDataFrame(seeds).toDF("cluster", "centroid")
     for (_ <- 1 to iters) {
-      cent = assignToCentroids(emb, cent)
+      cent = assignToCentroids(emb, cent, carryVec = true)
         .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy("cluster", "dim")
         .agg(sum(expr("CAST(CAST(x AS DOUBLE) AS DECIMAL(28,10))")).as("s"))
@@ -756,7 +766,7 @@ object Similarity {
     // in both engines by construction (float-ORIGIN values, like the
     // centroid component sums above, have no such hazard: their
     // scale-10 images sit >= 2^-13 from any half-way point)
-    val fin = assignToCentroids(emb, cent)
+    val fin = assignToCentroids(emb, cent, carryVec = false)
     val byCluster = fin.groupBy("cluster").agg(
       count(lit(1)).as("n_vecs"),
       (sum(floor(col("cos") * lit(1e9)).cast("bigint")).cast("double") /

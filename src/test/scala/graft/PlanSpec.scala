@@ -220,6 +220,38 @@ class PlanSpec extends SparkSpec {
       s"cap ranking funneled through one partition:\n$p")
   }
 
+  test("q130 PIT join: equi-key extracted (no cartesian), date band as residual") {
+    val p = graft.operators.Scd.pitSales(spark, sf0001)
+      .queryExecution.sparkPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"PIT join must plan as an equi join with a residual, got:\n$p")
+  }
+
+  // exchanges exist only after EnsureRequirements: run the frame, read
+  // the finalized adaptive plan's Final section
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  test("q128 kmeans: assignment collapses map-side (partial argmax before the vec exchange)") {
+    val p = finalPlan(graft.operators.Similarity.kmeans(spark, sf0001))
+    assert(p.contains("BroadcastExchange"),
+      s"centroids should broadcast, got:\n$p")
+    // the partial max(struct) must appear BELOW the vec_id exchange:
+    // count partial_max aggregates — one per assignToCentroids call
+    assert("partial_max".r.findAllIn(p).length >= 2,
+      s"expected map-side partial argmax collapse in:\n$p")
+  }
+
+  test("q126 as-of join: exactly one hash exchange of the union (plus the presentation sort)") {
+    val p = finalPlan(graft.operators.Events.purchaseClickAsof(spark, sf0001))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    val rangeEx = "Exchange rangepartitioning".r.findAllIn(p).length
+    assert(hashEx == 1 && rangeEx == 1,
+      s"expected 1 hash + 1 range exchange, got $hashEx/$rangeEx in:\n$p")
+  }
+
   test("config layering: env beats props beats defaults; validation rejects junk") {
     val c1 = graft.etl.GraftConfig.load(env = Map.empty)
     assert(c1.writeBatchSize === 5000)
