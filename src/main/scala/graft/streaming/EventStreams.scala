@@ -193,6 +193,22 @@ object EventStreams {
 
   private val runCounter = new java.util.concurrent.atomic.AtomicInteger()
 
+  /** Run `body` with the session's shuffle partitions temporarily
+    * lowered: a bounded replay commits every state-store partition on
+    * every micro-batch (data batch + no-data finalization), and that
+    * per-partition commit IO dominates a small run — 8 state
+    * partitions is the right grain here, where a production deployment
+    * sizes state partitions to its key cardinality independently of
+    * the batch engine's shuffle width.
+    */
+  private def withStatePartitions[A](spark: SparkSession, n: Int)(
+      body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** q124 — the streaming engine made driver-visible: runs
     * [[hourlyByType]] as a REAL Structured Streaming job (file source
     * → watermark → stateful windowed aggregation → memory sink) under
@@ -222,13 +238,15 @@ object EventStreams {
     */
   def sessionWindowsAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
     val name = "graft_stream_sessions_" + runCounter.incrementAndGet()
-    val q = sessionWindows(
-      readEventStream(spark, sfDir, glob = Some("events.parquet")))
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = sessionWindows(
+        readEventStream(spark, sfDir, glob = Some("events.parquet")))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
       .orderBy("user_id", "session_start")
   }
@@ -275,13 +293,15 @@ object EventStreams {
 
   def hourlyByTypeAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
     val name = "graft_stream_hourly_" + runCounter.incrementAndGet()
-    val q = hourlyByType(
-      readEventStream(spark, sfDir, glob = Some("events.parquet")))
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Complete)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = hourlyByType(
+        readEventStream(spark, sfDir, glob = Some("events.parquet")))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name).orderBy("window_start", "event_type")
   }
 }
