@@ -268,6 +268,10 @@ object SparkEntry {
     // point-in-time join: orders resolve the segment valid on the
     // order date against the Type-2 dim (equi key + date band)
     "q130_pit_sales" -> ((s, d) => Scd.pitSales(s, d)),
+    // flatMapGroupsWithState sessionizer as a real streaming run:
+    // in-batch closures + event-time-timeout evictions, both oracled
+    "q131_streaming_stateful" -> ((s, d) =>
+      graft.streaming.EventStreams.sessionizeStatefulAvailableNow(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -410,5 +414,7 @@ object SparkEntry {
     "q128_kmeans_clusters" -> Similarity.kmeansSql(),
     "q129_copurchase_rank" -> Graph.copurchaseRankSql(),
     "q130_pit_sales" -> Scd.pitSalesSql,
+    "q131_streaming_stateful" ->
+      graft.streaming.EventStreams.sessionizeStatefulAvailableNowSql,
   )
 }

@@ -70,6 +70,34 @@ object DevStream {
     println(s"[devstream] ms-trunc: expected ${expectedMs.count()} " +
       s"missing ${expectedMs.join(streamed, keys, "left_anti").count()} " +
       s"extra ${streamed.join(expectedMs, keys, "left_anti").count()}")
+
+    // --- stateful sessionizer probe (q131): emitted = in-batch closed
+    // (not the user's last session) UNION last-session-timed-out
+    val st2 = EventStreams.sessionizeStatefulAvailableNow(spark, sfDir)
+    println(s"[devstream] stateful emitted: ${st2.count()}")
+    val gapped = Tables.events(spark, sfDir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        (col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs).cast("int"))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+    val wSeq = Window.partitionBy("user_id")
+    val flagged2 = gapped
+      .withColumn("is_last", col("session_seq") === max(col("session_seq")).over(wSeq))
+    val wmMs = maxUs / 1000L - 600000L
+    for (op <- Seq("lt", "le")) {
+      val toPred = (unix_micros(col("session_end")) + gapUs) / 1000L
+      val fired = if (op == "lt") toPred < wmMs else toPred <= wmMs
+      val exp2 = flagged2.filter(!col("is_last") || fired)
+      val m = exp2.join(st2, Seq("user_id", "session_start"), "left_anti").count()
+      val x = st2.join(exp2, Seq("user_id", "session_start"), "left_anti").count()
+      println(s"[devstream] stateful $op: expected ${exp2.count()} missing $m extra $x")
+    }
     spark.stop()
   }
 }

@@ -126,6 +126,83 @@ object EventStreams {
       }
   }
 
+  /** q131 — the CUSTOM-STATE streaming path made driver-visible: runs
+    * [[sessionizeStateful]] (flatMapGroupsWithState, event-time
+    * timeout) under an available-now trigger. For a bounded replay the
+    * emitted set is exactly:
+    *   - every session CLOSED IN-BATCH (a later event of the same user
+    *     opened the next session), plus
+    *   - each user's final session IF its event-time timeout
+    *     (session_end + gap, at ms precision) fell strictly below the
+    *     final watermark — fired by the no-data finalization batch;
+    *     still-open sessions are withheld, exactly as a live
+    *     deployment would withhold them.
+    * Both classes are deterministic and the oracle recomputes them in
+    * SQL (gap rule `diff <= gap` merges — this operator's inclusive
+    * boundary — and per-session sums re-folded in (ts, event_id)
+    * arrival order so doubles accumulate in the identical sequence).
+    */
+  def sessionizeStatefulAvailableNow(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    val name = "graft_stream_stateful_" + runCounter.incrementAndGet()
+    withStatePartitions(spark, 8) {
+      val ev = readEventStream(spark, sfDir, glob = Some("events.parquet"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[Event]
+      val q = sessionizeStateful(ev)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name).orderBy("user_id", "session_start")
+  }
+
+  /** Oracle for [[sessionizeStatefulAvailableNow]]: gap-sessionize
+    * with the operator's INCLUSIVE merge rule (µs diff > gap starts a
+    * new session), per-session sums re-folded in (ts, event_id) order
+    * (the operator's sequential accumulation — same IEEE sequence),
+    * keeping sessions that are either not the user's last or whose
+    * ms-grain timeout `(end_us + gap_us) div 1000` fell strictly below
+    * the final watermark `max_us div 1000 - delay_ms` (DevStream
+    * verified the emitted set equals this full-row at sf0.01).
+    */
+  val sessionizeStatefulAvailableNowSql: String = {
+    val gapUs = 30L * 60 * 1000000
+    val delayMs = 10L * 60 * 1000
+    s"""WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+       |                   value FROM events),
+       |mx AS (SELECT max(epoch_us(ts)) AS max_us FROM ev),
+       |flagged AS (
+       |  SELECT *,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > $gapUs
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM ev
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sessions AS (
+       |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+       |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+       |  FROM flagged),
+       |agg AS (
+       |  SELECT user_id, session_seq, MIN(ts) AS session_start,
+       |         MAX(ts) AS session_end, COUNT(*) AS n_events,
+       |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |           list(value ORDER BY ts, event_id)),
+       |           (acc, v) -> acc + v) AS sum_value
+       |  FROM sessions GROUP BY 1, 2),
+       |lastseq AS (SELECT user_id, MAX(session_seq) AS last_seq
+       |            FROM agg GROUP BY 1)
+       |SELECT a.user_id, session_start, session_end, n_events, sum_value
+       |FROM agg a JOIN lastseq l ON a.user_id = l.user_id CROSS JOIN mx
+       |WHERE a.session_seq <> l.last_seq
+       |   OR (epoch_us(session_end) + $gapUs) // 1000
+       |        < max_us // 1000 - $delayMs
+       |ORDER BY a.user_id, session_start""".stripMargin
+  }
+
   /** Streaming exact dedup — the streaming twin of
     * [[graft.operators.Dedup.exactDedup]]'s keep-one semantics, for
     * at-least-once ingest (re-delivered events collapse to one).
