@@ -272,6 +272,10 @@ object SparkEntry {
     // in-batch closures + event-time-timeout evictions, both oracled
     "q131_streaming_stateful" -> ((s, d) =>
       graft.streaming.EventStreams.sessionizeStatefulAvailableNow(s, d)),
+    // at-least-once ingest dedup: a doubled replay must collapse back
+    // to the batch rollup
+    "q132_streaming_dedup" -> ((s, d) =>
+      graft.streaming.EventStreams.dedupStreamAvailableNow(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -416,5 +420,7 @@ object SparkEntry {
     "q130_pit_sales" -> Scd.pitSalesSql,
     "q131_streaming_stateful" ->
       graft.streaming.EventStreams.sessionizeStatefulAvailableNowSql,
+    "q132_streaming_dedup" ->
+      graft.streaming.EventStreams.dedupStreamAvailableNowSql,
   )
 }

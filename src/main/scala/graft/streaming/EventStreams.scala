@@ -218,6 +218,46 @@ object EventStreams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** q132 — streaming dedup made driver-visible: replay the events
+    * file UNIONED WITH ITSELF (every event delivered twice — the
+    * at-least-once ingest this operator exists for), dedup by
+    * event_id within the watermark, drain, and roll the sink up per
+    * event type. dropDuplicatesWithinWatermark emits each first-seen
+    * row immediately (state eviction, not emission, is what the
+    * watermark bounds), so the drained set is exactly the distinct
+    * events and the rollup equals the batch GROUP BY — if dedup
+    * dropped nothing the counts would double, so the oracle genuinely
+    * pins the dedup, not just the rollup.
+    */
+  def dedupStreamAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "graft_stream_dedup_" + runCounter.incrementAndGet()
+    withStatePartitions(spark, 8) {
+      val ev = readEventStream(spark, sfDir, glob = Some("events.parquet"))
+      val q = dedupStream(ev.unionByName(ev))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,10)")).cast("double")
+          .as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** Oracle for [[dedupStreamAvailableNow]]: the duplicated replay
+    * must collapse back to the plain batch rollup.
+    */
+  val dedupStreamAvailableNowSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** Stream-stream interval join — the streaming twin of
     * [[graft.operators.RangeJoin.clicksNearErrors]]: every (error,
     * click) pair where the click lands in the `windowMinutes` after the
