@@ -34,7 +34,12 @@ object SparkEntry {
     "q08_dim_store" -> ((s, d) => Star.dimStore(s, d).orderBy("store_key")),
     // testdata has duplicate (orderkey, linenumber) pairs, so the sort
     // must tiebreak across the whole payload to be deterministic.
-    "q09_fact_sales" -> ((s, d) => Star.factSales(s, d).orderBy("sales_id",
+    // the repartition is the exchange barrier that stops the ORDER BY's
+    // range-sampling job from re-executing the whole join pipeline
+    // (see ScalableKeys/percentile note: AQE materializes at exchanges)
+    "q09_fact_sales" -> ((s, d) => Star.factSales(s, d)
+      .repartition(org.apache.spark.sql.functions.col("sales_id"))
+      .orderBy("sales_id",
       "product_key", "store_key", "date_key", "quantity", "unit_price",
       "discount_pct")),
     "q13_date_upsert" -> ((s, d) =>

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
 
 /** Distributed surrogate-key assignment for tables too large for a
   * global row_number() sort (SURVEY.md §2 D3 at 100 TB).
@@ -27,8 +28,15 @@ object ScalableKeys {
   def withSequentialIds(df: DataFrame, idCol: String,
       startAt: Long = 0L): DataFrame = {
     val spark = df.sparkSession
-    val rdd = df.rdd // one deliberate RDD hop: zipWithIndex is exactly
-                     // the per-partition imperative op RDDs are for
+    // One deliberate RDD hop: zipWithIndex is exactly the per-partition
+    // imperative op RDDs are for. zipWithIndex runs an EAGER job to
+    // count rows per partition, and every downstream consumer (e.g. a
+    // broadcast build) recomputes the lineage from scratch — so persist
+    // the hop: the count job materializes it once and the consumer
+    // reads the cache. Unpersist is left to the ContextCleaner (the
+    // RDD is unreachable once the returned frame is); at cluster scale
+    // MEMORY_AND_DISK degrades to disk instead of evicting mid-job.
+    val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
     val indexed = rdd.zipWithIndex().map { case (row, idx) =>
       Row.fromSeq(row.toSeq :+ (idx + startAt))
     }
@@ -60,7 +68,10 @@ object ScalableKeys {
       case other   => throw new IllegalArgumentException(
         s"$valueCol must be integral, got $other")
     }
-    val rdd = sorted.rdd
+    // Persist the hop: pass 1 (per-partition sums) materializes it,
+    // pass 2 (offset threading) reads the cache instead of re-running
+    // the whole upstream pipeline a second time.
+    val rdd = sorted.rdd.persist(StorageLevel.MEMORY_AND_DISK)
     val partSums = rdd
       .mapPartitionsWithIndex { (i, it) =>
         var s = 0L; it.foreach(r => s += valueOf(r)); Iterator((i, s))

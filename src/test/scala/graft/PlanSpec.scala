@@ -109,10 +109,18 @@ class PlanSpec extends SparkSpec {
       s"lineitem scan should read 3 columns, got $readCols")
   }
 
-  test("fact build: every dim join is a broadcast hash join") {
+  test("fact build: dim joins broadcast, exactly one fact scan (q09 pin)") {
     val p = plan(Star.factSales(spark, sf0001))
     val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).length
-    assert(nBroadcast >= 4, s"expected >=4 broadcast joins, got $nBroadcast in:\n$p")
+    assert(nBroadcast >= 3, s"expected >=3 broadcast joins, got $nBroadcast in:\n$p")
+    // date_key is computed map-side from l_shipdate, NOT via a dim_date
+    // join — so the fact build reads exactly two files (lineitem +
+    // orders); a third FileScan means the extra lineitem pass crept back
+    assert("FileScan".r.findAllIn(p).length === 2,
+      s"fact build should scan exactly lineitem + orders, got:\n$p")
+    // at this scale no join should degrade to a sort-merge (the gated
+    // dims broadcast; orders is small enough for Catalyst's own choice)
+    assert(!p.contains("SortMergeJoin"), s"join degraded to SMJ in:\n$p")
   }
 
   test("monthly trend: partial aggregation before the shuffle") {
