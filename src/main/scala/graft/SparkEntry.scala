@@ -267,7 +267,7 @@ object SparkEntry {
     "q127_snapshot_diff" -> ((s, d) => Scd.customerSnapshotDiff(s, d)),
     // distributed Lloyd k-means: decimal-exact centroid sums, cosine
     // assignment; the trained-quantizer completion of q34's IVF
-    "q128_kmeans_clusters" -> ((s, d) => Similarity.kmeans(s, d)),
+    "q128_kmeans_clusters" -> ((s, d) => Similarity.kmeans(s, d, iters = 3)),
     // integer-exact damped PageRank over symmetrized q94 basket pairs
     "q129_copurchase_rank" -> ((s, d) => Graph.copurchaseRank(s, d)),
     // point-in-time join: orders resolve the segment valid on the
@@ -281,6 +281,10 @@ object SparkEntry {
     // to the batch rollup
     "q132_streaming_dedup" -> ((s, d) =>
       graft.streaming.EventStreams.dedupStreamAvailableNow(s, d)),
+    // stream-stream interval join (dual watermarks + time-range state
+    // bound) drained against the batch-join oracle
+    "q133_streaming_join" -> ((s, d) =>
+      graft.streaming.EventStreams.errorClickPairsAvailableNow(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -420,12 +424,14 @@ object SparkEntry {
       graft.streaming.EventStreams.sessionWindowsAvailableNowSql,
     "q126_asof_attribution" -> Events.purchaseClickAsofSql,
     "q127_snapshot_diff" -> Scd.customerSnapshotDiffSql,
-    "q128_kmeans_clusters" -> Similarity.kmeansSql(),
+    "q128_kmeans_clusters" -> Similarity.kmeansSql(iters = 3),
     "q129_copurchase_rank" -> Graph.copurchaseRankSql(),
     "q130_pit_sales" -> Scd.pitSalesSql,
     "q131_streaming_stateful" ->
       graft.streaming.EventStreams.sessionizeStatefulAvailableNowSql,
     "q132_streaming_dedup" ->
       graft.streaming.EventStreams.dedupStreamAvailableNowSql,
+    "q133_streaming_join" ->
+      graft.streaming.EventStreams.errorClickPairsAvailableNowSql,
   )
 }

@@ -607,6 +607,14 @@ object Events {
     * latency; unmatched purchases (no prior click) keep NULL click
     * columns. The oracle is DuckDB's native ASOF LEFT JOIN — an
     * independently implemented algorithm agreeing cell-exact.
+    *
+    * Clicks are pre-collapsed to one row per (user_id, click_ts)
+    * keeping the max click_id, on BOTH sides: DuckDB's ASOF JOIN
+    * leaves tie-breaking among equal-timestamp right rows
+    * unspecified, while asofBackward deterministically picks the
+    * largest rightOrd — collapsing makes the comparison tie-free by
+    * construction (and is what attribution wants anyway: one
+    * candidate click per instant).
     */
   def purchaseClickAsof(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
@@ -616,6 +624,8 @@ object Events {
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"),
         col("ts").as("click_ts"))
+      .groupBy("user_id", "click_ts")
+      .agg(max("click_id").as("click_id"))
     Joins.asofBackward(purchases, clicks, "user_id",
         leftTs = "purchase_ts", rightTs = "click_ts", rightOrd = "click_id")
       .withColumn("wait_us",
@@ -629,9 +639,10 @@ object Events {
     """WITH p AS (SELECT user_id, event_id AS purchase_id,
       |                  CAST(ts AS TIMESTAMP) AS purchase_ts
       |           FROM events WHERE event_type = 'purchase'),
-      |     c AS (SELECT user_id, event_id AS click_id,
-      |                  CAST(ts AS TIMESTAMP) AS click_ts
-      |           FROM events WHERE event_type = 'click')
+      |     c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts,
+      |                  MAX(event_id) AS click_id
+      |           FROM events WHERE event_type = 'click'
+      |           GROUP BY user_id, CAST(ts AS TIMESTAMP))
       |SELECT p.user_id, purchase_id, purchase_ts, click_id, click_ts,
       |       epoch_us(purchase_ts) - epoch_us(click_ts) AS wait_us
       |FROM p ASOF LEFT JOIN c

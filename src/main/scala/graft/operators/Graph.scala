@@ -30,12 +30,16 @@ object Graph {
   val Scale = 1000000000000L // rank unit: 1e-12
 
   /** `edges`: two columns (src, dst), already in BOTH directions for an
-    * undirected graph. Every node is assumed to have ≥1 out-edge (true
-    * by construction for symmetrized edge lists); dangling-node mass
-    * redistribution is therefore not modeled.
+    * undirected graph. Every node must have ≥1 out-edge (true by
+    * construction for symmetrized edge lists); dangling-node mass
+    * redistribution is not modeled, so the contract is ENFORCED
+    * (`validate = true` by default): a dst that never appears as src
+    * fails the run loudly instead of silently leaking rank mass. The
+    * check is one node-grain anti-join over the already-checkpointed
+    * edge list — negligible next to the edge-grain iterations.
     */
   def pagerank(edges: DataFrame, iters: Int = 3,
-      dampPpm: Long = 850000L): DataFrame = {
+      dampPpm: Long = 850000L, validate: Boolean = true): DataFrame = {
     // truncate the iterative lineage at the EDGE LIST (the
     // Dedup.dedupClusters idiom) — one checkpoint, materialized once,
     // so the (possibly expensive) edge construction never re-runs:
@@ -45,6 +49,15 @@ object Graph {
     // once PER checkpoint (observed in DevProfile as a doubled
     // pair-generation stage).
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    if (validate) {
+      val dangling = e.select(col("dst")).distinct()
+        .join(e.select(col("src")).distinct(), col("dst") === col("src"),
+          "left_anti")
+      require(dangling.isEmpty,
+        "pagerank: edge list has dangling nodes (a dst with no " +
+          "out-edges) - the recurrence does not redistribute their " +
+          "mass; symmetrize the edges or drop the sinks first")
+    }
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val nodes = e.select(col("src").as("node")).distinct()
     val n1 = broadcast(nodes.agg(count(lit(1)).as("n")))

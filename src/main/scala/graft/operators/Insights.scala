@@ -326,8 +326,13 @@ object Insights {
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand").as("brand"))
       .agg(sum(revenueDec).as("rev"))
+      // integer ppm via INTEGER division on cents-scaled sums (the
+      // weekdaySeasonality idiom; decimal `/` + floor diverges
+      // between engines when the ratio sits within an ulp of an int)
+      .withColumn("cents", (col("rev") * 100).cast("decimal(38,0)"))
+      .withColumn("totc", sum(col("cents")).over(w))
       .withColumn("share_ppm",
-        floor(col("rev") * 1000000 / sum(col("rev")).over(w)).cast("long"))
+        expr("CAST((cents * 1000000) div totc AS BIGINT)"))
       .select(col("brand"), col("rev").cast("double").as("revenue"),
         col("share_ppm"))
       .orderBy(desc("revenue"), asc("brand"))
@@ -337,10 +342,13 @@ object Insights {
     s"""WITH b AS (
        |  SELECT p_brand AS brand, SUM($revenueSql) AS rev
        |  FROM lineitem JOIN part ON l_partkey = p_partkey
-       |  GROUP BY p_brand)
+       |  GROUP BY p_brand),
+       |w2 AS (SELECT brand, rev,
+       |       CAST(rev * 100 AS HUGEINT) AS cents FROM b)
        |SELECT brand, CAST(rev AS DOUBLE) AS revenue,
-       |       CAST(FLOOR(rev * 1000000 / SUM(rev) OVER ()) AS BIGINT) AS share_ppm
-       |FROM b
+       |       CAST((cents * 1000000) // SUM(cents) OVER () AS BIGINT)
+       |         AS share_ppm
+       |FROM w2
        |ORDER BY revenue DESC, brand ASC""".stripMargin
 
   /** The store dim used by the regional insights: supplier joined to the
@@ -812,9 +820,11 @@ object Insights {
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_type"), col("p_brand"))
       .agg(sum(revenueDec).as("rev"))
+      // cents-scaled INTEGER division, as in categoryShare
+      .withColumn("cents", (col("rev") * 100).cast("decimal(38,0)"))
+      .withColumn("totc", sum(col("cents")).over(byType))
       .withColumn("share_ppm",
-        floor(col("rev") * 1000000 / sum(col("rev")).over(byType))
-          .cast("long"))
+        expr("CAST((cents * 1000000) div totc AS BIGINT)"))
       .select(col("p_type"), col("p_brand"),
         col("rev").cast("double").as("revenue"), col("share_ppm"))
       .orderBy("p_type", "p_brand")
@@ -824,11 +834,13 @@ object Insights {
     s"""WITH b AS (
        |  SELECT p_type, p_brand, SUM($revenueSql) AS rev
        |  FROM lineitem JOIN part ON l_partkey = p_partkey
-       |  GROUP BY p_type, p_brand)
+       |  GROUP BY p_type, p_brand),
+       |w2 AS (SELECT p_type, p_brand, rev,
+       |       CAST(rev * 100 AS HUGEINT) AS cents FROM b)
        |SELECT p_type, p_brand, CAST(rev AS DOUBLE) AS revenue,
-       |  CAST(FLOOR(rev * 1000000 / SUM(rev) OVER (PARTITION BY p_type))
+       |  CAST((cents * 1000000) // SUM(cents) OVER (PARTITION BY p_type)
        |    AS BIGINT) AS share_ppm
-       |FROM b
+       |FROM w2
        |ORDER BY p_type, p_brand""".stripMargin
 
   /** Top-k customers per market segment through the custom

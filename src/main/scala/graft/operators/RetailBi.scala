@@ -250,8 +250,14 @@ object RetailBi {
         byRev.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("total", sum(col("rev")).over(
         Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .withColumn("cum_ppm",
-        floor(col("cum") * 1000000 / col("total")).cast("long"))
+      // integer ppm via exact INTEGER division on cents-scaled sums
+      // (the weekdaySeasonality idiom): a decimal `/` feeding FLOOR
+      // diverges between engines — Spark keeps a scale-capped decimal,
+      // DuckDB returns DOUBLE — so the two floors can disagree when the
+      // true ratio sits within an ulp of an integer
+      .withColumn("cum_ppm", expr(
+        """CAST((CAST(cum * 100 AS DECIMAL(38,0)) * 1000000)
+          |  div CAST(total * 100 AS DECIMAL(38,0)) AS BIGINT)""".stripMargin))
       .withColumn("abc_class",
         when(col("cum_ppm") <= 800000L, lit("A"))
           .when(col("cum_ppm") <= 950000L, lit("B"))
@@ -275,15 +281,19 @@ object RetailBi {
        |  FROM pr),
        |classed AS (
        |  SELECT rev,
-       |    CAST(FLOOR(cum * 1000000 / total) AS BIGINT) AS cum_ppm,
-       |    CASE WHEN FLOOR(cum * 1000000 / total) <= 800000 THEN 'A'
-       |         WHEN FLOOR(cum * 1000000 / total) <= 950000 THEN 'B'
+       |    CAST((CAST(cum * 100 AS HUGEINT) * 1000000)
+       |      // CAST(total * 100 AS HUGEINT) AS BIGINT) AS cum_ppm
+       |  FROM ranked),
+       |classed2 AS (
+       |  SELECT rev, cum_ppm,
+       |    CASE WHEN cum_ppm <= 800000 THEN 'A'
+       |         WHEN cum_ppm <= 950000 THEN 'B'
        |         ELSE 'C' END AS abc_class
-       |  FROM ranked)
+       |  FROM classed)
        |SELECT abc_class, COUNT(*) AS n_parts,
        |  CAST(SUM(rev) AS DOUBLE) AS revenue,
        |  MIN(cum_ppm) AS min_cum_ppm, MAX(cum_ppm) AS max_cum_ppm
-       |FROM classed
+       |FROM classed2
        |GROUP BY abc_class
        |ORDER BY abc_class""".stripMargin
 

@@ -586,7 +586,12 @@ object Similarity {
       val cand = annLshCandidates(spark, sfDir, nQueries, nb, bits)
       val hits = lshTopK(spark, sfDir, cand, nQueries, k)
         .join(broadcast(truth), Seq("query_id", "neighbor_id"), "left")
-        .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+        // outer coalesce: a config with ZERO candidate pairs sums over
+        // an empty frame -> NULL, and NULL ordering diverges between
+        // engines (Spark flips NULLS FIRST/LAST with sort direction,
+        // DuckDB is NULLS LAST throughout) — pin it to 0
+        .agg(coalesce(sum(coalesce(col("hit"), lit(0))), lit(0))
+          .cast("long").as("n_hits"))
       val cost = cand.agg(count(lit(1)).as("n_cand_pairs"))
       hits.crossJoin(cost)
         .select(lit(nb).as("n_bands"), lit(bits).as("bits_per_band"),
@@ -601,7 +606,7 @@ object Similarity {
   def annConfigSweepSql(nQueries: Int = 10, k: Int = 5): String = {
     val perConfig = SweepConfigs.map { case (nb, bits) =>
       s"""SELECT $nb AS n_bands, $bits AS bits_per_band,
-         |  CAST((SELECT SUM(CASE WHEN t.neighbor_id IS NOT NULL
+         |  CAST(COALESCE((SELECT SUM(CASE WHEN t.neighbor_id IS NOT NULL
          |          THEN 1 ELSE 0 END)
          |    FROM (SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
          |            PARTITION BY query_id
@@ -609,8 +614,8 @@ object Similarity {
          |          FROM scored_${nb}_$bits) tk
          |    LEFT JOIN truth t ON tk.query_id = t.query_id
          |      AND tk.neighbor_id = t.neighbor_id
-         |    WHERE tk.rank <= $k) AS BIGINT) AS n_hits,
-         |  CAST((SELECT SUM(CASE WHEN t.neighbor_id IS NOT NULL
+         |    WHERE tk.rank <= $k), 0) AS BIGINT) AS n_hits,
+         |  CAST(COALESCE((SELECT SUM(CASE WHEN t.neighbor_id IS NOT NULL
          |          THEN 1 ELSE 0 END)
          |    FROM (SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
          |            PARTITION BY query_id
@@ -618,7 +623,7 @@ object Similarity {
          |          FROM scored_${nb}_$bits) tk
          |    LEFT JOIN truth t ON tk.query_id = t.query_id
          |      AND tk.neighbor_id = t.neighbor_id
-         |    WHERE tk.rank <= $k) * 1000000 // ${nQueries * k} AS BIGINT)
+         |    WHERE tk.rank <= $k), 0) * 1000000 // ${nQueries * k} AS BIGINT)
          |    AS recall_ppm,
          |  (SELECT COUNT(*) FROM cands_${nb}_$bits) AS n_cand_pairs""".stripMargin
     }.mkString("\nUNION ALL\n")
@@ -755,6 +760,18 @@ object Similarity {
         .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy("cluster", "dim")
         .agg(sum(expr("CAST(CAST(x AS DOUBLE) AS DECIMAL(28,10))")).as("s"))
+        // range guard (the decToDouble idiom; the sums can be negative,
+        // so the hi/lo split itself doesn't apply): the decimal→double
+        // cast below is exact only while |s|·1e10 < 2^53 (~9e5
+        // unit-scale vectors per cluster) — beyond that Spark's single
+        // rounding and DuckDB's int128 double-rounding can diverge 1
+        // ulp, so fail loudly instead of hash-mismatching silently
+        .withColumn("s", when(
+          assert_true(abs(col("s")) < lit(BigDecimal(900000)),
+            lit("kmeans: |centroid-dim sum| >= 9e5 - the decimal(28,10)" +
+              " double cast is no longer exact across engines; shard" +
+              " the cluster or rescale the embeddings")).isNull,
+          col("s")))
         .groupBy("cluster")
         .agg(expr("transform(sort_array(collect_list(struct(dim, s)))," +
           " p -> CAST(p.s AS DOUBLE))").as("centroid"))
@@ -786,10 +803,12 @@ object Similarity {
       .orderBy("cluster")
   }
 
-  /** DuckDB oracle for [[kmeans]] (iters = 1): seed, assign, decimal
-    * centroid sums, reassign, summarize — the full fit restated in SQL.
+  /** DuckDB oracle for [[kmeans]]: seed, then per iteration assign +
+    * decimal centroid sums (the CTE chain unrolls once per Lloyd
+    * iteration), final reassign, summarize — the full iterative fit
+    * restated in SQL.
     */
-  def kmeansSql(k: Int = 8): String = {
+  def kmeansSql(k: Int = 8, iters: Int = 1): String = {
     val assign = (centCte: String) =>
       s"""SELECT vec_id, embedding, label, cluster, cos FROM (
          |    SELECT e.vec_id, e.embedding, e.label, c.cluster,
@@ -799,6 +818,19 @@ object Similarity {
          |                 c.cluster) AS rn
          |    FROM embeddings e CROSS JOIN $centCte c) WHERE rn = 1"""
         .stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      val prev = if (i == 1) "seeds" else s"c${i - 1}"
+      s"""a$i AS (
+         |  ${assign(prev)}),
+         |sums$i AS (
+         |  SELECT cluster, dim,
+         |    SUM(CAST(CAST(embedding[dim] AS DOUBLE) AS DECIMAL(28,10))) AS s
+         |  FROM a$i CROSS JOIN dims
+         |  GROUP BY cluster, dim),
+         |c$i AS (
+         |  SELECT cluster, list(CAST(s AS DOUBLE) ORDER BY dim) AS centroid
+         |  FROM sums$i GROUP BY cluster)""".stripMargin
+    }.mkString(",\n")
     s"""WITH seeds AS (
        |  SELECT CAST(rn - 1 AS BIGINT) AS cluster,
        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
@@ -807,29 +839,20 @@ object Similarity {
        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
        |    FROM embeddings)
        |  WHERE rn <= $k),
-       |a1 AS (
-       |  ${assign("seeds")}),
        |dims AS (SELECT CAST(unnest(range(1, $Dim + 1)) AS INT) AS dim),
-       |sums AS (
-       |  SELECT cluster, dim,
-       |    SUM(CAST(CAST(embedding[dim] AS DOUBLE) AS DECIMAL(28,10))) AS s
-       |  FROM a1 CROSS JOIN dims
-       |  GROUP BY cluster, dim),
-       |c1 AS (
-       |  SELECT cluster, list(CAST(s AS DOUBLE) ORDER BY dim) AS centroid
-       |  FROM sums GROUP BY cluster),
-       |a2 AS (
-       |  ${assign("c1")}),
+       |$iterCtes,
+       |afin AS (
+       |  ${assign(s"c$iters")}),
        |stats AS (
        |  SELECT cluster, COUNT(*) AS n_vecs,
        |    CAST(SUM(CAST(floor(cos * 1e9) AS BIGINT)) AS DOUBLE)
        |      / 1e9 / COUNT(*) AS avg_cos
-       |  FROM a2 GROUP BY cluster),
+       |  FROM afin GROUP BY cluster),
        |maj AS (
        |  SELECT cluster, CAST(label AS BIGINT) AS maj_label, cnt FROM (
        |    SELECT cluster, label, COUNT(*) AS cnt, row_number() OVER (
        |      PARTITION BY cluster ORDER BY COUNT(*) DESC, label) AS rn
-       |    FROM a2 GROUP BY cluster, label) WHERE rn = 1)
+       |    FROM afin GROUP BY cluster, label) WHERE rn = 1)
        |SELECT s.cluster, n_vecs, avg_cos, maj_label,
        |       cnt * 1000000 // n_vecs AS purity_ppm
        |FROM stats s JOIN maj m ON s.cluster = m.cluster

@@ -292,6 +292,48 @@ object EventStreams {
       .drop("err_chunk", "click_chunk")
   }
 
+  /** q133 — the stream-stream interval join made driver-visible:
+    * runs [[errorClickPairsStream]] (dual watermarks + time-range
+    * predicate, the state-bounded unbounded×unbounded join shape)
+    * under an available-now trigger and drains the matched pairs.
+    * Determinism: INNER stream-stream joins emit a pair as soon as
+    * both rows are present — the watermarks bound state EVICTION, not
+    * emission — and the bounded replay arrives as one micro-batch
+    * while the watermark still sits at its initial floor, so nothing
+    * is late-dropped and the drained sink is exactly the batch join.
+    * The oracle is that batch join in SQL (the q50 predicate at pair
+    * grain), so this row pins the join itself where q50 pins the
+    * chunked-equi-key rewrite.
+    */
+  def errorClickPairsAvailableNow(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val name = "graft_stream_pairs_" + runCounter.incrementAndGet()
+    withStatePartitions(spark, 8) {
+      val ev = readEventStream(spark, sfDir, glob = Some("events.parquet"))
+      val q = errorClickPairsStream(ev)
+        .select(col("error_id"), col("click_id"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name).orderBy("error_id", "click_id")
+  }
+
+  /** Oracle for [[errorClickPairsAvailableNow]]: the plain batch
+    * interval join at pair grain — every (error, click) with the click
+    * inside the 5 minutes from the error.
+    */
+  val errorClickPairsAvailableNowSql: String =
+    """SELECT e.event_id AS error_id, c.event_id AS click_id
+      |FROM events e JOIN events c
+      |  ON c.event_type = 'click' AND e.event_type = 'error'
+      | AND CAST(c.ts AS TIMESTAMP) >= CAST(e.ts AS TIMESTAMP)
+      | AND CAST(c.ts AS TIMESTAMP) <
+      |     CAST(e.ts AS TIMESTAMP) + INTERVAL 5 MINUTE
+      |ORDER BY error_id, click_id""".stripMargin
+
   /** Wire a streaming DataFrame from parquet (file-source streaming —
     * how a production deployment would tail an events directory).
     */

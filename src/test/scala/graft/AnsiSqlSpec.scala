@@ -10,7 +10,9 @@ class AnsiSqlSpec extends SparkSpec {
 
   private val ansiPortable = Seq(
     "q01_top_products", "q02_monthly_revenue", "q03_revenue_by_store",
-    "q04_balance_bucket", "q05_kpi_summary", "q06_category_share",
+    "q04_balance_bucket", "q05_kpi_summary",
+    // q06 left this list in round 6: its share floor now uses the
+    // cents-scaled integer division idiom (HUGEINT + `//`, DuckDB-only)
     "q12_row_counts",
     // round-3 additions whose oracles are dialect-free
     // q69 left this list in round 4: its oracle now converts the >2^53

@@ -252,12 +252,15 @@ class PlanSpec extends SparkSpec {
       s"expected map-side partial argmax collapse in:\n$p")
   }
 
-  test("q126 as-of join: exactly one hash exchange of the union (plus the presentation sort)") {
+  test("q126 as-of join: two hash exchanges (tie collapse + union window) plus the presentation sort") {
     val p = finalPlan(graft.operators.Events.purchaseClickAsof(spark, sf0001))
     val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
     val rangeEx = "Exchange rangepartitioning".r.findAllIn(p).length
-    assert(hashEx == 1 && rangeEx == 1,
-      s"expected 1 hash + 1 range exchange, got $hashEx/$rangeEx in:\n$p")
+    // one exchange collapses clicks to (user_id, click_ts) grain (the
+    // tie-free-ASOF contract), one shuffles the union for the per-user
+    // window; anything more means the asof shape regressed
+    assert(hashEx == 2 && rangeEx == 1,
+      s"expected 2 hash + 1 range exchange, got $hashEx/$rangeEx in:\n$p")
   }
 
   test("config layering: env beats props beats defaults; validation rejects junk") {
