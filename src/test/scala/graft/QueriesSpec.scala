@@ -63,4 +63,28 @@ class QueriesSpec extends SparkSpec {
       .select("bad_rows").collect().map(_.getLong(0)).sum
     assert(bad === 0)
   }
+
+  test("doc counts track the registry (README + ARCHITECTURE can't drift)") {
+    // rounds 4 and 5 both shipped stale "N registered / M oracles"
+    // lines; parse the claims out of the docs and pin them to the code
+    val nq = SparkEntry.queries.size
+    val no = SparkEntry.oracleSql.size
+    def firstMatch(path: String, re: scala.util.matching.Regex): Seq[Int] = {
+      val text = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      re.findFirstMatchIn(text) match {
+        case Some(m) => (1 to m.groupCount).map(i => m.group(i).toInt)
+        case None => fail(s"$path: doc-count sentence not found " +
+          s"(pattern $re) - keep the claim, update the numbers")
+      }
+    }
+    val arch = firstMatch("ARCHITECTURE.md",
+      """\*\*(\d+) registered queries — (\d+) with DuckDB oracles""".r)
+    assert(arch == Seq(nq, no),
+      s"ARCHITECTURE.md claims ${arch.mkString("/")} but registry has $nq/$no")
+    val readme = firstMatch("README.md",
+      """All (\d+) SQL-expressible queries \(of (\d+) registered\)""".r)
+    assert(readme == Seq(no, nq),
+      s"README.md claims ${readme.mkString("/")} but registry has $no/$nq")
+  }
 }
