@@ -1,13 +1,14 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.{Graph, RetailBi}
 import graft.sources.Tables
 
-/** Dev-loop scratch: times incremental pieces of the percentile/median
-  * window-chain shape to locate the per-row cost. Not driver contract.
+/** Dev-loop scratch: times incremental pieces of the current hot query
+  * (round 6: the q94/q129 basket-pair pipeline) to locate per-row cost.
+  * Not driver contract.
   */
 object DevShape {
   def main(args: Array[String]): Unit = {
@@ -30,39 +31,24 @@ object DevShape {
     }
 
     val li = Tables.lineitem(spark, sfDir)
-    def grain = li
-      .groupBy(col("l_returnflag"), col("l_extendedprice").as("price"))
-      .agg(count(lit(1)).as("w"))
-    val ord = Window.partitionBy("l_returnflag").orderBy("price")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val all = Window.partitionBy("l_returnflag").orderBy("price")
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def bk = RetailBi.baskets(li)
+    def pairs = RetailBi.basketPairCounts(bk, minPairs = 2, maxItems = 64)
+    def edges = pairs
+      .select(col("part_a").as("src"), col("part_b").as("dst"))
+      .unionByName(
+        pairs.select(col("part_b").as("src"), col("part_a").as("dst")))
 
-    time("scan_only")(li.select("l_returnflag", "l_extendedprice"))
-    time("grain")(grain)
-    time("grain_sortWithin")(grain.repartition(col("l_returnflag"))
-      .sortWithinPartitions("price"))
-    time("grain_cumw")(grain.withColumn("cumw", sum("w").over(ord)))
-    time("grain_cumw_n")(grain.withColumn("cumw", sum("w").over(ord))
-      .withColumn("n", sum("w").over(all)))
-    time("plus_pick_windows") {
-      val c = grain.withColumn("cumw", sum("w").over(ord))
-        .withColumn("n", sum("w").over(all))
-        .withColumn("k", floor((col("n") - 1).cast("double") * lit(0.5)))
-      c.withColumn("lo",
-          min(when(col("cumw") > col("k"), col("price"))).over(all))
-        .withColumn("hi",
-          min(when(col("cumw") > col("k") + 1, col("price"))).over(all))
+    time("baskets")(bk)
+    time("pairs")(pairs)
+    time("edges_mirror")(edges)
+    time("edges_checkpointed") {
+      val e = edges.localCheckpoint(true)
+      e.unpersist(true)
+      e
     }
-    time("full_q116")(Features2.weightedMedianRef(spark, sfDir))
+    time("pagerank_novalidate")(Graph.pagerank(edges, validate = false))
+    time("pagerank_validate")(Graph.pagerank(edges, validate = true))
+    time("full_q129")(Graph.copurchaseRank(spark, sfDir))
     spark.stop()
   }
-}
-
-/** Indirection so DevShape can call the real operator without import
-  * cycles; remove with DevShape when the tuning pass lands.
-  */
-object Features2 {
-  def weightedMedianRef(spark: SparkSession, sfDir: String): DataFrame =
-    graft.operators.Features.weightedMedian(spark, sfDir)
 }

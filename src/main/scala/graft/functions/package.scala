@@ -34,6 +34,12 @@ package object functions {
   def lsh_sig(c: Column, planes: Array[Array[Int]]): Column =
     toColumn(LshSigExpr(toExpression(c), planes))
 
+  /** All unordered pairs (array<struct<part_a,part_b>>) of a sorted
+    * bigint item array, capped at `maxItems` elements.
+    */
+  def item_pairs(c: Column, maxItems: Int): Column =
+    toColumn(ItemPairsExpr(toExpression(c), maxItems))
+
   /** Index of the nearest centroid by cosine (IVF coarse assignment). */
   def argmax_cosine(c: Column, centroids: Array[Array[Float]]): Column =
     toColumn(ArgMaxCosineExpr(toExpression(c), centroids))

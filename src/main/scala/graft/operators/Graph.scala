@@ -90,7 +90,11 @@ object Graph {
     val edges = pairs.select(col("part_a").as("src"), col("part_b").as("dst"))
       .unionByName(
         pairs.select(col("part_b").as("src"), col("part_a").as("dst")))
-    pagerank(edges, iters)
+    // the mirror union makes every dst also a src BY CONSTRUCTION, so
+    // the dangling-node contract holds without paying the node-grain
+    // anti-join scan (two extra passes over the edge list, ~20% of the
+    // query at sf0.1)
+    pagerank(edges, iters, validate = false)
       .select(col("node").as("part"), col("r").as("rank_e12"))
       .orderBy(desc("rank_e12"), asc("part"))
   }

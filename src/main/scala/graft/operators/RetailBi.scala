@@ -156,7 +156,7 @@ object RetailBi {
   /** Baskets at order grain: the ONE fact exchange the pair family
     * builds on (sorted distinct item arrays).
     */
-  private[operators] def baskets(lineitem: DataFrame): DataFrame =
+  private[graft] def baskets(lineitem: DataFrame): DataFrame =
     lineitem
       .groupBy(col("l_orderkey").as("o"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
@@ -166,15 +166,11 @@ object RetailBi {
     * at `maxItems` — the mega-basket guard). Shared by q94 (lift) and
     * q129 (PageRank edges).
     */
-  private[operators] def basketPairCounts(baskets: DataFrame,
+  private[graft] def basketPairCounts(baskets: DataFrame,
       minPairs: Int, maxItems: Int): DataFrame =
     baskets
-      .withColumn("citems", expr(s"slice(items, 1, $maxItems)"))
-      .select(explode(expr(
-        """flatten(transform(citems,
-          |  (x, i) -> transform(slice(citems, i + 2, size(citems)),
-          |    y -> struct(x AS part_a, y AS part_b))))""".stripMargin))
-        .as("pr"))
+      .select(explode(
+          graft.functions.item_pairs(col("items"), maxItems)).as("pr"))
       .select(col("pr.part_a"), col("pr.part_b"))
       .groupBy("part_a", "part_b")
       .agg(count(lit(1)).as("n_pair"))

@@ -214,6 +214,27 @@ class Wave4Spec extends SparkSpec {
     assert(p12.getLong(1) === 3L && p12.getLong(2) === 3L) // counts uncapped
   }
 
+  test("item_pairs matches the HOF pair enumeration on real baskets") {
+    val bk = RetailBi.baskets(
+      graft.sources.Tables.lineitem(spark, sf0001))
+    def countsOf(pairs: org.apache.spark.sql.DataFrame) = pairs
+      .groupBy("part_a", "part_b").count()
+      .orderBy("part_a", "part_b").collect().toSeq
+    val native = countsOf(bk
+      .select(explode(graft.functions.item_pairs(col("items"), 8)).as("pr"))
+      .select(col("pr.part_a"), col("pr.part_b")))
+    val hof = countsOf(bk
+      .withColumn("citems", expr("slice(items, 1, 8)"))
+      .select(explode(expr(
+        """flatten(transform(citems,
+          |  (x, i) -> transform(slice(citems, i + 2, size(citems)),
+          |    y -> struct(x AS part_a, y AS part_b))))""".stripMargin))
+        .as("pr"))
+      .select(col("pr.part_a"), col("pr.part_b")))
+    assert(native === hof)
+    assert(native.nonEmpty)
+  }
+
   test("decToDouble: exact below 2^53, replay-identical above it") {
     val df = Seq("123.45", "7096786968835.8685")
       .toDF("s").select(col("s").cast("decimal(38,4)").as("x"))
