@@ -202,6 +202,18 @@ case class CosineSimExpr(left: Expression, right: Expression)
       r: Expression): CosineSimExpr = copy(left = l, right = r)
   override def prettyName: String = "graft_cosine"
 
+  // each side may be array<float> (stored embeddings) or array<double>
+  // (computed centroids); widening float -> double first preserves the
+  // same values the SQL fold's CAST(x AS DOUBLE) produces
+  private def elemIsDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case ArrayType(FloatType, _) => false
+    case t => throw new IllegalArgumentException(
+      s"graft_cosine: expected array<float|double>, got $t")
+  }
+  private def getter(arr: String, isDouble: Boolean, i: String): String =
+    if (isDouble) s"$arr.getDouble($i)" else s"((double) $arr.getFloat($i))"
+
   // real codegen (not CodegenFallback): the loop body is emitted into
   // the stage, so per-row cost avoids the fallback's row materialization
   // and Double boxing. The generated arithmetic replays nullSafeEval's
@@ -211,6 +223,7 @@ case class CosineSimExpr(left: Expression, right: Expression)
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (ld, rd) = (elemIsDouble(left), elemIsDouble(right))
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       val nx = ctx.freshName("nx")
@@ -226,13 +239,13 @@ case class CosineSimExpr(left: Expression, right: Expression)
          |}
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  $dot += ${getter(a, ld, i)} * ${getter(b, rd, i)};
          |}
          |for (int $i = 0; $i < $n; $i++) {
-         |  final double $v = (double) $a.getFloat($i); $nx += $v * $v;
+         |  final double $v = ${getter(a, ld, i)}; $nx += $v * $v;
          |}
          |for (int $i = 0; $i < $n; $i++) {
-         |  final double $v = (double) $b.getFloat($i); $ny += $v * $v;
+         |  final double $v = ${getter(b, rd, i)}; $ny += $v * $v;
          |}
          |${ev.value} = $dot / (java.lang.Math.sqrt($nx) *
          |  java.lang.Math.sqrt($ny));
@@ -242,6 +255,9 @@ case class CosineSimExpr(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (ld, rd) = (elemIsDouble(left), elemIsDouble(right))
+    @inline def at(arr: ArrayData, isDouble: Boolean, i: Int): Double =
+      if (isDouble) arr.getDouble(i) else arr.getFloat(i).toDouble
     val n = x.numElements()
     // fail loudly on dimension mismatch — a silent min-length dot product
     // would return a plausible-but-wrong cosine
@@ -250,15 +266,13 @@ case class CosineSimExpr(left: Expression, right: Expression)
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
-      dot += xi * yi
+      dot += at(x, ld, i) * at(y, rd, i)
       i += 1
     }
     i = 0
-    while (i < n) { val v = x.getFloat(i).toDouble; nx += v * v; i += 1 }
+    while (i < n) { val v = at(x, ld, i); nx += v * v; i += 1 }
     i = 0
-    while (i < n) { val v = y.getFloat(i).toDouble; ny += v * v; i += 1 }
+    while (i < n) { val v = at(y, rd, i); ny += v * v; i += 1 }
     java.lang.Double.valueOf(dot / (math.sqrt(nx) * math.sqrt(ny)))
   }
 }

@@ -660,18 +660,6 @@ object Similarity {
 
   // ---------------------------------------------------------------- kmeans
 
-  /** Cosine between a float-array column and a DOUBLE-array column
-    * (trained centroids are exact-decimal sums cast to double), same
-    * left-fold order as [[cosineExprSpark]].
-    */
-  private def cosFoldSpark(a: String, b: String): String =
-    s"""(aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * y),
-       |   CAST(0 AS DOUBLE), (acc, v) -> acc + v))
-       | / (sqrt(aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-       |   CAST(0 AS DOUBLE), (acc, v) -> acc + v))
-       |  * sqrt(aggregate(transform($b, y -> y * y),
-       |   CAST(0 AS DOUBLE), (acc, v) -> acc + v)))""".stripMargin
-
   private def cosFoldDuck(a: String, b: String): String =
     s"""(list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |    list_transform(range(1, $Dim + 1),
@@ -697,7 +685,8 @@ object Similarity {
   private def assignToCentroids(emb: DataFrame, cent: DataFrame,
       carryVec: Boolean): DataFrame = {
     val scored = emb.crossJoin(broadcast(cent))
-      .withColumn("cos", expr(cosFoldSpark("embedding", "centroid")))
+      .withColumn("cos",
+        graft.functions.cosine_sim(col("embedding"), col("centroid")))
       .withColumn("negc", -col("cluster"))
     // (cos, negc) is unique per vector (negc distinct across the k
     // rows), so the struct max never compares the payload fields
@@ -741,8 +730,12 @@ object Similarity {
     */
   def kmeans(spark: SparkSession, sfDir: String, k: Int = 8,
       iters: Int = 1): DataFrame = {
+    // materialize the vectors once (MLlib's iterative-input persist,
+    // the Graph.pagerank idiom): the lazy iteration chain otherwise
+    // re-decodes the parquet scan on every one of the iters+2 passes
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"), col("label"))
+      .localCheckpoint(true)
     // seed pick: first k vectors by (md5(vec_id), vec_id) — the IVF
     // quantizer's order, cast to double once (bounded k-row collect)
     val seeds = emb

@@ -71,6 +71,32 @@ class ExtensionsSpec extends SparkSpec {
     assert(d.filter($"n_copies" > 1).count() === 0)
   }
 
+  test("cosine_sim on a double-array side matches the SQL fold bit-exactly") {
+    // kmeans scores float embeddings against double centroids; the
+    // native codegen loop must replay the SQL left-fold FP order
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding").limit(50)
+    val withCent = emb.crossJoin(
+      emb.select($"embedding".cast("array<double>").as("centroid")).limit(3))
+    val got = withCent.select(
+        graft.functions.cosine_sim($"embedding", $"centroid").as("c"),
+        expr("""(aggregate(zip_with(embedding, centroid,
+          |   (x, y) -> CAST(x AS DOUBLE) * y),
+          |   CAST(0 AS DOUBLE), (acc, v) -> acc + v))
+          | / (sqrt(aggregate(transform(embedding,
+          |     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+          |   CAST(0 AS DOUBLE), (acc, v) -> acc + v))
+          |  * sqrt(aggregate(transform(centroid, y -> y * y),
+          |   CAST(0 AS DOUBLE), (acc, v) -> acc + v)))""".stripMargin)
+          .as("sql"))
+      .collect()
+    assert(got.length === 150)
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
   test("ANN-LSH recall vs brute force at k=5 is usable (> 0.4 on random data)") {
     val bf = Similarity.knnBruteForce(spark, sf0001)
       .select("query_id", "neighbor_id")
