@@ -254,7 +254,9 @@ object Insights {
     // is free next to a shuffle), collapse to (flag, measure, value)
     // grain, run the prefix-sum breakpoints per (flag, measure), then
     // pivot the 6 bounded rows back to the KPI layout.
-    val stacked = Tables.lineitem(spark, sfDir)
+    val stacked = Tables.withMinParallelism(
+        Tables.lineitem(spark, sfDir)
+          .select("l_returnflag", "l_quantity", "l_extendedprice"), 16)
       .select(col("l_returnflag"), explode(array(
         struct(lit("qty").as("vc"),
           col("l_quantity").cast("double").as("v")),
