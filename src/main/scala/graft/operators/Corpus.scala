@@ -52,7 +52,7 @@ object Corpus {
     */
   private def shingleHashes(spark: SparkSession, sfDir: String,
       n: Int): DataFrame =
-    Tables.documents(spark, sfDir)
+    Tables.withMinParallelism(Tables.documents(spark, sfDir), 16)
       .withColumn("tks", expr(tokensSparkSql))
       .select(col("doc_id"), explode(shinglesExpr("tks", n)).as("sh"))
       .select(col("doc_id"), TextAnalysis.md5Hash60(col("sh")).as("h"))
@@ -80,8 +80,14 @@ object Corpus {
     */
   def shingleDedup(spark: SparkSession, sfDir: String,
       n: Int = 8): DataFrame = {
+    // perDoc feeds BOTH the corpus rollup and the join-back; without a
+    // materialization the shingle scan (the expensive subtree) executes
+    // once per branch — Catalyst reuses identical exchanges, but the two
+    // branches shuffle at different grains. The checkpointed frame is
+    // the compact (int64, int64, count) grain, not shingle text.
     val perDoc = shingleHashes(spark, sfDir, n)
       .groupBy("doc_id", "h").agg(count(lit(1)).as("c_doc"))
+      .localCheckpoint(true)
     val corpus = perDoc.groupBy("h").agg(sum("c_doc").as("c_all"))
     val agg = perDoc.join(corpus, Seq("h"))
       .groupBy("doc_id")
