@@ -22,12 +22,20 @@ object DevProfile {
       .config("spark.ui.enabled", "false"))
     spark.sparkContext.setLogLevel("WARN")
     val stages = ArrayBuffer[(Int, String, Long, Long, Long, Int)]()
+    val stageSite = scala.collection.concurrent.TrieMap[Int, String]()
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val site = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+        js.stageIds.foreach(id => stageSite.putIfAbsent(id, site))
+      }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val wall = (si.completionTime.getOrElse(0L)
           - si.submissionTime.getOrElse(0L))
-        stages += ((si.stageId, si.name.takeWhile(_ != '\n').take(60),
+        stages += ((si.stageId,
+          stageSite.getOrElse(si.stageId, si.name.takeWhile(_ != '\n')).take(60),
           wall, si.taskMetrics.executorRunTime,
           si.taskMetrics.shuffleWriteMetrics.bytesWritten, si.numTasks))
       }

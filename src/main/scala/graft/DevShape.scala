@@ -3,11 +3,11 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Graph, RetailBi}
+import graft.operators.{Joins, ScalableKeys, Star}
 import graft.sources.Tables
 
 /** Dev-loop scratch: times incremental pieces of the current hot query
-  * (round 6: the q94/q129 basket-pair pipeline) to locate per-row cost.
+  * (round 6: the q09 fact_sales regression) to locate per-row cost.
   * Not driver contract.
   */
 object DevShape {
@@ -31,24 +31,25 @@ object DevShape {
     }
 
     val li = Tables.lineitem(spark, sfDir)
-    def bk = RetailBi.baskets(li)
-    def pairs = RetailBi.basketPairCounts(bk, minPairs = 2, maxItems = 64)
-    def edges = pairs
-      .select(col("part_a").as("src"), col("part_b").as("dst"))
-      .unionByName(
-        pairs.select(col("part_b").as("src"), col("part_a").as("dst")))
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"))
 
-    time("baskets")(bk)
-    time("pairs")(pairs)
-    time("edges_mirror")(edges)
-    time("edges_checkpointed") {
-      val e = edges.localCheckpoint(true)
-      e.unpersist(true)
-      e
-    }
-    time("pagerank_novalidate")(Graph.pagerank(edges, validate = false))
-    time("pagerank_validate")(Graph.pagerank(edges, validate = true))
-    time("full_q129")(Graph.copurchaseRank(spark, sfDir))
+    time("dim_customer")(Star.dimCustomer(spark, sfDir))
+    time("dim_product")(Star.dimProduct(spark, sfDir))
+    time("dim_store")(Star.dimStore(spark, sfDir))
+    time("li_join_ord")(
+      li.join(ord, col("l_orderkey") === col("o_orderkey"), "left"))
+    time("li_join_ord_broadcast")(
+      li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"), "left"))
+    val cust = Star.dimCustomer(spark, sfDir)
+      .select("customer_id", "customer_key")
+    time("li_ord_cust")(
+      li.join(ord, col("l_orderkey") === col("o_orderkey"), "left")
+        .join(Joins.broadcastIfSmall(cust, Tables.customer(spark, sfDir)),
+          col("o_custkey") === col("customer_id"), "left"))
+    time("full_q09")(Star.factSales(spark, sfDir))
+    println("===== q09 plan =====")
+    Star.factSales(spark, sfDir).explain("formatted")
     spark.stop()
   }
 }

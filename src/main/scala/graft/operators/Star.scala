@@ -108,7 +108,12 @@ object Star {
     * path stays exercised where it is semantic (q02 via E3).
     */
   def factSales(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
+    // Spread the fact scan before the fused per-row work: the broadcast
+    // probes + date_key formatting + downstream shuffle write all fuse
+    // into the scan stage, which on a single-row-group input runs at
+    // file-split parallelism (1-3 tasks). No-op on many-row-group
+    // production inputs (the established guard, see Tables).
+    val li = Tables.withMinParallelism(Tables.lineitem(spark, sfDir), 16)
     val ord = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_custkey"))
     // The rank-keyed dim builds each run two small eager jobs (range
@@ -117,15 +122,24 @@ object Star {
     // is thread-safe and interleaves the jobs across the executor
     // cores instead of paying 3x sequential job-scheduling latency
     // (exactly how an orchestrator would submit independent dim loads).
+    // Key-only rank builds: the fact needs just (natural_id, surrogate),
+    // and the rank is a function of the natural key alone, so dragging
+    // the full dim payload through the range-sort + RDD hop is wasted
+    // cell conversion. Value-identical to dimCustomer/dimProduct/
+    // dimStore's keys (rank by the same unique natural id; the oracle
+    // CTEs rank over the bare source tables the same way).
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val custF = Future(
-      dimCustomer(spark, sfDir).select("customer_id", "customer_key"))
-    val prodF = Future(
-      dimProduct(spark, sfDir).select("product_id", "product_key"))
-    val storeF = Future(
-      dimStore(spark, sfDir).select("store_id", "store_key"))
+    val custF = Future(ScalableKeys.withRankByKey(
+      Tables.customer(spark, sfDir).select(col("c_custkey").as("customer_id")),
+      "customer_id", "customer_key"))
+    val prodF = Future(ScalableKeys.withRankByKey(
+      Tables.part(spark, sfDir).select(col("p_partkey").as("product_id")),
+      "product_id", "product_key"))
+    val storeF = Future(ScalableKeys.withRankByKey(
+      Tables.supplier(spark, sfDir).select(col("s_suppkey").as("store_id")),
+      "store_id", "store_key"))
     val cust = Await.result(custF, Duration.Inf)
     val prod = Await.result(prodF, Duration.Inf)
     val store = Await.result(storeF, Duration.Inf)
