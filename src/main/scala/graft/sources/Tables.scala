@@ -96,10 +96,14 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects as a timestamp ([PARQUET_TYPE_ILLEGAL]); we
-    * read it as raw nanos (legacy nanosAsLong) and convert to a micros
-    * timestamp with exact integer division in [[events]].
+  /** events.parquet has been written with `ts` as INT64 TIMESTAMP(NANOS)
+    * — which Spark's parquet reader rejects as a timestamp
+    * ([PARQUET_TYPE_ILLEGAL]) unless legacy nanosAsLong reads it as a raw
+    * long — by some generators, and as plain TIMESTAMP(MICROS) by others.
+    * [[eventsTsIsNanos]] sniffs the footer once per path and [[events]] /
+    * streaming readers normalize both encodings to a micros timestamp.
+    * This is the nanos-shaped declared schema; [[eventsMicrosSchema]] is
+    * the micros twin.
     */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -108,6 +112,26 @@ object Tables {
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  val eventsMicrosSchema: StructType = StructType(
+    eventsSchema.fields.map(f =>
+      if (f.name == "ts") f.copy(dataType = TimestampType) else f))
+
+  private val eventsTsKind =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Whether the events parquet at `path` stores `ts` as TIMESTAMP(NANOS)
+    * (inferred as LongType under nanosAsLong) rather than
+    * TIMESTAMP(MICROS). One footer read per distinct path+glob, memoized
+    * for the JVM — the testdata layout is immutable within a run.
+    */
+  def eventsTsIsNanos(s: SparkSession, path: String,
+      glob: Option[String] = None): Boolean =
+    eventsTsKind.computeIfAbsent(s"$path#${glob.getOrElse("")}", _ => {
+      val r = s.read
+      glob.foreach(g => r.option("pathGlobFilter", g))
+      Boolean.box(r.parquet(path).schema("ts").dataType == LongType)
+    }).booleanValue
 
   val documentsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -142,15 +166,19 @@ object Tables {
   /** Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set ONCE at
     * session construction (Verify/Bench/tests via [[graftSession]]) —
     * mutating session conf inside a reader would be a global side effect
-    * on unrelated reads in the same session.
+    * on unrelated reads in the same session. The flag is inert for
+    * micros-encoded files but mandatory to even sniff a nanos footer.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
       "set spark.sql.legacy.parquet.nanosAsLong=true at session build " +
-        "(events.parquet stores ts as TIMESTAMP(NANOS); see Tables.graftConfigs)")
-    load(s, d, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        "(events.parquet may store ts as TIMESTAMP(NANOS); see Tables.graftConfigs)")
+    val path = s"$d/events.parquet"
+    if (eventsTsIsNanos(s, path))
+      load(s, d, "events")
+        .withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else s.read.schema(eventsMicrosSchema).parquet(path)
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

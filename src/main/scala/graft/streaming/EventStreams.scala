@@ -341,13 +341,18 @@ object EventStreams {
       glob: Option[String] = None): DataFrame = {
     require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
       "set spark.sql.legacy.parquet.nanosAsLong=true at session build")
+    // sniff the stored ts encoding (nanos-as-long vs plain micros) from
+    // one batch footer read; the streaming schema must match the files
+    val nanos = graft.sources.Tables.eventsTsIsNanos(spark, dir, glob)
     val reader = spark.readStream
-      .schema(graft.sources.Tables.eventsSchema)
+      .schema(if (nanos) graft.sources.Tables.eventsSchema
+              else graft.sources.Tables.eventsMicrosSchema)
     // the file source lists a DIRECTORY; a single-file table is selected
     // by globbing within its parent, never by passing the file path
     glob.foreach(g => reader.option("pathGlobFilter", g))
-    reader.parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val ev = reader.parquet(dir)
+    if (nanos) ev.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else ev
   }
 
   private val runCounter = new java.util.concurrent.atomic.AtomicInteger()
