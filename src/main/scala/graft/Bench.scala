@@ -23,10 +23,17 @@ object Bench {
 
     def run(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      val elapsed =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => -1.0 }
+      // outside the timed section: drop the query's checkpointed blocks
+      // so a 133-query sweep doesn't bleed storage memory into later
+      // queries (see Tables.freeTransientBlocks)
+      graft.sources.Tables.freeTransientBlocks(spark)
+      elapsed
     }
 
     // warmup: JVM + codegen + parquet reader init (not reported)

@@ -27,7 +27,14 @@ object Tables {
     // on a 100+-query session, recompiling every stage's codegen on
     // each re-run; a long-lived analytics session should amortize
     // compilation, exactly as a warm cluster would
-    "spark.sql.codegen.cache.maxEntries" -> "5000")
+    "spark.sql.codegen.cache.maxEntries" -> "5000",
+    // the ContextCleaner only frees dropped persisted/checkpointed
+    // blocks after a GC surfaces their weak references, and its
+    // safety-net periodic GC defaults to 30 MINUTES — a many-query
+    // session accumulates dead eager-localCheckpoint blocks (pagerank
+    // edges, k-means vectors, shingle grains) in the unified pool's
+    // storage share for that whole window, squeezing execution memory
+    "spark.cleaner.periodicGC.interval" -> "60s")
 
   /** Apply [[graftConfigs]] to a builder and construct the session — the
     * one way every graft entrypoint (Verify, Bench, RunPipeline, dev
@@ -38,6 +45,22 @@ object Tables {
     graftConfigs.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
   }
+
+  /** Drop every persisted / eager-localCheckpointed RDD block in the
+    * session. Iterative operators (PageRank, k-means, connected
+    * components, the shingle grain) checkpoint intermediates whose
+    * blocks outlive their query: the ContextCleaner frees them only
+    * after a GC collects the RDD handle, so a session sweeping many
+    * queries (Verify/Bench run 130+ back-to-back in one JVM) bleeds
+    * storage memory into later queries' execution share. Call BETWEEN
+    * queries — never mid-query: unpersisting a localCheckpoint severs
+    * its only copy (lineage is truncated), and any still-live frame
+    * over it would fail on recompute. The next query rebuilds its own
+    * state from source.
+    */
+  def freeTransientBlocks(spark: SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.valuesIterator
+      .foreach(_.unpersist(blocking = false))
 
   // --------------------------------------------------------------------
   // Driver testdata schemas (parquet). Declaring them (rather than relying
