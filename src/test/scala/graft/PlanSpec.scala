@@ -263,6 +263,20 @@ class PlanSpec extends SparkSpec {
       s"expected 2 hash + 1 range exchange, got $hashEx/$rangeEx in:\n$p")
   }
 
+  test("freeTransientBlocks drops eager localCheckpoint blocks between queries") {
+    import org.apache.spark.sql.functions._
+    // simulate an iterative operator's materialization outliving its query
+    val ckpt = spark.range(1000).withColumn("x", rand()).localCheckpoint(true)
+    ckpt.count()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "localCheckpoint should register persistent blocks")
+    graft.sources.Tables.freeTransientBlocks(spark)
+    // unpersist is async (blocking=false) but deregistration is immediate
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "janitor must deregister every persistent RDD (the Bench/Verify " +
+        "between-queries contract; see Tables.freeTransientBlocks)")
+  }
+
   test("config layering: env beats props beats defaults; validation rejects junk") {
     val c1 = graft.etl.GraftConfig.load(env = Map.empty)
     assert(c1.writeBatchSize === 5000)
