@@ -18,6 +18,16 @@ import graft.sources.Tables
   */
 object TextAnalysis {
 
+  /** Documents scan spread to the session's parallelism before the
+    * fused per-row text work (regex scans, token splits, gram explodes)
+    * — single-row-group inputs otherwise run the whole pass in one
+    * task (sf1 soak: 6-8x superlinear on every text query). No-op on
+    * properly split production inputs; see Tables.withMinParallelism.
+    */
+  private def spreadDocs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.withMinParallelism(Tables.documents(spark, sfDir),
+      spark.sparkContext.defaultParallelism)
+
   /** 60-bit hash from md5 hex (first 15 nibbles), usable as a portable,
     * seedable hash in both engines: Spark `conv(substr(md5(x),1,15),16,10)`,
     * DuckDB `('0x'||substr(md5(x),1,15))::BIGINT`.
@@ -49,7 +59,7 @@ object TextAnalysis {
     * pretraining-corpus quality gates).
     */
   def textStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+    val docs = spreadDocs(spark, sfDir)
     val en = stopwords("en").map(w => s"'$w'").mkString(", ")
     docs.select(
         col("doc_id"), col("lang"),
@@ -111,7 +121,7 @@ object TextAnalysis {
     * projection; fuses into the scan at 100 TB.
     */
   def tokenCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+    val docs = spreadDocs(spark, sfDir)
     // Column API (not expr-SQL) so the pattern's ' needs no escaping
     def bpeToks = regexp_extract_all(lower(col("text")), lit(bpePattern), lit(0))
     docs.select(
@@ -160,7 +170,7 @@ object TextAnalysis {
     * total, so the cutoff is deterministic.
     */
   def vocabulary(spark: SparkSession, sfDir: String, topK: Int = 100): DataFrame =
-    Tables.documents(spark, sfDir)
+    spreadDocs(spark, sfDir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .filter(col("term") =!= "")
       .groupBy("term")
@@ -191,7 +201,7 @@ object TextAnalysis {
     */
   def tfidf(spark: SparkSession, sfDir: String, topK: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, sfDir)
+    val docs = spreadDocs(spark, sfDir)
     val toks = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .filter(col("term") =!= "")
@@ -236,7 +246,7 @@ object TextAnalysis {
     * language code order). One pass, no shuffle.
     */
   def languageId(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+    val docs = spreadDocs(spark, sfDir)
     val hitCols = stopwords.toSeq.sortBy(_._1).map { case (langCode, words) =>
       val list = words.map(w => s"'$w'").mkString(", ")
       expr(s"size(filter(split(lower(trim(text)), '\\\\s+'), w -> w IN ($list)))")
@@ -282,8 +292,7 @@ object TextAnalysis {
     * exact duplicates.
     */
   def fingerprints(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.withMinParallelism(Tables.documents(spark, sfDir),
-        spark.sparkContext.defaultParallelism).select(
+    spreadDocs(spark, sfDir).select(
         col("doc_id"),
         md5Hash60(lower(trim(col("text")))).as("doc_fp"),
         graft.functions.mingram_fp(col("text")).as("min_gram_fp"))
@@ -298,7 +307,7 @@ object TextAnalysis {
     */
   def chunkDocs(spark: SparkSession, sfDir: String,
       size: Int = 200, stride: Int = 150): DataFrame =
-    Tables.documents(spark, sfDir)
+    spreadDocs(spark, sfDir)
       .select(col("doc_id"),
         posexplode(expr(
           s"""transform(sequence(0, greatest(length(text) - 1, 0) div $stride),
@@ -335,7 +344,7 @@ object TextAnalysis {
     * doc-grain frames co-partition on doc_id for the final join.
     */
   def repetition(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+    val docs = spreadDocs(spark, sfDir)
     val tk = docs.select(col("doc_id"),
       expr("filter(split(lower(trim(text)), '\\\\s+'), w -> w <> '')").as("tks"))
     val stats = tk.select(col("doc_id"),
@@ -410,7 +419,7 @@ object TextAnalysis {
     * 100 TB.
     */
   def piiRedaction(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    spreadDocs(spark, sfDir)
       .withColumn("aug",
         concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
           lit("@example.com tel 555-"),
@@ -475,7 +484,7 @@ object TextAnalysis {
     */
   def bigramCoverage(spark: SparkSession, sfDir: String,
       topK: Int = 200): DataFrame = {
-    val bigrams = Tables.documents(spark, sfDir)
+    val bigrams = spreadDocs(spark, sfDir)
       .select(col("doc_id"),
         expr("filter(split(lower(trim(text)), '\\\\s+'), w -> w <> '')")
           .as("tks"))
