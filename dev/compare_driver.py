@@ -42,13 +42,19 @@ def frame_hash(df):
     return h.hexdigest()
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # optional third arg: comma-separated query subset (dev/soak loops run
+    # one query per subprocess under `timeout` — some DuckDB oracles, e.g.
+    # the shingle/minhash family at sf1, are orders slower than the Spark
+    # side and need a bounded per-query budget)
+    if only is not None:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
@@ -98,4 +104,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    subset = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    sys.exit(main(sys.argv[1], sys.argv[2], subset))

@@ -35,7 +35,12 @@ object Joins {
   def broadcastIfSmall(df: DataFrame, sizeProxy: DataFrame): DataFrame =
     if (fitsBroadcast(sizeProxy)) broadcast(df) else df
 
-  private def fitsBroadcast(df: DataFrame): Boolean = {
+  /** Whether `df`'s estimated size fits under the session broadcast
+    * threshold — public so operators can pick whole STRATEGIES (not
+    * just join sides) by the same gate, e.g. embeddingNeardup's
+    * score-then-dedup vs dedup-then-score candidate pipelines.
+    */
+  def fitsBroadcast(df: DataFrame): Boolean = {
     val threshold = parseBytes(
       df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold",
         "10485760"))

@@ -463,34 +463,63 @@ object Similarity {
     */
   def embeddingNeardup(spark: SparkSession, sfDir: String,
       threshold: Double = 0.95): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
+    // spread before banding: sig + the candidate join probe fuse into
+    // the scan stage (single-row-group inputs = one task otherwise)
+    val emb = Tables.withMinParallelism(Tables.embeddings(spark, sfDir),
+        spark.sparkContext.defaultParallelism)
       .withColumn("sig", graft.functions.lsh_sig(col("embedding"), planeSigns))
-    // ids-only banding: candidate pairs are deduped as 16-byte id pairs
-    // (a pair colliding on several bands would otherwise shuffle its two
-    // 64-float vectors once per band); the vectors are re-joined for
-    // scoring afterwards — two shuffles bounded by corpus size, instead
-    // of one unbounded by band multiplicity.
     val banded = emb.select(col("vec_id"),
       explode(expr(
         """transform(sequence(0, 3),
           |  b -> concat(CAST(b AS STRING), ':',
           |    CAST((sig >> (b * 4)) & 15 AS STRING)))""".stripMargin))
         .as("band_key"))
-    val pairIds = banded.as("a").join(banded.as("b"),
-        col("a.band_key") === col("b.band_key") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .distinct()
     val vecs = Tables.embeddings(spark, sfDir)
-    pairIds
-      .join(vecs.select(col("vec_id").as("vec_a"),
-        col("embedding").as("e_a")), Seq("vec_a"))
-      .join(vecs.select(col("vec_id").as("vec_b"),
-        col("embedding").as("e_b")), Seq("vec_b"))
-      .withColumn("cosine", graft.functions.cosine_sim(col("e_a"), col("e_b")))
-      .filter(col("cosine") >= threshold)
-      .select("vec_a", "vec_b", "cosine")
-      .orderBy("vec_a", "vec_b")
+    if (Joins.fitsBroadcast(vecs)) {
+      // Broadcastable corpus: score BEFORE deduplicating. Band-local
+      // candidate pairs (quadratic in bucket size — the dominant term)
+      // never hit an exchange: vectors attach via broadcast hash joins
+      // and the cosine filter runs fused in the probe stage, so only
+      // the tiny >= threshold survivor set pays the distinct shuffle.
+      // A pair colliding in k<=4 bands is scored k times — redundant
+      // flops are far cheaper than exchanging the full candidate set.
+      banded.as("a").join(broadcast(banded.as("b")),
+          col("a.band_key") === col("b.band_key") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .join(broadcast(vecs.select(col("vec_id").as("vec_a"),
+          col("embedding").as("e_a"))), Seq("vec_a"))
+        .join(broadcast(vecs.select(col("vec_id").as("vec_b"),
+          col("embedding").as("e_b"))), Seq("vec_b"))
+        .withColumn("cosine",
+          graft.functions.cosine_sim(col("e_a"), col("e_b")))
+        .filter(col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+        .distinct()
+        .orderBy("vec_a", "vec_b")
+    } else {
+      // At-scale corpus: ids-only banding — candidate pairs are deduped
+      // as 16-byte id pairs (a pair colliding on several bands would
+      // otherwise shuffle its two 64-float vectors once per band); the
+      // vectors are re-joined for scoring afterwards — two shuffles
+      // bounded by corpus size, instead of one unbounded by band
+      // multiplicity.
+      val pairIds = banded.as("a").join(banded.as("b"),
+          col("a.band_key") === col("b.band_key") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .distinct()
+      pairIds
+        .join(vecs.select(col("vec_id").as("vec_a"),
+          col("embedding").as("e_a")), Seq("vec_a"))
+        .join(vecs.select(col("vec_id").as("vec_b"),
+          col("embedding").as("e_b")), Seq("vec_b"))
+        .withColumn("cosine",
+          graft.functions.cosine_sim(col("e_a"), col("e_b")))
+        .filter(col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+        .orderBy("vec_a", "vec_b")
+    }
   }
 
   def embeddingNeardupSql(threshold: Double = 0.95): String =
