@@ -140,7 +140,8 @@ object Corpus {
     * one row of partial counters per (partition, source).
     */
   def qualityGates(spark: SparkSession, sfDir: String): DataFrame = {
-    val gated = Tables.documents(spark, sfDir)
+    val gated = Tables.withMinParallelism(Tables.documents(spark, sfDir),
+        spark.sparkContext.defaultParallelism)
       .withColumn("tks", expr(tokensSparkSql))
       .withColumn("n_tokens", size(col("tks")))
       .withColumn("sum_len",
@@ -255,7 +256,8 @@ object Corpus {
     */
   def boilerplateGrams(spark: SparkSession, sfDir: String,
       n: Int = 5): DataFrame = {
-    val inst = Tables.documents(spark, sfDir)
+    val inst = Tables.withMinParallelism(Tables.documents(spark, sfDir),
+        spark.sparkContext.defaultParallelism)
       .withColumn("tks", expr(tokensSparkSql))
       .select(col("source"), col("doc_id"),
         explode(shinglesExpr("tks", n)).as("sh"))
@@ -327,7 +329,8 @@ object Corpus {
   def encodingGate(spark: SparkSession, sfDir: String): DataFrame = {
     val printable = "[\\x20-\\x7e\\t\\n\\r]"
     val ctrl = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
-    val gated = Tables.documents(spark, sfDir)
+    val gated = Tables.withMinParallelism(Tables.documents(spark, sfDir),
+        spark.sparkContext.defaultParallelism)
       .select(col("source"),
         length(col("text")).as("nc"),
         length(regexp_replace(col("text"), printable, "")).as("non_ascii"),
@@ -482,7 +485,8 @@ object Corpus {
     */
   def bpeMerges(spark: SparkSession, sfDir: String,
       topN: Int = 20): DataFrame = {
-    val words = Tables.documents(spark, sfDir)
+    val words = Tables.withMinParallelism(Tables.documents(spark, sfDir),
+        spark.sparkContext.defaultParallelism)
       .select(explode(expr(tokensSparkSql)).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy("w").agg(count(lit(1)).as("f"))

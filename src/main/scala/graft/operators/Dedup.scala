@@ -188,7 +188,8 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sh = Tables.documents(spark, sfDir).select(
+    val sh = Tables.withMinParallelism(Tables.documents(spark, sfDir),
+        spark.sparkContext.defaultParallelism).select(
       col("doc_id"),
       array_distinct(graft.functions.word_shingles(col("text"))).as("sh"))
     cands
