@@ -538,9 +538,14 @@ object Insights {
       .agg(sum(col("o_totalprice").cast("decimal(28,10)")))
     // one select, not withColumn+drop: Spark resolves column names
     // case-insensitively, so withColumn("africa", ...) would REPLACE
-    // the pivot column "AFRICA" and the subsequent drop would kill it
+    // the pivot column "AFRICA" and the subsequent drop would kill it.
+    // Presentation through decToDouble, not a bare cast: a monthly
+    // region sum's scaled integer (value * 1e10) crosses 2^53 already
+    // at sf1, where Spark's one-rounding cast and DuckDB's
+    // int128/10^scale double-rounding diverge 1 ulp (the sf1 soak
+    // caught exactly one such cell).
     wide.select(col("month") +: regions.map { r =>
-        coalesce(col(s"`$r`").cast("double"), lit(0.0))
+        coalesce(Features.decToDouble(col(s"`$r`"), 10), lit(0.0))
           .as(r.toLowerCase.replace(" ", "_"))
       }: _*)
       .orderBy("month")
@@ -550,9 +555,9 @@ object Insights {
     val regions = Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
     val cases = regions.map { r =>
       val alias = r.toLowerCase.replace(" ", "_")
-      s"""CAST(COALESCE(SUM(CASE WHEN r_name = '$r'
-         |    THEN CAST(o_totalprice AS DECIMAL(28,10)) END), 0) AS DOUBLE)
-         |    AS $alias""".stripMargin
+      val sum = s"""COALESCE(SUM(CASE WHEN r_name = '$r'
+         |    THEN CAST(o_totalprice AS DECIMAL(28,10)) END), 0)""".stripMargin
+      s"${Features.decToDoubleSql(sum, 10)} AS $alias"
     }
     s"""SELECT strftime(o_orderdate, '%Y-%m') AS month,
        |  ${cases.mkString(",\n  ")}
