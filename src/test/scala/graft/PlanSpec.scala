@@ -263,6 +263,25 @@ class PlanSpec extends SparkSpec {
       s"expected 2 hash + 1 range exchange, got $hashEx/$rangeEx in:\n$p")
   }
 
+  test("per-row-heavy text scans spread before fused work (single-row-group guard)") {
+    // the sf1 soak found these serializing their regex/shingle work into
+    // ONE task on single-row-group inputs; the spread must stay in the
+    // plan (a round-robin exchange below the heavy projection). No-op
+    // protection: on many-row-group production inputs the helper keeps
+    // the native split count and no exchange appears — testdata is the
+    // single-group shape, so the exchange must be present here.
+    val heavy = Seq(
+      graft.operators.TextAnalysis.textStats(spark, sf0001),
+      graft.operators.TextAnalysis.piiRedaction(spark, sf0001),
+      graft.operators.Corpus.qualityGates(spark, sf0001),
+      graft.operators.Events.slidingHourly(spark, sf0001))
+    heavy.foreach { df =>
+      val p = df.queryExecution.sparkPlan.toString
+      assert(p.contains("RoundRobinPartitioning"),
+        s"expected a spread (round-robin) exchange under the fused work:\n$p")
+    }
+  }
+
   test("freeTransientBlocks drops eager localCheckpoint blocks between queries") {
     import org.apache.spark.sql.functions._
     // simulate an iterative operator's materialization outliving its query
