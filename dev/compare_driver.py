@@ -54,6 +54,9 @@ def main(sf_dir, out_dir, only=None):
     # the shingle/minhash family at sf1, are orders slower than the Spark
     # side and need a bounded per-query budget)
     if only is not None:
+        unknown = sorted(set(only) - set(oracle))
+        if unknown:
+            sys.exit(f"no such oracle: {', '.join(unknown)}")
         oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):

@@ -31,7 +31,12 @@ object Bench {
         } catch { case _: Throwable => -1.0 }
       // outside the timed section: drop the query's checkpointed blocks
       // so a 133-query sweep doesn't bleed storage memory into later
-      // queries (see Tables.freeTransientBlocks)
+      // queries (see Tables.freeTransientBlocks). Janitor contract: no
+      // streaming query may be mid-flight (registered streams are
+      // AvailableNow and complete inside the timed section).
+      assert(spark.streams.active.isEmpty,
+        s"janitor with active streaming queries after $name: " +
+          spark.streams.active.map(_.name).mkString(","))
       graft.sources.Tables.freeTransientBlocks(spark)
       elapsed
     }

@@ -24,7 +24,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // between queries: release checkpointed blocks (Tables.freeTransientBlocks)
+      // between queries: release checkpointed blocks (Tables.freeTransientBlocks).
+      // The janitor unpersists EVERY persistent RDD, so it must only run
+      // when no streaming query is mid-flight (all registered streaming
+      // queries run AvailableNow to completion inside fn).
+      assert(spark.streams.active.isEmpty,
+        s"janitor with active streaming queries after $name: " +
+          spark.streams.active.map(_.name).mkString(","))
       graft.sources.Tables.freeTransientBlocks(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

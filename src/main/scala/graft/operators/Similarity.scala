@@ -347,22 +347,29 @@ object Similarity {
     * embeddings at PLAN time). The in-process map is the model-store
     * analog; a cluster deployment would persist the centroid table.
     */
-  // Keyed by (sfDir, nClusters) for the JVM lifetime — the "fetch the
-  // trained model once" analog. Caveat: rewriting the parquet at the
-  // same path in the same JVM serves stale centroids; a pipeline that
-  // regenerates its corpus in place should clear this (or key a fork of
-  // it on file mtime). Recall-only effect — assignment stays valid.
+  // Keyed by (sfDir, embeddings-parquet mtime, nClusters) — the "fetch
+  // the trained model once" analog, invalidated when the corpus file is
+  // rewritten in place (an in-place regen within one JVM previously
+  // served stale centroids; recall-only effect, but silent). Within an
+  // immutable layout the mtime is constant, so the fit still runs once.
   private val quantizerCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int),
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Int),
       Array[(Int, Array[Float])]]()
 
-  def annIvf(spark: SparkSession, sfDir: String, nQueries: Int = 10,
-      k: Int = 5, nClusters: Int = 16, nprobe: Int = 4): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
-    // bounded k-row collect: the quantizer table (TakeOrderedAndProject),
-    // computed once per (sfDir, nClusters) and memoized
-    val seeds: Array[(Int, Array[Float])] =
-      quantizerCache.computeIfAbsent((sfDir, nClusters), _ => emb
+  /** mtime fingerprint of the embeddings parquet under `sfDir` (0 for
+    * non-local URIs → per-JVM memoization, the pre-round-7 behavior). */
+  private def embeddingsMtime(sfDir: String): Long =
+    try new java.io.File(s"$sfDir/embeddings.parquet").lastModified
+    catch { case _: Exception => 0L }
+
+  /** The memoized quantizer fit: nClusters seed centroids picked by a
+    * deterministic md5 shuffle of vec_ids. Package-private so the
+    * mtime-invalidation contract is unit-testable (IvfCacheSpec).
+    */
+  private[graft] def ivfQuantizer(spark: SparkSession, sfDir: String,
+      nClusters: Int): Array[(Int, Array[Float])] =
+    quantizerCache.computeIfAbsent((sfDir, embeddingsMtime(sfDir), nClusters),
+      _ => Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("embedding"),
           md5(col("vec_id").cast("string").cast("binary")).as("seed_key"))
         .orderBy(asc("seed_key"), asc("vec_id"))
@@ -372,6 +379,13 @@ object Similarity {
         .map { case (r, i) =>
           (i, r.getAs[scala.collection.Seq[Float]]("embedding").toArray)
         })
+
+  def annIvf(spark: SparkSession, sfDir: String, nQueries: Int = 10,
+      k: Int = 5, nClusters: Int = 16, nprobe: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    // bounded k-row collect: the quantizer table (TakeOrderedAndProject),
+    // computed once per (sfDir, embeddings mtime, nClusters) and memoized
+    val seeds: Array[(Int, Array[Float])] = ivfQuantizer(spark, sfDir, nClusters)
     val centroids = seeds.map(_._2)
     val assigned = emb.select(col("vec_id"), col("embedding"),
       graft.functions.argmax_cosine(col("embedding"), centroids).as("cluster"))
@@ -495,7 +509,12 @@ object Similarity {
           graft.functions.cosine_sim(col("e_a"), col("e_b")))
         .filter(col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
-        .distinct()
+        // dedup on the id pair, NOT (id pair, cosine): collapsing
+        // multi-band collisions must not depend on cosine_sim being
+        // bit-deterministic across replays (it is — fixed-order fold —
+        // but the at-scale branch dedups ids-only and the two branches
+        // must stay output-identical by construction)
+        .dropDuplicates("vec_a", "vec_b")
         .orderBy("vec_a", "vec_b")
     } else {
       // At-scale corpus: ids-only banding — candidate pairs are deduped

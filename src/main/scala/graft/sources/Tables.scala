@@ -19,7 +19,9 @@ object Tables {
     * `Tables.graftConfigs.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }`.
     */
   val graftConfigs: Seq[(String, String)] = Seq(
-    // events.parquet ts is INT64 TIMESTAMP(NANOS); read as raw nanos
+    // events.parquet ts may be INT64 TIMESTAMP(NANOS) depending on the
+    // generator run (the driver has shipped both NANOS and MICROS);
+    // enable raw-nanos reads and dispatch per path via eventsTsIsNanos
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     // cross-engine determinism: all timestamps interpreted in UTC
     "spark.sql.session.timeZone" -> "UTC",
@@ -146,15 +148,24 @@ object Tables {
   /** Whether the events parquet at `path` stores `ts` as TIMESTAMP(NANOS)
     * (inferred as LongType under nanosAsLong) rather than
     * TIMESTAMP(MICROS). One footer read per distinct path+glob, memoized
-    * for the JVM — the testdata layout is immutable within a run.
+    * on (path, glob, mtime): the documented hazard is the driver
+    * REGENERATING testdata at the same path with a flipped encoding, so a
+    * JVM-lifetime key would silently apply the wrong ts branch (1970 or
+    * year-56k timestamps) after a regen. Including the file/dir mtime in
+    * the key makes a rewrite a cache miss; within one immutable layout it
+    * is still one footer read per path.
     */
   def eventsTsIsNanos(s: SparkSession, path: String,
-      glob: Option[String] = None): Boolean =
-    eventsTsKind.computeIfAbsent(s"$path#${glob.getOrElse("")}", _ => {
+      glob: Option[String] = None): Boolean = {
+    // local-path mtime fingerprint; 0 for non-local URIs (falls back to
+    // per-JVM memoization, the pre-round-7 behavior)
+    val mtime = try new java.io.File(path).lastModified catch { case _: Exception => 0L }
+    eventsTsKind.computeIfAbsent(s"$path#${glob.getOrElse("")}#$mtime", _ => {
       val r = s.read
       glob.foreach(g => r.option("pathGlobFilter", g))
       Boolean.box(r.parquet(path).schema("ts").dataType == LongType)
     }).booleanValue
+  }
 
   val documentsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
