@@ -100,13 +100,30 @@ object Dedup {
         col("doc_id"),
         graft.functions.minhash_sig(col("text"), NumHashes).as("minhash"))
 
+  /** Row-based oracle formulation (round 7): the obvious transliteration
+    * — `list_transform(range(0,16), j -> list_min(list_transform(shingles,
+    * md5...)))` — re-evaluates the shingle list-lambda tree once per hash
+    * function inside DuckDB's lambda interpreter and blew the 600 s
+    * oracle budget at sf1 (q15 alone >50 CPU-min; SOAK.md round 6).
+    * Unnesting the distinct shingles to rows ONCE and taking the
+    * group-by min over a vectorized (shingle × j) cross join computes
+    * the identical md5 contract ~16× faster (hash-identical at
+    * sf0.01/sf0.1, verified both formulations side by side). min over
+    * distinct shingles == min over all shingles, so the semantics are
+    * unchanged. AS MATERIALIZED is load-bearing: DuckDB inlines CTEs by
+    * default, and `sh_rows` is referenced by several consumers.
+    */
   val minhashSignaturesSql: String =
-    s"""SELECT doc_id,
-       |  array_to_string(list_transform(range(0, $NumHashes), j ->
-       |    list_min(list_transform($shinglesExprDuck,
-       |      s -> CAST(('0x' || substr(md5(j || '|' || s), 1, 15)) AS BIGINT)))), ',')
-       |    AS minhash
-       |FROM documents
+    s"""WITH sh_rows AS MATERIALIZED (
+       |  SELECT doc_id, unnest(list_distinct($shinglesExprDuck)) AS s
+       |  FROM documents),
+       |mh AS (
+       |  SELECT doc_id, j,
+       |    min(CAST(('0x' || substr(md5(j || '|' || s), 1, 15)) AS BIGINT)) AS mh
+       |  FROM sh_rows, (SELECT unnest(range(0, $NumHashes)) AS j) js
+       |  GROUP BY doc_id, j)
+       |SELECT doc_id, string_agg(mh, ',' ORDER BY j) AS minhash
+       |FROM mh GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
   /** Near-duplicate pairs via MinHash LSH + exact Jaccard verification:
@@ -325,17 +342,28 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
       .replace("@PAIRS@", neardupPairsSql(threshold))
 
-  /** Shared CTE prefix of the LSH-candidate oracles (sigs → bands →
-    * deduped candidate pairs → shingle sets).
+  /** Shared CTE prefix of the LSH-candidate oracles, row-based for the
+    * same sf1-budget reason as [[minhashSignaturesSql]] (the list-lambda
+    * form re-ran the shingle tree 16× per doc and timed out at sf1):
+    * distinct shingles unnested once → vectorized minhash → bands →
+    * deduped candidate pairs → intersection sizes BY JOIN on the shared
+    * shingle rows (`inter` only holds pairs with ≥1 common shingle —
+    * lossless under any positive score threshold) → per-doc set sizes.
+    * Jaccard = inter/(na+nb-inter), overlap = inter/least(na,nb); both
+    * tails divide the same integers the list formulation divided, so
+    * the doubles are bit-identical.
     */
   private def lshCandidatesCte: String =
-    s"""WITH sigs AS (
-       |  SELECT doc_id,
-       |    list_transform(range(0, $NumHashes), j ->
-       |      list_min(list_transform($shinglesExprDuck,
-       |        s -> CAST(('0x' || substr(md5(j || '|' || s), 1, 15)) AS BIGINT))))
-       |      AS minhash
+    s"""WITH sh_rows AS MATERIALIZED (
+       |  SELECT doc_id, unnest(list_distinct($shinglesExprDuck)) AS s
        |  FROM documents),
+       |mh AS (
+       |  SELECT doc_id, j,
+       |    min(CAST(('0x' || substr(md5(j || '|' || s), 1, 15)) AS BIGINT)) AS mh
+       |  FROM sh_rows, (SELECT unnest(range(0, $NumHashes)) AS j) js
+       |  GROUP BY doc_id, j),
+       |sigs AS (
+       |  SELECT doc_id, list(mh ORDER BY j) AS minhash FROM mh GROUP BY doc_id),
        |banded AS (
        |  SELECT doc_id, b.band_idx,
        |    md5(band_idx || ',' || minhash[band_idx * $RowsPerBand + 1]
@@ -343,13 +371,19 @@ object Dedup {
        |      || ',' || minhash[band_idx * $RowsPerBand + 3]
        |      || ',' || minhash[band_idx * $RowsPerBand + 4]) AS band_key
        |  FROM sigs, (SELECT UNNEST(range(0, $Bands)) AS band_idx) b),
-       |cands AS (
+       |cands AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM banded a JOIN banded b
        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        |   AND a.doc_id < b.doc_id),
-       |sh AS (
-       |  SELECT doc_id, list_distinct($shinglesExprDuck) AS sh FROM documents)""".stripMargin
+       |sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM sh_rows GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+       |  FROM cands c
+       |  JOIN sh_rows a ON a.doc_id = c.doc_a
+       |  JOIN sh_rows b ON b.doc_id = c.doc_b AND b.s = a.s
+       |  GROUP BY c.doc_a, c.doc_b)""".stripMargin
 
   // NOTE: the CTE is spliced AFTER stripMargin (placeholder pattern) —
   // its '||' continuation lines would be truncated to '|' if the outer
@@ -357,26 +391,22 @@ object Dedup {
   def neardupPairsSql(threshold: Double = 0.5): String =
     s"""@CTE@
        |SELECT doc_a, doc_b,
-       |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-       |    / len(list_distinct(sa.sh || sb.sh)) AS jaccard
-       |FROM cands
-       |JOIN sh sa ON sa.doc_id = doc_a
-       |JOIN sh sb ON sb.doc_id = doc_b
-       |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-       |    / len(list_distinct(sa.sh || sb.sh)) >= $threshold
+       |  CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
       .replace("@CTE@", lshCandidatesCte)
 
   def containmentPairsSql(threshold: Double = 0.5): String =
     s"""@CTE@
        |SELECT doc_a, doc_b,
-       |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-       |    / least(len(sa.sh), len(sb.sh)) AS overlap
-       |FROM cands
-       |JOIN sh sa ON sa.doc_id = doc_a
-       |JOIN sh sb ON sb.doc_id = doc_b
-       |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-       |    / least(len(sa.sh), len(sb.sh)) >= $threshold
+       |  CAST(n_inter AS DOUBLE) / least(sa.n, sb.n) AS overlap
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE CAST(n_inter AS DOUBLE) / least(sa.n, sb.n) >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
       .replace("@CTE@", lshCandidatesCte)
 
