@@ -285,6 +285,18 @@ object SparkEntry {
     // bound) drained against the batch-join oracle
     "q133_streaming_join" -> ((s, d) =>
       graft.streaming.EventStreams.errorClickPairsAvailableNow(s, d)),
+    // MULTI-micro-batch replay: chronological file split + one file per
+    // trigger, so watermark advancement and mid-stream state eviction
+    // across data batches is driver-checked (self-asserts >1 data batch)
+    "q134_streaming_batched" -> ((s, d) =>
+      graft.streaming.EventStreams.sessionWindowsBatchedReplay(s, d)),
+    // general-path PageRank: DIRECTED co-purchase edges (low->high part
+    // key) with genuine dangling nodes; per-iteration mass redistribution
+    "q135_directed_rank" -> ((s, d) => Graph.directedRank(s, d)),
+    // sketch-accuracy sweep: error-vs-state for q45's HLL rsd and q119's
+    // t-digest accuracy dials; rows-only (sketch estimates are
+    // implementation-specific), tolerances asserted in ApproxSpec
+    "q136_sketch_sweep" -> ((s, d) => Insights.sketchAccuracySweep(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -433,5 +445,11 @@ object SparkEntry {
       graft.streaming.EventStreams.dedupStreamAvailableNowSql,
     "q133_streaming_join" ->
       graft.streaming.EventStreams.errorClickPairsAvailableNowSql,
+    // same final-watermark cutoff as q125: the chronological split means
+    // intermediate watermarks drop nothing, so the drained multi-batch
+    // sink equals the single-batch emitted set
+    "q134_streaming_batched" ->
+      graft.streaming.EventStreams.sessionWindowsAvailableNowSql,
+    "q135_directed_rank" -> Graph.directedRankSql(),
   )
 }

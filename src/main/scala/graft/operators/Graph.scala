@@ -29,17 +29,30 @@ object Graph {
 
   val Scale = 1000000000000L // rank unit: 1e-12
 
-  /** `edges`: two columns (src, dst), already in BOTH directions for an
-    * undirected graph. Every node must have ≥1 out-edge (true by
-    * construction for symmetrized edge lists); dangling-node mass
-    * redistribution is not modeled, so the contract is ENFORCED
-    * (`validate = true` by default): a dst that never appears as src
-    * fails the run loudly instead of silently leaking rank mass. The
-    * check is one node-grain anti-join over the already-checkpointed
-    * edge list — negligible next to the edge-grain iterations.
+  /** `edges`: two columns (src, dst). General directed graphs are fully
+    * supported (round 7): the node set is src ∪ dst, and the rank mass
+    * of dangling nodes (a dst with no out-edges) is redistributed
+    * uniformly each iteration — the classic PageRank dangling term,
+    * kept in the same exact BIGINT floor-div arithmetic:
+    *
+    *   r'(v) = (base*(1e6-d) + (Σ_{u→v} r(u) div deg(u) + D div N)*d)
+    *           div 1e6,   D = Σ_{u dangling} r(u)
+    *
+    * `assumeNoDangling = true` is the symmetrized fast path (mirror-
+    * union edge lists make every dst a src BY CONSTRUCTION): it skips
+    * the node-set union, the per-iteration dangling-mass pass, and the
+    * left join — the exact pre-round-7 recurrence, ~20% cheaper at
+    * q129's scale. With no dangling nodes both paths compute identical
+    * ranks (D = 0 and contribs covers every node), pinned in GraphSpec.
+    *
+    * Scale shape: `deg` is one count aggregation; each iteration is one
+    * (join on src) + one (groupBy dst) shuffle over the EDGE list, plus
+    * — general path only — one node-grain semi-join sum for D (ranks
+    * and degrees are node-grain ≪ edges, and D rides along as a
+    * broadcast 1-row frame). Nothing collects to the driver.
     */
   def pagerank(edges: DataFrame, iters: Int = 3,
-      dampPpm: Long = 850000L, validate: Boolean = true): DataFrame = {
+      dampPpm: Long = 850000L, assumeNoDangling: Boolean = false): DataFrame = {
     // truncate the iterative lineage at the EDGE LIST (the
     // Dedup.dedupClusters idiom) — one checkpoint, materialized once,
     // so the (possibly expensive) edge construction never re-runs:
@@ -49,32 +62,59 @@ object Graph {
     // once PER checkpoint (observed in DevProfile as a doubled
     // pair-generation stage).
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
-    if (validate) {
-      val dangling = e.select(col("dst")).distinct()
-        .join(e.select(col("src")).distinct(), col("dst") === col("src"),
-          "left_anti")
-      require(dangling.isEmpty,
-        "pagerank: edge list has dangling nodes (a dst with no " +
-          "out-edges) - the recurrence does not redistribute their " +
-          "mass; symmetrize the edges or drop the sinks first")
-    }
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val nodes = e.select(col("src").as("node")).distinct()
-    val n1 = broadcast(nodes.agg(count(lit(1)).as("n")))
+    val keep = 1000000L - dampPpm
     val ed = e.join(deg, Seq("src")).localCheckpoint(true)
-    var ranks = nodes.crossJoin(n1)
-      .select(col("node"), expr(s"${Scale}L div n").as("r"))
-    for (_ <- 1 to iters) {
-      val contribs = ed
-        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .groupBy(col("dst").as("node"))
-        .agg(sum(expr("r div deg")).as("c"))
-      ranks = contribs.crossJoin(n1)
-        .select(col("node"), expr(
-          s"((${Scale}L div n) * ${1000000L - dampPpm} + c * $dampPpm)" +
-            " div 1000000").as("r"))
+    if (assumeNoDangling) {
+      val nodes = e.select(col("src").as("node")).distinct()
+      val n1 = broadcast(nodes.agg(count(lit(1)).as("n")))
+      var ranks = nodes.crossJoin(n1)
+        .select(col("node"), expr(s"${Scale}L div n").as("r"))
+      for (_ <- 1 to iters) {
+        val contribs = ed
+          .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy(col("dst").as("node"))
+          .agg(sum(expr("r div deg")).as("c"))
+        ranks = contribs.crossJoin(n1)
+          .select(col("node"), expr(
+            s"((${Scale}L div n) * $keep + c * $dampPpm)" +
+              " div 1000000").as("r"))
+      }
+      ranks
+    } else {
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+        .localCheckpoint(true)
+      val n1 = broadcast(nodes.agg(count(lit(1)).as("n")))
+      // node-grain: which nodes have no out-edge (computed once)
+      val dangling = nodes
+        .join(e.select(col("src").as("node")).distinct(), Seq("node"),
+          "left_anti")
+        .localCheckpoint(true)
+      // each iteration reads `ranks` TWICE (dangling mass + contribs);
+      // a lazy chain would re-derive the edge-grain join 2^iters times,
+      // so ranks is eagerly checkpointed per round (node-grain — cheap)
+      // exactly like Dedup.dedupClusters' label frame
+      var ranks = nodes.crossJoin(n1)
+        .select(col("node"), expr(s"${Scale}L div n").as("r"))
+        .localCheckpoint(true)
+      for (_ <- 1 to iters) {
+        val dmass = broadcast(ranks.join(dangling, Seq("node"))
+          .agg(coalesce(sum(col("r")), lit(0L)).as("dm")))
+        val contribs = ed
+          .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy(col("dst").as("node"))
+          .agg(sum(expr("r div deg")).as("c"))
+        ranks = nodes.join(contribs, Seq("node"), "left")
+          .crossJoin(n1).crossJoin(dmass)
+          .select(col("node"), expr(
+            s"((${Scale}L div n) * $keep" +
+              s" + (coalesce(c, 0L) + dm div n) * $dampPpm)" +
+              " div 1000000").as("r"))
+          .localCheckpoint(true)
+      }
+      ranks
     }
-    ranks
   }
 
   /** q129 — product importance by PageRank over the co-purchase graph:
@@ -91,12 +131,81 @@ object Graph {
       .unionByName(
         pairs.select(col("part_b").as("src"), col("part_a").as("dst")))
     // the mirror union makes every dst also a src BY CONSTRUCTION, so
-    // the dangling-node contract holds without paying the node-grain
-    // anti-join scan (two extra passes over the edge list, ~20% of the
-    // query at sf0.1)
-    pagerank(edges, iters, validate = false)
+    // the symmetrized fast path applies: no node-set union, no
+    // per-iteration dangling-mass pass (~20% of the query at sf0.1)
+    pagerank(edges, iters, assumeNoDangling = true)
       .select(col("node").as("part"), col("r").as("rank_e12"))
       .orderBy(desc("rank_e12"), asc("part"))
+  }
+
+  /** q135 — PageRank over a genuinely DIRECTED graph with dangling
+    * nodes: co-purchase edges oriented low→high part key (support ≥
+    * `minPairs`), so the highest-keyed part of every basket family
+    * receives mass but has no out-edge. Exercises the general-path
+    * recurrence: src ∪ dst node set, per-iteration dangling-mass
+    * redistribution, left-join rank refresh (nodes with no in-edge
+    * keep receiving base + dangling share).
+    */
+  def directedRank(spark: SparkSession, sfDir: String,
+      minPairs: Int = 2, iters: Int = 3): DataFrame = {
+    val pairs = RetailBi.basketPairCounts(
+      RetailBi.baskets(Tables.lineitem(spark, sfDir)),
+      minPairs = minPairs, maxItems = 64)
+    val edges = pairs.select(col("part_a").as("src"), col("part_b").as("dst"))
+    pagerank(edges, iters)
+      .select(col("node").as("part"), col("r").as("rank_e12"))
+      .orderBy(desc("rank_e12"), asc("part"))
+  }
+
+  /** DuckDB oracle for [[directedRank]]: the identical general-path
+    * integer recurrence unrolled — one (dangling-mass, contribs, rank)
+    * CTE triple per iteration.
+    */
+  def directedRankSql(minPairs: Int = 2, iters: Int = 3,
+      dampPpm: Long = 850000L): String = {
+    val keep = 1000000L - dampPpm
+    val its = (1 to iters).map { i =>
+      val prev = if (i == 1) "r0" else s"it${i - 1}"
+      s"""dm$i AS (
+         |  SELECT COALESCE(SUM(r), 0) AS dm
+         |  FROM $prev JOIN dang USING (node)),
+         |c$i AS (
+         |  SELECT e.dst AS node, SUM($prev.r // d.deg) AS c
+         |  FROM edges e
+         |  JOIN deg d ON e.src = d.src
+         |  JOIN $prev ON $prev.node = e.src
+         |  GROUP BY e.dst),
+         |it$i AS (
+         |  SELECT n.node,
+         |    ((${Scale} // nn.n) * $keep
+         |      + (COALESCE(c.c, 0) + dm$i.dm // nn.n) * $dampPpm)
+         |      // 1000000 AS r
+         |  FROM nodes n
+         |  LEFT JOIN c$i c ON c.node = n.node
+         |  CROSS JOIN nn CROSS JOIN dm$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |pairs AS (
+       |  SELECT a.p AS pa, b.p AS pb
+       |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+       |  GROUP BY a.p, b.p
+       |  HAVING COUNT(*) >= $minPairs),
+       |edges AS (
+       |  SELECT pa AS src, pb AS dst FROM pairs),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+       |nodes AS (
+       |  SELECT src AS node FROM edges
+       |  UNION
+       |  SELECT dst AS node FROM edges),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |dang AS (
+       |  SELECT node FROM nodes
+       |  WHERE node NOT IN (SELECT src FROM edges)),
+       |r0 AS (SELECT node, ${Scale} // n AS r FROM nodes CROSS JOIN nn),
+       |$its
+       |SELECT node AS part, CAST(r AS BIGINT) AS rank_e12 FROM it$iters
+       |ORDER BY rank_e12 DESC, part""".stripMargin
   }
 
   /** DuckDB oracle for [[copurchaseRank]]: the identical integer

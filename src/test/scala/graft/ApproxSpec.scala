@@ -41,6 +41,28 @@ class ApproxSpec extends SparkSpec {
     assert(approx.toSeq === exact.toSeq)
   }
 
+  test("q136 sketch sweep: shipped defaults sit on the knee of the curve") {
+    // measured at sf0.001 AND sf0.01 when this was written: hll err
+    // ~{rsd .05: 6.4%, .02: 0.4%, .01: 0.5-0.7%}, t-digest err
+    // ~{acc 100: 1.7-3.8%, 1000: 0.14-0.27%, 10000: 0.02-0.08%} — each
+    // bound below carries ≥4x margin over the observed values
+    val rows = Insights.sketchAccuracySweep(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(rows.keySet === Set(
+      ("hll_count_distinct", 50000L), ("hll_count_distinct", 20000L),
+      ("hll_count_distinct", 10000L), ("tdigest_percentile", 100L),
+      ("tdigest_percentile", 1000L), ("tdigest_percentile", 10000L)))
+    // q45's default (rsd = 0.01): well inside dashboard tolerance
+    assert(rows(("hll_count_distinct", 10000L)) <= 30000L,
+      s"hll default err ${rows(("hll_count_distinct", 10000L))} ppm")
+    // q119's default (accuracy = 10000): sub-0.5% error, and the
+    // t-digest curve is monotone — paying less accuracy costs error
+    val td = Seq(100L, 1000L, 10000L).map(d => rows(("tdigest_percentile", d)))
+    assert(td(2) <= 5000L, s"t-digest default err ${td(2)} ppm")
+    assert(td(2) <= td(1) && td(1) <= td(0),
+      s"t-digest error not monotone in accuracy: $td")
+  }
+
   test("q120 capacity bound still recalls a planted heavy key") {
     // adversarial fixture: 5000 distinct singleton keys + one key with
     // 500 occurrences, summarized with capacity 16 << 5001 distinct.

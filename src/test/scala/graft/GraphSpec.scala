@@ -2,29 +2,37 @@ package graft
 
 import graft.operators.Graph
 
-/** PageRank contract tests: the ≥1-out-edge precondition is enforced
-  * (a directed list with a dangling sink must fail loudly, not leak
-  * rank mass silently), and on a valid symmetrized list the integer
-  * recurrence conserves total mass up to the documented floor losses.
+/** PageRank contract tests: the general path redistributes dangling
+  * mass (round 7 — the former `require` wall is now a branch), the
+  * integer recurrence conserves total mass up to the documented floor
+  * losses on both paths, and on a dangling-free graph the symmetrized
+  * fast path and the general path compute IDENTICAL ranks.
   */
 class GraphSpec extends SparkSpec {
   import spark.implicits._
 
-  test("pagerank rejects a directed edge list with a dangling node") {
-    // 1 -> 2 -> 3, node 3 has no out-edge: its received mass would
-    // vanish from the recurrence
+  test("pagerank redistributes dangling-node mass (directed chain)") {
+    // 1 -> 2 -> 3: node 3 has no out-edge; its mass must come back as
+    // the uniform dangling term, not vanish from the recurrence
     val directed = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
-    val ex = intercept[IllegalArgumentException] {
-      Graph.pagerank(directed)
-    }
-    assert(ex.getMessage.contains("dangling"))
+    val ranks = Graph.pagerank(directed, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(ranks.keySet === Set(1L, 2L, 3L))
+    // mass conservation: every div floors, so total can only leak DOWN,
+    // and by < 1 unit per floor site per iteration
+    val total = ranks.values.sum
+    assert(total <= Graph.Scale)
+    assert(total > Graph.Scale - 100L)
+    // node 1 has no in-edges: base + dangling share only — strictly the
+    // smallest; node 3 receives a full chain of contributions
+    assert(ranks(1L) < ranks(2L) && ranks(2L) < ranks(3L))
   }
 
   test("pagerank on a symmetrized list conserves rank mass (floor-bounded)") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (2L, 4L))
     val edges = pairs.toDF("src", "dst")
       .unionByName(pairs.map(_.swap).toDF("src", "dst"))
-    val ranks = Graph.pagerank(edges, iters = 3)
+    val ranks = Graph.pagerank(edges, iters = 3, assumeNoDangling = true)
       .as[(Long, Long)].collect()
     assert(ranks.length === 4)
     val total = ranks.map(_._2).sum
@@ -34,10 +42,16 @@ class GraphSpec extends SparkSpec {
     assert(total > Graph.Scale - 100L)
   }
 
-  test("pagerank skips validation when told to (documented escape hatch)") {
-    val directed = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("src", "dst")
-    // node 3 dangles; validate=false runs anyway (caller owns semantics)
-    val out = Graph.pagerank(directed, iters = 1, validate = false)
-    assert(out.count() > 0)
+  test("fast path == general path on a dangling-free graph") {
+    // with no dangling nodes, D = 0 and every node has in-edges, so the
+    // two branches must agree CELL-EXACTLY (same integer recurrence)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (2L, 4L))
+    val edges = pairs.toDF("src", "dst")
+      .unionByName(pairs.map(_.swap).toDF("src", "dst"))
+    val fast = Graph.pagerank(edges, iters = 3, assumeNoDangling = true)
+      .as[(Long, Long)].collect().toMap
+    val general = Graph.pagerank(edges, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(fast === general)
   }
 }

@@ -72,6 +72,14 @@ class PlanSpec extends SparkSpec {
     val planStr = Insights.kpiSummaryApprox(spark, sf0001)
       .queryExecution.executedPlan.toString
     assert(!planStr.contains("Expand"))
+    // round 7: the customer KPI sketches o_custkey through the
+    // size-gated broadcast with NO pre-distinct hop — under the gate
+    // the whole KPI row is one scan + map-side partials + a 1-row
+    // exchange; no wide (hash-partitioned) shuffle anywhere
+    assert(planStr.contains("BroadcastHashJoin"),
+      s"q45 customer hop no longer broadcasts under the gate:\n$planStr")
+    assert(!planStr.contains("Exchange hashpartitioning"),
+      s"q45 plans a wide shuffle:\n$planStr")
   }
 
   test("asof/range joins: one key exchange, no nested-loop or cartesian product") {

@@ -20,13 +20,14 @@ class QueriesSpec extends SparkSpec {
   }
 
   test("every query has an oracle, except the documented approx whitelist") {
-    // q45 (HLL), q119 (t-digest) and q120 (Misra-Gries) are
-    // sketch-based: estimates are engine-specific by design, the
-    // driver records the weaker rows-only check and ApproxSpec holds
-    // the tolerance/equality contracts. Anything else missing an
-    // oracle is a registration mistake, not a design choice.
+    // q45 (HLL), q119 (t-digest), q120 (Misra-Gries) and q136 (the
+    // sketch-accuracy sweep over q45/q119's dials) are sketch-based:
+    // estimates are engine-specific by design, the driver records the
+    // weaker rows-only check and ApproxSpec holds the
+    // tolerance/equality contracts. Anything else missing an oracle is
+    // a registration mistake, not a design choice.
     val approxOnly = Set("q45_kpi_approx", "q119_approx_percentiles",
-      "q120_approx_heavy_hitters")
+      "q120_approx_heavy_hitters", "q136_sketch_sweep")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing == approxOnly,
       s"queries without oracle beyond the whitelist: ${missing -- approxOnly}")

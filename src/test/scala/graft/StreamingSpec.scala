@@ -121,6 +121,20 @@ class StreamingSpec extends SparkSpec {
     assert(got.sameElements(want))
   }
 
+  test("q134 multi-batch replay == single-batch emitted set (watermark advances mid-stream)") {
+    // the chronological file split means intermediate watermarks drop
+    // nothing, so the drained multi-batch sink must equal q125's
+    // single-batch one CELL-EXACTLY — while actually exercising
+    // mid-stream emission + state eviction (the replay self-asserts
+    // >1 data batch via recentProgress and throws otherwise)
+    val multi = EventStreams.sessionWindowsBatchedReplay(spark, sf0001)
+      .collect().toSeq
+    val single = EventStreams.sessionWindowsAvailableNow(spark, sf0001)
+      .collect().toSeq
+    assert(multi === single)
+    assert(multi.nonEmpty)
+  }
+
   test("session_window streaming runs and covers every user") {
     val stream = MemoryStream[Event](spark, 3)
     stream.addData(eventData)
