@@ -38,6 +38,7 @@ object Bench {
         s"janitor with active streaming queries after $name: " +
           spark.streams.active.map(_.name).mkString(","))
       graft.sources.Tables.freeTransientBlocks(spark)
+      graft.sources.Tables.dropDrainedStreamTables(spark)
       elapsed
     }
 

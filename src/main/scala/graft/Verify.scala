@@ -32,6 +32,7 @@ object Verify {
         s"janitor with active streaming queries after $name: " +
           spark.streams.active.map(_.name).mkString(","))
       graft.sources.Tables.freeTransientBlocks(spark)
+      graft.sources.Tables.dropDrainedStreamTables(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -159,23 +159,28 @@ object Graph {
 
   /** DuckDB oracle for [[directedRank]]: the identical general-path
     * integer recurrence unrolled — one (dangling-mass, contribs, rank)
-    * CTE triple per iteration.
+    * CTE triple per iteration. AS MATERIALIZED everywhere is
+    * load-bearing (the dedupClustersSql lesson): each iteration
+    * references the PREVIOUS rank CTE twice (dangling mass + contribs),
+    * and DuckDB inlines CTEs by default, so without it the whole pairs
+    * pipeline re-evaluates 2^iters times — observed as a >600 s sf1
+    * timeout where the materialized form takes seconds.
     */
   def directedRankSql(minPairs: Int = 2, iters: Int = 3,
       dampPpm: Long = 850000L): String = {
     val keep = 1000000L - dampPpm
     val its = (1 to iters).map { i =>
       val prev = if (i == 1) "r0" else s"it${i - 1}"
-      s"""dm$i AS (
+      s"""dm$i AS MATERIALIZED (
          |  SELECT COALESCE(SUM(r), 0) AS dm
          |  FROM $prev JOIN dang USING (node)),
-         |c$i AS (
+         |c$i AS MATERIALIZED (
          |  SELECT e.dst AS node, SUM($prev.r // d.deg) AS c
          |  FROM edges e
          |  JOIN deg d ON e.src = d.src
          |  JOIN $prev ON $prev.node = e.src
          |  GROUP BY e.dst),
-         |it$i AS (
+         |it$i AS MATERIALIZED (
          |  SELECT n.node,
          |    ((${Scale} // nn.n) * $keep
          |      + (COALESCE(c.c, 0) + dm$i.dm // nn.n) * $dampPpm)
@@ -186,23 +191,25 @@ object Graph {
     }.mkString(",\n")
     s"""WITH items AS (
        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  SELECT a.p AS pa, b.p AS pb
        |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
        |  GROUP BY a.p, b.p
        |  HAVING COUNT(*) >= $minPairs),
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT pa AS src, pb AS dst FROM pairs),
-       |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
-       |nodes AS (
+       |deg AS MATERIALIZED (
+       |  SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+       |nodes AS MATERIALIZED (
        |  SELECT src AS node FROM edges
        |  UNION
        |  SELECT dst AS node FROM edges),
-       |nn AS (SELECT COUNT(*) AS n FROM nodes),
-       |dang AS (
+       |nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+       |dang AS MATERIALIZED (
        |  SELECT node FROM nodes
        |  WHERE node NOT IN (SELECT src FROM edges)),
-       |r0 AS (SELECT node, ${Scale} // n AS r FROM nodes CROSS JOIN nn),
+       |r0 AS MATERIALIZED (
+       |  SELECT node, ${Scale} // n AS r FROM nodes CROSS JOIN nn),
        |$its
        |SELECT node AS part, CAST(r AS BIGINT) AS rank_e12 FROM it$iters
        |ORDER BY rank_e12 DESC, part""".stripMargin

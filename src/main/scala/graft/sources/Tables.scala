@@ -64,6 +64,20 @@ object Tables {
     spark.sparkContext.getPersistentRDDs.valuesIterator
       .foreach(_.unpersist(blocking = false))
 
+  /** Drop the memory-sink temp views left by completed streaming
+    * replays (each AvailableNow run registers a fresh
+    * `graft_stream_<type>_<n>` table whose FULL drained result lives in
+    * driver heap — a many-query session otherwise accumulates every
+    * past replay's rows for the JVM lifetime). Same contract as
+    * [[freeTransientBlocks]]: call BETWEEN queries, after the current
+    * query's frame is consumed — the returned DataFrames read the view
+    * lazily, so dropping it mid-consumption would fail the read.
+    */
+  def dropDrainedStreamTables(spark: SparkSession): Unit =
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("graft_stream_"))
+      .foreach(t => spark.catalog.dropTempView(t.name))
+
   // --------------------------------------------------------------------
   // Driver testdata schemas (parquet). Declaring them (rather than relying
   // on footer merge) keeps reads deterministic and lets a 1000-file scan

@@ -486,11 +486,42 @@ object EventStreams {
     */
   def sessionWindowsBatchedReplay(spark: SparkSession, sfDir: String,
       nFiles: Int = 4): DataFrame = {
+    val staging = stageChronologicalEvents(spark, sfDir, nFiles)
+    // ---- replay: one file per trigger, real watermark advancement ----
+    val name = "graft_stream_batched_" + runCounter.incrementAndGet()
+    val nDataBatches = withStatePartitions(spark, 8) {
+      val q = sessionWindows(
+        readEventStream(spark, staging,
+          maxFilesPerTrigger = Some(1)))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.recentProgress.count(_.numInputRows > 0)
+    }
+    require(nDataBatches >= 2,
+      s"batched replay ran $nDataBatches data batches - " +
+        "maxFilesPerTrigger was not honored, the multi-batch watermark " +
+        "path was NOT exercised")
+    spark.table(name)
+      .orderBy("user_id", "session_start")
+  }
+
+  /** Stage `sfDir`'s events into `nFiles` chronological single-file
+    * parquets under /tmp/graft_stage with strictly increasing mtimes
+    * (FileStreamSource's batch order) and return the staging path.
+    * Split is by equal TIME RANGE — one tiny min/max agg + a map-side
+    * bucket expression, no global-window sort funnel; file sizes may
+    * vary, chronology is what matters. Rebuilt per call (delete +
+    * rewrite) so a testdata regen can never serve stale files. Shared
+    * by [[sessionWindowsBatchedReplay]] (q134) and the soak prober
+    * (graft.devtools.DevStream).
+    */
+  def stageChronologicalEvents(spark: SparkSession, sfDir: String,
+      nFiles: Int): String = {
     val staging = new java.io.File("/tmp/graft_stage",
       "batched_events_" + Integer.toHexString(sfDir.hashCode))
-    // ---- stage: chronological split by equal TIME RANGE (one tiny
-    // min/max agg + a map-side bucket expression — no global-window
-    // sort funnel; file sizes may vary, chronology is what matters) ----
     org.apache.commons.io.FileUtils.deleteQuietly(staging)
     staging.mkdirs()
     val evAll = graft.sources.Tables.events(spark, sfDir)
@@ -515,25 +546,7 @@ object EventStreams {
       // when the writes land within one filesystem timestamp tick
       dest.setLastModified(1000000L * (i + 1))
     }
-    // ---- replay: one file per trigger, real watermark advancement ----
-    val name = "graft_stream_batched_" + runCounter.incrementAndGet()
-    val nDataBatches = withStatePartitions(spark, 8) {
-      val q = sessionWindows(
-        readEventStream(spark, staging.getPath,
-          maxFilesPerTrigger = Some(1)))
-        .writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Append)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      q.recentProgress.count(_.numInputRows > 0)
-    }
-    require(nDataBatches >= 2,
-      s"batched replay ran $nDataBatches data batches - " +
-        "maxFilesPerTrigger was not honored, the multi-batch watermark " +
-        "path was NOT exercised")
-    spark.table(name)
-      .orderBy("user_id", "session_start")
+    staging.getPath
   }
 
   def hourlyByTypeAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
