@@ -522,6 +522,23 @@ object EventStreams {
       nFiles: Int): String = {
     val staging = new java.io.File("/tmp/graft_stage",
       "batched_events_" + Integer.toHexString(sfDir.hashCode))
+    // freshness fingerprint, the Tables.eventsTsIsNanos idiom: reuse the
+    // staged split only when it was built from the CURRENT source file
+    // and the same nFiles — a testdata regen (new mtime) or a different
+    // split is a cache miss and rebuilds. Saves the stage scan + nFiles
+    // single-file writes on every re-invocation (bench pass 2, soak
+    // sweeps); correctness is unchanged because the key pins the input.
+    val srcMtime =
+      try new java.io.File(sfDir, "events.parquet").lastModified
+      catch { case _: Exception => 0L }
+    val marker = new java.io.File(staging, "_graft_stage_key")
+    val key = s"$srcMtime#$nFiles"
+    val fresh = srcMtime > 0L && marker.exists && {
+      try new String(java.nio.file.Files.readAllBytes(marker.toPath),
+        "UTF-8") == key
+      catch { case _: Exception => false }
+    }
+    if (fresh) return staging.getPath
     org.apache.commons.io.FileUtils.deleteQuietly(staging)
     staging.mkdirs()
     val evAll = graft.sources.Tables.events(spark, sfDir)
@@ -546,6 +563,10 @@ object EventStreams {
       // when the writes land within one filesystem timestamp tick
       dest.setLastModified(1000000L * (i + 1))
     }
+    // written LAST: a crash mid-stage leaves no marker, so the next call
+    // rebuilds; the underscore prefix keeps FileStreamSource from
+    // reading it as data (Spark skips _/. -prefixed files)
+    java.nio.file.Files.write(marker.toPath, key.getBytes("UTF-8"))
     staging.getPath
   }
 

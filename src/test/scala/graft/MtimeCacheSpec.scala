@@ -58,6 +58,38 @@ class MtimeCacheSpec extends SparkSpec {
       s"fresh centroids must come from the rewritten corpus, got ${seeds2.head._2.head}")
   }
 
+  test("q134 staging reuses the split until events.parquet is rewritten") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("stage")
+    def events(base: Long) = (0 until 20).map(i =>
+        (base + i, java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-01-01T00:00:00Z")
+            .plusSeconds(i * 3600L)),
+          i.toLong % 5, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val f1 = writeTable(dir, "events", events(0L), 0L)
+
+    val staging = new File(graft.streaming.EventStreams
+      .stageChronologicalEvents(spark, dir.getPath, 2))
+    val staged = staging.listFiles.filter(_.getName.endsWith(".parquet"))
+    assert(staged.length === 2)
+
+    // cache hit: a second call must NOT rebuild (deleted file stays gone)
+    staged.head.delete()
+    graft.streaming.EventStreams.stageChronologicalEvents(spark, dir.getPath, 2)
+    assert(!staged.head.exists, "same source mtime must reuse the staging")
+
+    // different nFiles -> miss; rewrite source -> miss (fresh split)
+    writeTable(dir, "events", events(100L), f1.lastModified)
+    graft.streaming.EventStreams.stageChronologicalEvents(spark, dir.getPath, 2)
+    val rebuilt = staging.listFiles.filter(_.getName.endsWith(".parquet"))
+    assert(rebuilt.length === 2, "rewritten source must rebuild the staging")
+    val ids = spark.read.parquet(staging.getPath + "/b0000.parquet")
+      .select("event_id").collect().map(_.getLong(0))
+    assert(ids.forall(_ >= 100L), "rebuilt staging must hold the new rows")
+  }
+
   test("eventsTsIsNanos refreshes when events.parquet is rewritten in place") {
     val s = spark
     import s.implicits._
