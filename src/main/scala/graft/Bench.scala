@@ -39,6 +39,17 @@ object Bench {
           spark.streams.active.map(_.name).mkString(","))
       graft.sources.Tables.freeTransientBlocks(spark)
       graft.sources.Tables.dropDrainedStreamTables(spark)
+      // Shuffle files and broadcasts are cleaned only after their
+      // dependency objects are GC'd (ContextCleaner weak refs); with the
+      // 60 s periodic GC alone, a fast sweep accumulates hundreds of
+      // shuffles whose cleanup RPCs + file deletes then land INSIDE
+      // later queries' timed sections (the sf1 late-sweep residue,
+      // SOAK.md). Nudge a GC here — outside the timed window — and give
+      // the cleaner thread a beat to drain, so each query starts from a
+      // clean block manager. A real cluster sheds this via executor
+      // lifecycle; this is bench-harness hygiene, not plan cost.
+      System.gc()
+      Thread.sleep(50)
       elapsed
     }
 

@@ -33,6 +33,10 @@ object Verify {
           spark.streams.active.map(_.name).mkString(","))
       graft.sources.Tables.freeTransientBlocks(spark)
       graft.sources.Tables.dropDrainedStreamTables(spark)
+      // nudge shuffle/broadcast cleanup between queries (see Bench.run:
+      // ContextCleaner is GC-driven; without this a long sweep carries
+      // every prior query's shuffle files into the next one)
+      System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -36,7 +36,15 @@ object Tables {
     // session accumulates dead eager-localCheckpoint blocks (pagerank
     // edges, k-means vectors, shingle grains) in the unified pool's
     // storage share for that whole window, squeezing execution memory
-    "spark.cleaner.periodicGC.interval" -> "60s")
+    "spark.cleaner.periodicGC.interval" -> "60s",
+    // status/UI stores retain per-execution metadata for the JVM
+    // lifetime up to these caps (defaults: 1000 executions, 1000 stages
+    // per job...) — pure driver-heap ballast in a 266-execution sweep;
+    // keep enough for debugging, not an archive
+    "spark.sql.ui.retainedExecutions" -> "64",
+    "spark.ui.retainedJobs" -> "200",
+    "spark.ui.retainedStages" -> "200",
+    "spark.ui.retainedTasks" -> "10000")
 
   /** Apply [[graftConfigs]] to a builder and construct the session — the
     * one way every graft entrypoint (Verify, Bench, RunPipeline, dev
