@@ -297,6 +297,10 @@ object SparkEntry {
     // t-digest accuracy dials; rows-only (sketch estimates are
     // implementation-specific), tolerances asserted in ApproxSpec
     "q136_sketch_sweep" -> ((s, d) => Insights.sketchAccuracySweep(s, d)),
+    // pre-aggregated HLL shard cells merged on read (the 100 TB KPI
+    // pattern: sketch once, roll up forever); rows-only, with an
+    // in-row self-oracle (merge_is_lossless) pinned by HllSpec
+    "q137_hll_shards" -> ((s, d) => Insights.sketchShardRollup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

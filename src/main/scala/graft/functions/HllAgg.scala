@@ -37,14 +37,8 @@ import org.apache.spark.sql.functions.{udaf, xxhash64}
   * COUNT(DISTINCT ...) — this is the sketched twin for scans where the
   * exact distinct shuffle is the bottleneck).
   */
-case class HllSketch(p: Int)
-    extends Aggregator[Long, Array[Byte], Long] {
-  require(p >= 4 && p <= 18, s"HLL precision out of range: $p")
-  private val m = 1 << p
-
-  override def zero: Array[Byte] = new Array[Byte](m)
-
-  override def reduce(regs: Array[Byte], hash: Long): Array[Byte] = {
+private[functions] object HllCore {
+  def update(p: Int, regs: Array[Byte], hash: Long): Array[Byte] = {
     // top p bits pick the register, leading zeros of the rest rank it;
     // the (1L << (p-1)) pad bounds the rank when the low bits are 0
     val idx = (hash >>> (64 - p)).toInt
@@ -54,16 +48,17 @@ case class HllSketch(p: Int)
     regs
   }
 
-  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+  def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
     var i = 0
-    while (i < m) {
+    while (i < a.length) {
       if (b(i) > a(i)) a(i) = b(i)
       i += 1
     }
     a
   }
 
-  override def finish(regs: Array[Byte]): Long = {
+  def estimate(regs: Array[Byte]): Long = {
+    val m = regs.length
     val alpha =
       if (m == 16) 0.673
       else if (m == 32) 0.697
@@ -83,7 +78,60 @@ case class HllSketch(p: Int)
       else raw
     math.rint(est).toLong
   }
+}
 
+case class HllSketch(p: Int)
+    extends Aggregator[Long, Array[Byte], Long] {
+  require(p >= 4 && p <= 18, s"HLL precision out of range: $p")
+  override def zero: Array[Byte] = new Array[Byte](1 << p)
+  override def reduce(regs: Array[Byte], hash: Long): Array[Byte] =
+    HllCore.update(p, regs, hash)
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    HllCore.merge(a, b)
+  override def finish(regs: Array[Byte]): Long = HllCore.estimate(regs)
+  override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}
+
+/** [[HllSketch]] that FINISHES to the raw register bytes instead of an
+  * estimate — the persistable, re-aggregatable form. Pre-aggregate a
+  * 100 TB fact once into per-shard sketch cells (a month, a tenant, a
+  * file); any later rollup merges the cells with [[HllMergeEstimate]]
+  * and never rescans the fact. Merge is elementwise max — associative,
+  * commutative, idempotent — so merged-of-shards is BIT-IDENTICAL to
+  * the single-pass sketch over the union (pinned in HllSpec and by
+  * q137's self-oracle columns).
+  */
+case class HllSketchBytes(p: Int)
+    extends Aggregator[Long, Array[Byte], Array[Byte]] {
+  require(p >= 4 && p <= 18, s"HLL precision out of range: $p")
+  override def zero: Array[Byte] = new Array[Byte](1 << p)
+  override def reduce(regs: Array[Byte], hash: Long): Array[Byte] =
+    HllCore.update(p, regs, hash)
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    HllCore.merge(a, b)
+  override def finish(regs: Array[Byte]): Array[Byte] = regs
+  override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
+/** Merges a column of [[HllSketchBytes]] cells into one estimate (the
+  * read side of the pre-aggregated pattern). All inputs must share one
+  * precision; a width mismatch is a corrupt-input error, not a silent
+  * wrong answer.
+  */
+case class HllMergeEstimate(p: Int)
+    extends Aggregator[Array[Byte], Array[Byte], Long] {
+  require(p >= 4 && p <= 18, s"HLL precision out of range: $p")
+  override def zero: Array[Byte] = new Array[Byte](1 << p)
+  override def reduce(regs: Array[Byte], cell: Array[Byte]): Array[Byte] = {
+    require(cell.length == regs.length,
+      s"sketch width ${cell.length} != ${regs.length} (precision mismatch)")
+    HllCore.merge(regs, cell)
+  }
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    HllCore.merge(a, b)
+  override def finish(regs: Array[Byte]): Long = HllCore.estimate(regs)
   override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   override def outputEncoder: Encoder[Long] = Encoders.scalaLong
 }
@@ -111,4 +159,16 @@ object HllAgg {
   def countDistinct(c: Column, rsd: Double): Column =
     udaf(HllSketch(pForRsd(rsd)), Encoders.scalaLong)
       .apply(xxhash64(c))
+
+  /** Aggregate to the raw sketch BYTES (re-aggregatable; pair with
+    * [[mergeEstimate]]). One m-byte BINARY cell per group.
+    */
+  def sketch(c: Column, rsd: Double): Column =
+    udaf(HllSketchBytes(pForRsd(rsd)), Encoders.scalaLong)
+      .apply(xxhash64(c))
+
+  /** Merge a column of [[sketch]] cells (same rsd) into one estimate. */
+  def mergeEstimate(sketches: Column, rsd: Double): Column =
+    udaf(HllMergeEstimate(pForRsd(rsd)), Encoders.BINARY)
+      .apply(sketches)
 }

@@ -432,6 +432,47 @@ object Insights {
       .orderBy("sketch", "dial")
   }
 
+  /** q137 — PRE-AGGREGATED sketch shards, the pattern that actually
+    * carries the approximate KPIs at 100 TB: aggregate the fact ONCE
+    * into per-shard HLL register cells (here one per ship-date year; in
+    * production a month / tenant / file), persistable as ordinary
+    * BINARY columns, then answer any later distinct-count rollup by
+    * MERGING cells — never rescanning the fact. Output is one summary
+    * row carrying the self-oracle: `est_merged` (merge of the shard
+    * cells) vs `est_direct` (single-pass sketch over the raw rows) with
+    * `merge_is_lossless` — elementwise-max merge makes the two register
+    * files bit-identical, so these are EQUAL, not merely close (HllSpec
+    * pins it; a false here means the merge lost information).
+    * `sum_shard_ests` rides along to show why naive addition is wrong:
+    * orders spanning shard boundaries are double-counted, so the sum
+    * OVERSHOOTS the true distinct count. Rows-only registration (sketch
+    * estimates are implementation-specific; the q45 contract).
+    */
+  def sketchShardRollup(spark: SparkSession, sfDir: String,
+      rsd: Double = 0.01): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), year(col("l_shipdate")).as("shard"))
+    val shards = li.groupBy("shard").agg(
+      HllAgg.sketch(col("l_orderkey"), rsd).as("sk"),
+      HllAgg.countDistinct(col("l_orderkey"), rsd).as("est_shard"))
+      // eager, tiny (|years| rows): the merged and sum branches below
+      // would otherwise each re-run the shard aggregation
+      .localCheckpoint(true)
+    val merged = shards.agg(
+      count(lit(1)).as("n_shards"),
+      HllAgg.mergeEstimate(col("sk"), rsd).as("est_merged"),
+      sum(col("est_shard")).as("sum_shard_ests"))
+    val direct = li.agg(
+      HllAgg.countDistinct(col("l_orderkey"), rsd).as("est_direct"))
+    merged.crossJoin(direct)
+      .select(
+        col("n_shards").cast("long").as("n_shards"),
+        col("est_merged"),
+        col("est_direct"),
+        (col("est_merged") === col("est_direct")).as("merge_is_lossless"),
+        col("sum_shard_ests").cast("long").as("sum_shard_ests"))
+  }
+
   /** Category revenue mix with share-of-total % (F8; "Electronics 37.78%").
     * The grand total comes from an empty-frame window aggregate — a
     * single-row broadcast exchange, not a second scan. Share is computed

@@ -45,6 +45,37 @@ class HllSpec extends SparkSpec {
     assert(est(base, 32) === e1, "partitioning changed the estimate")
   }
 
+  test("q137: merged shard sketches equal the single-pass sketch exactly") {
+    val row = graft.operators.Insights.sketchShardRollup(spark, sf0001)
+      .collect()(0)
+    assert(row.getLong(0) >= 2, "fixture must span >=2 shards")
+    assert(row.getLong(1) === row.getLong(2),
+      s"merge lost information: merged=${row.getLong(1)} direct=${row.getLong(2)}")
+    assert(row.getBoolean(3) === true)
+    // per-shard estimates OVERSHOOT under naive addition (orders span
+    // shard boundaries); equality would mean the shards never overlap,
+    // which the multi-year lineitem fixture rules out
+    assert(row.getLong(4) > row.getLong(2),
+      s"sum of shard ests ${row.getLong(4)} should exceed ${row.getLong(2)}")
+  }
+
+  test("sketch bytes round-trip through a parquet sink and still merge") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hll-cells").toFile
+    val df = spark.range(20000L)
+      .select((col("id") % 4).as("shard"), col("id").as("k"))
+    df.groupBy("shard").agg(HllAgg.sketch(col("k"), 0.02).as("sk"))
+      .write.mode("overwrite").parquet(dir.getPath)
+    val merged = spark.read.parquet(dir.getPath)
+      .agg(HllAgg.mergeEstimate(col("sk"), 0.02).as("e"))
+      .collect()(0).getLong(0)
+    val direct = df.agg(HllAgg.countDistinct(col("k"), 0.02).as("e"))
+      .collect()(0).getLong(0)
+    assert(merged === direct,
+      s"persisted cells merged to $merged, direct sketch $direct")
+  }
+
   test("groups aggregate independently (per-group registers)") {
     val df = spark.range(30000L)
       .select((col("id") % 3).as("g"), col("id").as("k"))
