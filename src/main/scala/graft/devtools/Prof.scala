@@ -51,48 +51,30 @@ object Prof {
 
     val li = Tables.lineitem(spark, sfDir)
     time("warmup")(li.select(count(lit(1)).as("c")))
-    import graft.operators.Insights.revenueDec
-    val oj = Tables.withMinParallelism(
-        li.select("l_orderkey", "l_extendedprice", "l_discount"), 32)
+    import graft.functions.HllAgg
+    val hllDials = Seq(0.05, 0.02, 0.01)
+    time("ord_distinct_only")(li.select("l_orderkey").distinct
+      .agg(count(lit(1)).as("x")))
+    time("ord_agg")(li.select("l_orderkey").distinct.agg(
+      count(lit(1)).as("xo"),
+      hllDials.map(r => HllAgg.countDistinct(col("l_orderkey"), r).as("o"+r)): _*))
+    val custKeys = li.select("l_orderkey")
       .join(Joins.broadcastIfSmall(
           Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
-    for (pass <- 1 to 3)
-      time(s"a_join_sum_only pass$pass")(oj.agg(
-        sum(revenueDec).cast("double").as("s"), count(lit(1)).as("n")))
-    for (pass <- 1 to 3)
-      time(s"b_join_sum_1hll pass$pass")(oj.agg(
-        sum(revenueDec).cast("double").as("s"),
-        approx_count_distinct(col("l_orderkey"), 0.01).as("a"),
-        count(lit(1)).as("n")))
-    for (pass <- 1 to 3)
-      time(s"c_full_q45 pass$pass")(oj.agg(
-        sum(revenueDec).cast("double").as("s"),
-        approx_count_distinct(col("l_orderkey"), 0.01).as("a"),
-        approx_count_distinct(col("o_custkey"), 0.01).as("b"),
-        count(lit(1)).as("n")))
-    // cents-BIGINT revenue instead of Decimal objects in the
-    // interpreted stage
-    val cents = expr(
-      "CAST(CAST(l_extendedprice * 100 AS BIGINT) * (100 - CAST(l_discount * 100 AS BIGINT)) AS BIGINT)")
-    for (pass <- 1 to 3)
-      time(s"d_q45_centslong pass$pass")(oj.agg(
-        sum(cents).as("s"),
-        approx_count_distinct(col("l_orderkey"), 0.01).as("a"),
-        approx_count_distinct(col("o_custkey"), 0.01).as("b"),
-        count(lit(1)).as("n")))
-    // hypothesis: mixed declarative+imperative buffer is the poison.
-    for (pass <- 1 to 3)
-      time(s"e_hll_only_2 pass$pass")(oj.agg(
-        approx_count_distinct(col("l_orderkey"), 0.01).as("a"),
-        approx_count_distinct(col("o_custkey"), 0.01).as("b")))
-    for (pass <- 1 to 3)
-      time(s"f_split_crossjoin pass$pass")(
-        oj.agg(sum(revenueDec).cast("double").as("s"),
-            count(lit(1)).as("n"))
-          .crossJoin(oj.agg(
-            approx_count_distinct(col("l_orderkey"), 0.01).as("a"),
-            approx_count_distinct(col("o_custkey"), 0.01).as("b"))))
+    time("cust_agg")(custKeys.select("o_custkey").distinct.agg(
+      count(lit(1)).as("xc"),
+      hllDials.map(r => HllAgg.countDistinct(col("o_custkey"), r).as("c"+r)): _*))
+    val tdCols = Seq(100, 1000, 10000).flatMap { a =>
+      Seq(
+        expr(s"approx_percentile(l_quantity, 0.5, $a)").as(s"mq_$a"),
+        expr(s"approx_percentile(l_quantity, 0.9, $a)").as(s"pq_$a"),
+        expr(s"approx_percentile(l_extendedprice, 0.5, $a)").as(s"mp_$a"))
+    }
+    time("td_9")(li.select("l_returnflag","l_quantity","l_extendedprice")
+      .groupBy(col("l_returnflag")).agg(tdCols.head, tdCols.tail: _*))
+    time("exact_q49")(Insights.percentileSummary(spark, sfDir))
+    time("q136_full")(Insights.sketchAccuracySweep(spark, sfDir))
     spark.stop()
   }
 }

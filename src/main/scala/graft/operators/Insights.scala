@@ -342,12 +342,13 @@ object Insights {
     * `max_err_ppm`, the worst relative error vs the EXACT q05/q49
     * values across all KPI cells, in integer parts-per-million.
     *
-    * One scan per sketch family regardless of dial count: every dial's
-    * sketch is a column of the SAME aggregate (partial-aggregated
-    * map-side like any other), so adding dials costs sketch memory, not
-    * scans. Rows-only registration (q45/q119/q120 contract — sketch
-    * estimates are implementation-specific); ApproxSpec asserts the
-    * shipped defaults sit on the knee of the measured curve.
+    * Scan economy: the HLL dials share ONE aggregate per key family
+    * (opaque byte-array state, cheap to co-locate); the t-digest dials
+    * run one 3-sketch aggregate EACH (co-locating all 9 digests in one
+    * buffer measured superlinear — see the inline note). Rows-only
+    * registration (q45/q119/q120 contract — sketch estimates are
+    * implementation-specific); ApproxSpec asserts the shipped defaults
+    * sit on the knee of the measured curve.
     */
   def sketchAccuracySweep(spark: SparkSession, sfDir: String): DataFrame = {
     val hllDials = Seq(0.05, 0.02, 0.01) // q45 default rsd = 0.01
@@ -397,19 +398,26 @@ object Insights {
           .cast("long").as("max_err_ppm"))
     }
     // ---- t-digest family: q119's 3 percentile KPIs per return flag,
-    // every dial in one groupBy, joined to the exact q49 values ----
-    val tdCols = tdDials.flatMap { a =>
-      Seq(
-        expr(s"approx_percentile(l_quantity, 0.5, $a)")
-          .cast("double").as(s"mq_$a"),
-        expr(s"approx_percentile(l_quantity, 0.9, $a)")
-          .cast("double").as(s"pq_$a"),
-        expr(s"approx_percentile(l_extendedprice, 0.5, $a)")
-          .cast("double").as(s"mp_$a"))
+    // one aggregate PER DIAL, joined to the exact q49 values. Not one
+    // 9-sketch aggregate: co-locating every dial's digests in a single
+    // ObjectHashAggregate buffer measured SUPERLINEAR in sketches (9
+    // sketches 18.9 s at sf1 vs 3 sketches 2.9 s — buffer memory
+    // pressure in the partials plus a single-task final merging
+    // 26 partials x 9 digests serially). Per-dial aggs re-scan, but a
+    // scan is the cheap part of a diagnostics sweep (~0.4 s of 46 s)
+    // and each dial's final merge handles 3 digests, not 9.
+    val tdAggs = tdDials.map { a =>
+      li.select("l_returnflag", "l_quantity", "l_extendedprice")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr(s"approx_percentile(l_quantity, 0.5, $a)")
+            .cast("double").as(s"mq_$a"),
+          expr(s"approx_percentile(l_quantity, 0.9, $a)")
+            .cast("double").as(s"pq_$a"),
+          expr(s"approx_percentile(l_extendedprice, 0.5, $a)")
+            .cast("double").as(s"mp_$a"))
     }
-    val tdAgg = li.select("l_returnflag", "l_quantity", "l_extendedprice")
-      .groupBy(col("l_returnflag"))
-      .agg(tdCols.head, tdCols.tail: _*)
+    val tdAgg = tdAggs.reduce(_.join(_, "l_returnflag"))
     val exact = percentileSummary(spark, sfDir)
       .select(col("l_returnflag"), col("median_qty").as("x_mq"),
         col("p90_qty").as("x_pq"), col("median_price").as("x_mp"))
