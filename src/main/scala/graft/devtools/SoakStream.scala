@@ -15,12 +15,23 @@ import graft.streaming.EventStreams
   * asserted. Results land in SOAK.md.
   *
   * Usage: `SPARK_GRAFT_CPUS=32 runMain graft.devtools.SoakStream
-  *   <sfDir> [nFiles]`
+  *   <sfDir> [nFiles] [keySplit]`
+  *
+  * `keyMult` (default 1) unions K copies of the events with per-copy
+  * user/event id offsets and UNCHANGED timestamps before staging, so K
+  * times as many users are concurrently active. The replicator scales
+  * events per user (denser sessions), not user cardinality, so state
+  * ROWS plateau at the source's key count no matter the sf; and a
+  * per-row key SPLIT does not help either (each synthetic key is
+  * active 1/K as often — measured: split 8 moved state rows 12.0k ->
+  * 12.5k). Concurrent copies are the axis that actually grows live
+  * state.
   */
 object SoakStream {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nFiles = args.drop(1).headOption.map(_.toInt).getOrElse(8)
+    val keyMult = args.drop(2).headOption.map(_.toInt).getOrElse(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = Tables.graftSession(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -30,12 +41,26 @@ object SoakStream {
     spark.sparkContext.setLogLevel("ERROR")
 
     val t0 = System.nanoTime()
-    val staging = EventStreams.stageChronologicalEvents(spark, sfDir, nFiles)
+    val srcDir =
+      if (keyMult <= 1) sfDir
+      else {
+        import org.apache.spark.sql.functions._
+        val d = new java.io.File("/tmp/graft_stage",
+          s"mult${keyMult}_" + Integer.toHexString(sfDir.hashCode))
+        val ev = Tables.events(spark, sfDir)
+        (0 until keyMult).map(k => ev
+            .withColumn("user_id", col("user_id") + lit(k * 100000000L))
+            .withColumn("event_id", col("event_id") + lit(k * 100000000000L)))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(new java.io.File(d, "events.parquet").getPath)
+        d.getPath
+      }
+    val staging = EventStreams.stageChronologicalEvents(spark, srcDir, nFiles)
     val tStage = (System.nanoTime() - t0) / 1e9
 
-    val q = EventStreams.sessionWindows(
-        EventStreams.readEventStream(spark, staging,
-          maxFilesPerTrigger = Some(1)))
+    val stream = EventStreams.readEventStream(spark, staging,
+      maxFilesPerTrigger = Some(1))
+    val q = EventStreams.sessionWindows(stream)
       .writeStream.format("memory").queryName("soak_sessions")
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
@@ -55,7 +80,7 @@ object SoakStream {
         s""""durationMs":${p.durationMs.getOrDefault("triggerExecution", -1L)}}""")
     }
     val emitted = spark.table("soak_sessions").count()
-    println(s"""{"sfDir":"$sfDir","nFiles":$nFiles,"emitted":$emitted,""" +
+    println(s"""{"sfDir":"$sfDir","nFiles":$nFiles,"keyMult":$keyMult,"emitted":$emitted,""" +
       s""""stageSec":${math.rint(tStage * 100) / 100},""" +
       s""""totalSec":${math.rint(tAll * 100) / 100}}""")
     spark.stop()
