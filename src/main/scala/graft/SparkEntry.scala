@@ -78,6 +78,9 @@ object SparkEntry {
     "q32_events_props" -> ((s, d) => Events.propsRollup(s, d)),
     "q33_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "q34_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
+    // product-quantization ANN: codes-table scan + broadcast per-query
+    // distance table, fixed-order ADC (cell-exact vs the oracle)
+    "q138_ann_pq" -> ((s, d) => Similarity.annPq(s, d)),
     "q35_media_frames" -> ((s, d) => Multimodal.mediaFrames(s, d)),
     // --- round-3: CSV cleaning chains over dirty fixtures (B2-B6, C1-C4) ---
     "q36_clean_sales" -> ((s, d) => CleanCsv.cleanSalesCsv(s, d)),
@@ -341,6 +344,7 @@ object SparkEntry {
     "q32_events_props" -> Events.propsRollupSql,
     "q33_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(),
     "q34_ann_ivf" -> Similarity.annIvfSql(),
+    "q138_ann_pq" -> Similarity.annPqSql(),
     "q35_media_frames" -> Multimodal.mediaFramesSql,
     "q36_clean_sales" -> CleanCsv.cleanSalesCsvSql,
     "q37_clean_products" -> CleanCsv.cleanProductsCsvSql,

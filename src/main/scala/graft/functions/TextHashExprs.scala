@@ -335,6 +335,75 @@ case class ArgMaxCosineExpr(child: Expression, centroids: Array[Array[Float]])
   }
 }
 
+/** Product-quantization encoder over the L2-NORMALIZED input: the
+  * vector is first scaled to unit norm (double left-fold norm in
+  * dimension order — on unit vectors squared L2 is 2−2·cosine, so PQ's
+  * ADC ranking is metric-compatible with the cosine the rest of the ANN
+  * family uses); then for each of the M subspaces the 0-based index of
+  * the sub-codebook entry with the smallest squared L2 distance to the
+  * normalized subvector (ties toward the lowest index — exactly
+  * `row_number() OVER (ORDER BY d2 ASC, j ASC) = 1` per
+  * (vector, subspace), which is what the DuckDB oracle states).
+  * Output: array<int> of M codes.
+  *
+  * `codebooks(s)(j)` is sub-centroid j of subspace s (already built
+  * from normalized seeds, in doubles); all subspaces share one width.
+  * The codebook rides along as a literal — the broadcast-the-model
+  * pattern at expression grain; the scan this feeds emits M small ints
+  * per vector, which is the entire point of PQ: downstream ANN reads M
+  * bytes per vector, not d floats.
+  */
+case class PqEncodeExpr(child: Expression,
+    codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+  private val m = codebooks.length
+  private val subDim = codebooks(0)(0).length
+  require(codebooks.forall(_.forall(_.length == subDim)),
+    "graft_pq_encode: ragged codebook")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def withNewChildInternal(c: Expression): PqEncodeExpr =
+    copy(child = c)
+  override def prettyName: String = "graft_pq_encode"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    require(n == m * subDim,
+      s"graft_pq_encode: dim $n != ${m * subDim}")
+    // full-vector norm, double fold in dimension order (zero-norm
+    // vectors pass through unscaled — the embedQuantize convention)
+    var nx = 0.0
+    var i = 0
+    while (i < n) { val x = v.getFloat(i).toDouble; nx += x * x; i += 1 }
+    val norm = if (nx == 0.0) 1.0 else math.sqrt(nx)
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      val base = s * subDim
+      var best = -1
+      var bestD2 = Double.PositiveInfinity
+      var j = 0
+      while (j < cb.length) {
+        val cent = cb(j)
+        var d2 = 0.0
+        i = 0
+        while (i < subDim) {
+          val d = v.getFloat(base + i).toDouble / norm - cent(i)
+          d2 += d * d
+          i += 1
+        }
+        if (d2 < bestD2) { bestD2 = d2; best = j }
+        j += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+}
+
 /** 16-bit sign-hyperplane LSH signature under Similarity.planeSigns —
   * identical values to the HOF form (same left-fold dot order).
   */

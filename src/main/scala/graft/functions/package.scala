@@ -43,4 +43,10 @@ package object functions {
   /** Index of the nearest centroid by cosine (IVF coarse assignment). */
   def argmax_cosine(c: Column, centroids: Array[Array[Float]]): Column =
     toColumn(ArgMaxCosineExpr(toExpression(c), centroids))
+
+  /** Per-subspace nearest sub-centroid codes (product quantization;
+    * codebooks in doubles, built from normalized seeds).
+    */
+  def pq_encode(c: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    toColumn(PqEncodeExpr(toExpression(c), codebooks))
 }

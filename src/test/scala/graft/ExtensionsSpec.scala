@@ -116,6 +116,35 @@ class ExtensionsSpec extends SparkSpec {
     assert(recall > 0.5, s"IVF recall $recall too low")
   }
 
+  test("PQ ANN: ADC shortlist + exact re-rank recalls most of true top-5") {
+    val bf = Similarity.knnBruteForce(spark, sf0001)
+      .select("query_id", "neighbor_id")
+    val pq = Similarity.annPq(spark, sf0001)
+      .select("query_id", "neighbor_id")
+    val recall = bf.intersect(pq).count().toDouble / bf.count()
+    // isotropic synthetic vectors are quantization's worst case; the
+    // 100-candidate shortlist carries recall (measured 0.76-0.9 at
+    // sf0.01/sf0.001), the raw ADC rank alone would sit near 0.08
+    assert(recall > 0.5, s"PQ recall $recall too low")
+  }
+
+  test("PQ ANN re-rank cosines equal the brute-force cosines bit-exact") {
+    // on shared (query, neighbor) rows the re-rank stage must produce
+    // the IDENTICAL double (same cosine_sim fold) as brute force
+    val bf = Similarity.knnBruteForce(spark, sf0001)
+      .select("query_id", "neighbor_id", "cosine")
+    val pq = Similarity.annPq(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("query_id"),
+        org.apache.spark.sql.functions.col("neighbor_id"),
+        org.apache.spark.sql.functions.col("cosine").as("pq_cosine"))
+    val joined = bf.join(pq, Seq("query_id", "neighbor_id")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))
+    }
+  }
+
   test("ngram jaccard blocking finds high-sim pairs with exact scores") {
     val pairs = Dedup.ngramJaccardPairs(spark, sf0001)
     assert(pairs.count() > 0)
