@@ -304,6 +304,9 @@ object SparkEntry {
     // pattern: sketch once, roll up forever); rows-only, with an
     // in-row self-oracle (merge_is_lossless) pinned by HllSpec
     "q137_hll_shards" -> ((s, d) => Insights.sketchShardRollup(s, d)),
+    // sampled KPI + CLT error bar (AQP): deterministic hash-sample,
+    // 1/p extrapolation, exact-moment arithmetic -> full oracle
+    "q139_sampled_kpi" -> ((s, d) => Insights.sampledKpi(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -345,6 +348,7 @@ object SparkEntry {
     "q33_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(),
     "q34_ann_ivf" -> Similarity.annIvfSql(),
     "q138_ann_pq" -> Similarity.annPqSql(),
+    "q139_sampled_kpi" -> Insights.sampledKpiSql(),
     "q35_media_frames" -> Multimodal.mediaFramesSql,
     "q36_clean_sales" -> CleanCsv.cleanSalesCsvSql,
     "q37_clean_products" -> CleanCsv.cleanProductsCsvSql,

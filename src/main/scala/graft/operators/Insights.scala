@@ -481,6 +481,89 @@ object Insights {
         col("sum_shard_ests").cast("long").as("sum_shard_ests"))
   }
 
+  /** q139 — sampled KPI with an error bar (approximate query
+    * processing): the revenue/line-count KPIs answered from a
+    * deterministic `pctSample`% hash-sample with unbiased 1/p
+    * extrapolation and a 95% Horvitz-Thompson confidence half-width — the read path
+    * when even ONE full scan of a 100 TB fact is too expensive and an
+    * error-bounded answer suffices. Bernoulli-by-hash selection
+    * (md5-bucket < p, the q53 split idiom) makes the sample — and
+    * therefore every output cell — deterministic and cell-exact
+    * oracle-checkable; at scale the sample predicate fuses into the
+    * scan and reads p% of rows after (on a sorted/bucketed layout)
+    * skipping most files entirely.
+    *
+    * Exactness discipline: per-row revenue in 1e-4-unit BIGINT (cents ×
+    * (100−discount-hundredths) — products capped at 1e18, inside
+    * int64), first/second moments summed in DECIMAL(38,0), converted
+    * once via [[Features.decToDouble]] (the hi/lo split — second
+    * moments cross 2^53 far below sf1), then the estimator arithmetic
+    * runs in doubles with the IDENTICAL expression tree on both
+    * engines. Identical rows hash into the same bucket, so exact
+    * duplicates enter together (content-cluster sampling — unbiased
+    * for totals, documented for the CI).
+    */
+  def sampledKpi(spark: SparkSession, sfDir: String,
+      pctSample: Int = 1): DataFrame = {
+    val revE4 = expr(
+      """CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |(100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT))"""
+        .stripMargin)
+    val sampled = Tables.lineitem(spark, sfDir)
+      .select(
+        pmod(TextAnalysis.md5Hash60(concat_ws(":", lit("aqp"),
+            col("l_orderkey"), col("l_linenumber"), col("l_partkey"))),
+          lit(100)).as("b"),
+        revE4.as("rev_e4"))
+      .filter(col("b") < pctSample)
+    val agg = sampled.agg(
+      count(lit(1)).as("n_sampled"),
+      sum(col("rev_e4").cast("decimal(38,0)")).as("s_e4"),
+      sum((col("rev_e4") * col("rev_e4")).cast("decimal(38,0)"))
+        .as("q_e8"))
+    val s = Features.decToDouble(col("s_e4"), 0) / lit(10000.0)
+    val q = Features.decToDouble(col("q_e8"), 0) / lit(100000000.0)
+    val rate = lit(pctSample.toDouble) / lit(100.0)
+    // Horvitz-Thompson variance for a TOTAL under Bernoulli (Poisson)
+    // sampling: Var(T-hat) = ((1-p)/p^2)·Σ_pop x², estimated
+    // unbiasedly by ((1-p)/p^2)·Σ_SAMPLE x². An SRS-style
+    // mean-variance CI is ~2x too narrow here: the sample SIZE is
+    // random too, and with x-bar far from 0 that term dominates
+    // (measured: |err| 1.42e8 vs the SRS CI's 1.36e8 at sf0.01 — the
+    // HT CI is 2.7e8 and covers).
+    agg.select(
+      col("n_sampled"),
+      (s / rate).as("est_revenue"),
+      (col("n_sampled") * lit(100L / pctSample)).as("est_lines"),
+      (lit(1.96) * sqrt((lit(1.0) - rate) * q) / rate).as("ci95_revenue"))
+  }
+
+  def sampledKpiSql(pctSample: Int = 1): String = {
+    val revE4 = """(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+      |(100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)))"""
+      .stripMargin
+    val key = "'aqp:' || CAST(l_orderkey AS VARCHAR) || ':' || " +
+      "CAST(l_linenumber AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR)"
+    val s = s"(${Features.decToDoubleSql("s_e4", 0)} / 10000.0)"
+    val q = s"(${Features.decToDoubleSql("q_e8", 0)} / 100000000.0)"
+    val rate = s"(CAST($pctSample AS DOUBLE) / CAST(100 AS DOUBLE))"
+    s"""WITH sampled AS (
+       |  SELECT $revE4 AS rev_e4
+       |  FROM lineitem
+       |  WHERE ${TextAnalysis.md5Hash60Sql(key)} % 100 < $pctSample),
+       |agg AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       |         CAST(SUM(CAST(rev_e4 AS HUGEINT)) AS DECIMAL(38,0)) AS s_e4,
+       |         CAST(SUM(CAST(rev_e4 AS HUGEINT) * rev_e4) AS DECIMAL(38,0))
+       |           AS q_e8
+       |  FROM sampled)
+       |SELECT n_sampled,
+       |  ($s / $rate) AS est_revenue,
+       |  CAST(n_sampled * ${100L / pctSample} AS BIGINT) AS est_lines,
+       |  (1.96 * sqrt((1.0 - $rate) * $q) / $rate) AS ci95_revenue
+       |FROM agg""".stripMargin
+  }
+
   /** Category revenue mix with share-of-total % (F8; "Electronics 37.78%").
     * The grand total comes from an empty-frame window aggregate — a
     * single-row broadcast exchange, not a second scan. Share is computed
