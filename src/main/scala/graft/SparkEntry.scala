@@ -81,6 +81,9 @@ object SparkEntry {
     // product-quantization ANN: codes-table scan + broadcast per-query
     // distance table, fixed-order ADC (cell-exact vs the oracle)
     "q138_ann_pq" -> ((s, d) => Similarity.annPq(s, d)),
+    // SemDeDup-style cluster-then-dedup: data-adaptive blocking beside
+    // q25's LSH bands; per-cluster md5 cap bounds pair work at k*cap^2
+    "q140_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
     "q35_media_frames" -> ((s, d) => Multimodal.mediaFrames(s, d)),
     // --- round-3: CSV cleaning chains over dirty fixtures (B2-B6, C1-C4) ---
     "q36_clean_sales" -> ((s, d) => CleanCsv.cleanSalesCsv(s, d)),
@@ -349,6 +352,7 @@ object SparkEntry {
     "q34_ann_ivf" -> Similarity.annIvfSql(),
     "q138_ann_pq" -> Similarity.annPqSql(),
     "q139_sampled_kpi" -> Insights.sampledKpiSql(),
+    "q140_semantic_dedup" -> Similarity.semanticDedupSql(),
     "q35_media_frames" -> Multimodal.mediaFramesSql,
     "q36_clean_sales" -> CleanCsv.cleanSalesCsvSql,
     "q37_clean_products" -> CleanCsv.cleanProductsCsvSql,

@@ -668,6 +668,95 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** q140 — semantic deduplication, SemDeDup-style (Abbas et al.,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", 2023): cluster the embedding corpus, then score
+    * cosine pairs ONLY within a cluster — the data-adaptive blocking
+    * complement to q25's fixed LSH bands (clusters follow the corpus
+    * density, bands follow random hyperplanes; a production pipeline
+    * runs one or the other depending on whether near-dups are expected
+    * to be semantically clustered or uniformly scattered).
+    *
+    * Clustering is the IVF sample quantizer ([[ivfQuantizer]] — same
+    * deterministic md5-seeded centroids, same argmax assignment the
+    * q34 oracle verifies), so the whole pipeline stays cell-exact
+    * SQL-expressible. `capPerCluster` is the candidate budget: each
+    * cluster contributes at most its cap members (deterministic md5
+    * rank — the q16 mega-bucket guard), bounding pair work at
+    * k·cap²/2 REGARDLESS of corpus size; at 100 TB k scales with the
+    * corpus and the cap keeps any one cluster from going quadratic.
+    * Scale shape: one map-side assignment pass, one hash shuffle on
+    * cluster, per-cluster self-join under the cap — no all-pairs
+    * anywhere.
+    */
+  def semanticDedup(spark: SparkSession, sfDir: String,
+      nClusters: Int = 16, capPerCluster: Int = 256,
+      threshold: Double = 0.35): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = ivfQuantizer(spark, sfDir, nClusters).map(_._2)
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      graft.functions.argmax_cosine(col("embedding"), centroids)
+        .as("cluster"))
+    val wCap = Window.partitionBy("cluster")
+      .orderBy(md5(col("vec_id").cast("string").cast("binary")),
+        col("vec_id"))
+    val capped = assigned
+      .withColumn("rk", row_number().over(wCap))
+      .filter(col("rk") <= capPerCluster)
+      .select("cluster", "vec_id", "embedding")
+    val a = capped.select(col("cluster"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"))
+    val b = capped.select(col("cluster"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"))
+    a.join(b.withColumnRenamed("cluster", "cluster_b"),
+        col("cluster") === col("cluster_b") &&
+          col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        graft.functions.cosine_sim(col("emb_a"), col("emb_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("cluster"), col("vec_a"), col("vec_b"), col("cosine"))
+      .orderBy("cluster", "vec_a", "vec_b")
+  }
+
+  /** DuckDB oracle for [[semanticDedup]] — quantizer, assignment, md5
+    * cap rank, within-cluster pairs, and the cosine threshold stated
+    * directly in SQL.
+    */
+  def semanticDedupSql(nClusters: Int = 16, capPerCluster: Int = 256,
+      threshold: Double = 0.35): String =
+    s"""WITH seeds AS (
+       |  SELECT CAST(row_number() OVER (
+       |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT)
+       |           AS cluster,
+       |         embedding AS centroid
+       |  FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT $nClusters),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cluster FROM (
+       |    SELECT e.vec_id, e.embedding, s.cluster,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosineExprDuck("e.embedding", "s.centroid")} DESC,
+       |                 s.cluster ASC) AS rn
+       |    FROM embeddings e CROSS JOIN seeds s)
+       |  WHERE rn = 1),
+       |capped AS (
+       |  SELECT cluster, vec_id, embedding FROM (
+       |    SELECT cluster, vec_id, embedding,
+       |      row_number() OVER (PARTITION BY cluster
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+       |    FROM assigned)
+       |  WHERE rk <= $capPerCluster),
+       |pairs AS (
+       |  SELECT a.cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    ${cosineExprDuck("a.embedding", "b.embedding")} AS cosine
+       |  FROM capped a JOIN capped b
+       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+       |SELECT cluster, vec_a, vec_b, cosine
+       |FROM pairs
+       |WHERE cosine >= CAST($threshold AS DOUBLE)
+       |ORDER BY cluster, vec_a, vec_b""".stripMargin
+
   /** Embedding near-duplicate pairs: cosine >= threshold, candidates
     * restricted to pairs agreeing on at least one 4-bit LSH band (truly
     * near-identical vectors agree on nearly every hyperplane sign, so

@@ -145,6 +145,18 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup finds within-cluster pairs; cap bounds the work") {
+    val full = Similarity.semanticDedup(spark, sf0001).collect()
+    assert(full.nonEmpty, "no within-cluster pairs at the demo threshold")
+    full.foreach(r => assert(r.getDouble(3) >= 0.35))
+    // candidate budget: capPerCluster=2 admits at most 1 pair/cluster
+    val capped = Similarity.semanticDedup(spark, sf0001,
+        capPerCluster = 2, threshold = -1.0)
+      .groupBy("cluster").count().collect()
+    assert(capped.forall(_.getLong(1) <= 1),
+      "cap=2 must bound each cluster to a single candidate pair")
+  }
+
   test("ngram jaccard blocking finds high-sim pairs with exact scores") {
     val pairs = Dedup.ngramJaccardPairs(spark, sf0001)
     assert(pairs.count() > 0)
