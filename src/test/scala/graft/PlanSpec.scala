@@ -290,6 +290,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q138 PQ: distance table broadcasts, no cartesian, codes scan is narrow") {
+    val df = graft.operators.Similarity.annPq(spark, sf0001)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-query distance table should broadcast-join the codes:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+  }
+
+  test("q139 sampled KPI: one scan, sample filter below the aggregate") {
+    val df = graft.operators.Insights.sampledKpi(spark, sf0001)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert("FileScan".r.findAllIn(p).length === 1,
+      s"AQP must read lineitem exactly once:\n$p")
+    assert(p.contains("Filter"), s"sample predicate missing:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q140 semantic dedup: no cartesian; pair join is cluster-equi-keyed") {
+    val df = graft.operators.Similarity.semanticDedup(spark, sf0001)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"all-pairs crept in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"pair join must stay equi-keyed on cluster:\n$p")
+  }
+
   test("freeTransientBlocks drops eager localCheckpoint blocks between queries") {
     import org.apache.spark.sql.functions._
     // simulate an iterative operator's materialization outliving its query
