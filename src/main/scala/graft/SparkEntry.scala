@@ -84,6 +84,11 @@ object SparkEntry {
     // SemDeDup-style cluster-then-dedup: data-adaptive blocking beside
     // q25's LSH bands; per-cluster md5 cap bounds pair work at k*cap^2
     "q140_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
+    // streaming approx-distinct: the HLL register buffer as windowed
+    // state (constant per open window); rows-only, StreamingSpec holds
+    // the tolerance vs batch-exact counts
+    "q141_streaming_distinct" -> ((s, d) =>
+      graft.streaming.EventStreams.hourlyDistinctApproxAvailableNow(s, d)),
     "q35_media_frames" -> ((s, d) => Multimodal.mediaFrames(s, d)),
     // --- round-3: CSV cleaning chains over dirty fixtures (B2-B6, C1-C4) ---
     "q36_clean_sales" -> ((s, d) => CleanCsv.cleanSalesCsv(s, d)),

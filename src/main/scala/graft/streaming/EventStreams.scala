@@ -583,4 +583,39 @@ object EventStreams {
     }
     spark.table(name).orderBy("window_start", "event_type")
   }
+
+  /** q141 — approximate distinct users per hourly window, STREAMING:
+    * the native HLL sketch ([[graft.functions.HllAgg]]) as the
+    * aggregate of a watermarked windowed streaming aggregation. The
+    * m-byte register buffer IS the per-(window, type) state row —
+    * constant regardless of how many users a window sees, which is the
+    * streaming form of the q45 story: an exact streaming COUNT
+    * DISTINCT would have to carry every user id seen per open window
+    * in the state store; the sketch caps state at registers ×
+    * open-windows. Same AvailableNow replay harness as q124; rows-only
+    * registration (sketch estimates are engine-specific — DuckDB has
+    * no xxhash64), tolerance vs the batch-exact counts in
+    * StreamingSpec.
+    */
+  def hourlyDistinctApproxAvailableNow(spark: SparkSession,
+      sfDir: String, rsd: Double = 0.02): DataFrame = {
+    val name = "graft_stream_hlldist_" + runCounter.incrementAndGet()
+    withStatePartitions(spark, 8) {
+      val q = readEventStream(spark, sfDir, glob = Some("events.parquet"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(
+          graft.functions.HllAgg.countDistinct(col("user_id"), rsd)
+            .as("approx_users"),
+          count(lit(1)).as("n_events"))
+        .select(col("window.start").as("window_start"),
+          col("event_type"), col("approx_users"), col("n_events"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name).orderBy("window_start", "event_type")
+  }
 }

@@ -135,6 +135,30 @@ class StreamingSpec extends SparkSpec {
     assert(multi.nonEmpty)
   }
 
+  test("q141 streaming HLL distinct tracks batch-exact counts per window") {
+    val got = EventStreams.hourlyDistinctApproxAvailableNow(spark, sf0001)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val want = Tables.events(spark, sf0001)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("x"),
+        count(lit(1)).as("n"))
+      .select(col("window.start"), col("event_type"), col("x"), col("n"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet === want.keySet, "window/type coverage differs")
+    want.foreach { case (k, (x, n)) =>
+      val (ax, an) = got(k)
+      assert(an === n, s"$k: event count $an != $n")
+      // linear-counting regime: exact up to rare register collisions
+      // (~n^2/2m per window), plus the 3*rsd band at larger n
+      val tol = math.max(2.0, 3 * 0.02 * x)
+      assert(math.abs(ax - x) <= tol, s"$k: approx $ax vs exact $x")
+    }
+  }
+
   test("session_window streaming runs and covers every user") {
     val stream = MemoryStream[Event](spark, 3)
     stream.addData(eventData)
