@@ -505,6 +505,10 @@ object Insights {
     */
   def sampledKpi(spark: SparkSession, sfDir: String,
       pctSample: Int = 1): DataFrame = {
+    // est_lines extrapolates by the integer 100/pctSample; a rate that
+    // does not divide 100 would silently floor the multiplier
+    require(100 % pctSample == 0,
+      s"pctSample must divide 100, got $pctSample")
     val revE4 = expr(
       """CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
         |(100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT))"""
@@ -539,6 +543,8 @@ object Insights {
   }
 
   def sampledKpiSql(pctSample: Int = 1): String = {
+    require(100 % pctSample == 0,
+      s"pctSample must divide 100, got $pctSample")
     val revE4 = """(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
       |(100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)))"""
       .stripMargin
