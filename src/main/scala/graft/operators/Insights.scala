@@ -174,7 +174,9 @@ object Insights {
     * customers, total line count. A single global aggregate — partial
     * aggregation reduces 100 TB to one row per partition before the
     * 1-row shuffle. countDistinct is exact, as the reference's KPI is;
-    * `approx_count_distinct` is the knob to flip at extreme cardinality.
+    * [[kpiSummaryApprox]] (native HllAgg sketch — NOT the built-in
+    * `approx_count_distinct`, see its scaladoc) is the knob to flip at
+    * extreme cardinality.
     */
   def kpiSummary(spark: SparkSession, sfDir: String): DataFrame = {
     // Scale shape: revenue/order-count/line-count need NO join (they are

@@ -20,12 +20,13 @@ class QueriesSpec extends SparkSpec {
   }
 
   test("every query has an oracle, except the documented approx whitelist") {
-    // q45 (HLL), q119 (t-digest), q120 (Misra-Gries) and q136 (the
-    // sketch-accuracy sweep over q45/q119's dials) are sketch-based:
-    // estimates are engine-specific by design, the driver records the
-    // weaker rows-only check and ApproxSpec holds the
-    // tolerance/equality contracts. Anything else missing an oracle is
-    // a registration mistake, not a design choice.
+    // q45/q137/q141 (HLL), q119 (t-digest), q120 (Misra-Gries) and
+    // q136 (the sketch-accuracy sweep over q45/q119's dials) are
+    // sketch-based: estimates are engine-specific by design, the
+    // driver records the weaker rows-only check and the specs named
+    // per entry below hold the tolerance/equality contracts. Anything
+    // else missing an oracle is a registration mistake, not a design
+    // choice.
     val approxOnly = Set("q45_kpi_approx", "q119_approx_percentiles",
       "q120_approx_heavy_hitters", "q136_sketch_sweep",
       "q137_hll_shards", // in-row self-oracle + HllSpec equality
