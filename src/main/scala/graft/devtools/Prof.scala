@@ -2,16 +2,33 @@ package graft.devtools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Insights, Joins}
+
 import graft.sources.Tables
 
-/** Dev-only scratch profiler (not part of the library surface). */
+/** Stage-level profiler for registered queries (dev-only): runs each
+  * named query `passes` times with the Bench janitor between runs and
+  * prints, per run, the wall time and per-stage task counts with
+  * summed task run/deserialize/GC times.
+  *
+  * The one diagnostic this adds over Bench: `taskRunSum` vs
+  * `wall × cores`. taskRunSum ≫ wall·cores means per-row poison
+  * (interpreted aggregates, wide buffers — the round-7 HLL finding was
+  * made with exactly this signal); wall ≫ taskRunSum/cores means a
+  * serial tail (single-task final merge, driver-side work, skew).
+  *
+  * Usage: `runMain graft.devtools.Prof <sfDir> <q1,q2,...> [passes]`
+  */
 object Prof {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = args.drop(1).headOption
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq("q01_top_products"))
+    val passes = args.drop(2).headOption.map(_.toInt).getOrElse(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Tables.graftSession(SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false"))
     spark.sparkContext.setLogLevel("WARN")
@@ -29,8 +46,7 @@ object Prof {
           } yield c - s).getOrElse(-1L)
           val tm = si.taskMetrics
           stages.add((si.stageId, si.numTasks, ms,
-            tm.executorRunTime, tm.executorDeserializeTime,
-            tm.jvmGCTime))
+            tm.executorRunTime, tm.executorDeserializeTime, tm.jvmGCTime))
         }
       })
 
@@ -46,35 +62,16 @@ object Prof {
           println(s"PROF   stage $id: $n tasks, wall $ms ms, " +
             s"taskRunSum $run ms, deserSum $deser ms, gcSum $gc ms")
       }
+      assert(spark.streams.active.isEmpty)
       Tables.freeTransientBlocks(spark)
+      Tables.dropDrainedStreamTables(spark)
+      System.gc()
     }
 
-    val li = Tables.lineitem(spark, sfDir)
-    time("warmup")(li.select(count(lit(1)).as("c")))
-    import graft.functions.HllAgg
-    val hllDials = Seq(0.05, 0.02, 0.01)
-    time("ord_distinct_only")(li.select("l_orderkey").distinct
-      .agg(count(lit(1)).as("x")))
-    time("ord_agg")(li.select("l_orderkey").distinct.agg(
-      count(lit(1)).as("xo"),
-      hllDials.map(r => HllAgg.countDistinct(col("l_orderkey"), r).as("o"+r)): _*))
-    val custKeys = li.select("l_orderkey")
-      .join(Joins.broadcastIfSmall(
-          Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-    time("cust_agg")(custKeys.select("o_custkey").distinct.agg(
-      count(lit(1)).as("xc"),
-      hllDials.map(r => HllAgg.countDistinct(col("o_custkey"), r).as("c"+r)): _*))
-    val tdCols = Seq(100, 1000, 10000).flatMap { a =>
-      Seq(
-        expr(s"approx_percentile(l_quantity, 0.5, $a)").as(s"mq_$a"),
-        expr(s"approx_percentile(l_quantity, 0.9, $a)").as(s"pq_$a"),
-        expr(s"approx_percentile(l_extendedprice, 0.5, $a)").as(s"mp_$a"))
-    }
-    time("td_9")(li.select("l_returnflag","l_quantity","l_extendedprice")
-      .groupBy(col("l_returnflag")).agg(tdCols.head, tdCols.tail: _*))
-    time("exact_q49")(Insights.percentileSummary(spark, sfDir))
-    time("q136_full")(Insights.sketchAccuracySweep(spark, sfDir))
+    time("warmup")(Tables.lineitem(spark, sfDir)
+      .select(count(lit(1)).as("c")))
+    for (name <- names; pass <- 1 to passes)
+      time(s"$name pass$pass")(graft.SparkEntry.queries(name)(spark, sfDir))
     spark.stop()
   }
 }
