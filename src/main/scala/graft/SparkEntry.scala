@@ -84,6 +84,9 @@ object SparkEntry {
     // SemDeDup-style cluster-then-dedup: data-adaptive blocking beside
     // q25's LSH bands; per-cluster md5 cap bounds pair work at k*cap^2
     "q140_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
+    // PQ over TRAINED sub-codebooks (one Lloyd step, engine-exact
+    // quantized-mean fit); same search tail as q138
+    "q142_ann_pq_trained" -> ((s, d) => Similarity.annPqTrained(s, d)),
     // streaming approx-distinct: the HLL register buffer as windowed
     // state (constant per open window); rows-only, StreamingSpec holds
     // the tolerance vs batch-exact counts
@@ -358,6 +361,7 @@ object SparkEntry {
     "q138_ann_pq" -> Similarity.annPqSql(),
     "q139_sampled_kpi" -> Insights.sampledKpiSql(),
     "q140_semantic_dedup" -> Similarity.semanticDedupSql(),
+    "q142_ann_pq_trained" -> Similarity.annPqTrainedSql(),
     "q35_media_frames" -> Multimodal.mediaFramesSql,
     "q36_clean_sales" -> CleanCsv.cleanSalesCsvSql,
     "q37_clean_products" -> CleanCsv.cleanProductsCsvSql,

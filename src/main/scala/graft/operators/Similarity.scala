@@ -498,33 +498,48 @@ object Similarity {
     *    both engines (a pivot, not an unordered SUM), so the doubles
     *    are bit-identical and every rank (ADC and final) hash-matches.
     */
-  def annPq(spark: SparkSession, sfDir: String, nQueries: Int = 10,
-      k: Int = 5, nSeeds: Int = 16, m: Int = 8,
-      shortlistK: Int = 100): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
+  /** Normalized-seed sample sub-codebooks, in DOUBLE (norm =
+    * full-vector double fold in dimension order — the same arithmetic
+    * the encode expression, the query table HOF, and the DuckDB oracle
+    * all use, so every engine sees bit-identical codebook cells).
+    */
+  private def sampleCodebooks(spark: SparkSession, sfDir: String,
+      nSeeds: Int, m: Int): Array[Array[Array[Double]]] = {
     val subDim = Dim / m
     val seeds = ivfQuantizer(spark, sfDir, nSeeds)
-    // normalized-seed sub-codebooks, in DOUBLE (norm = full-vector
-    // double fold in dimension order — the same arithmetic the encode
-    // expression, the query table HOF, and the DuckDB oracle all use,
-    // so every engine sees bit-identical codebook cells)
-    val codebooks: Array[Array[Array[Double]]] = {
-      val normed = seeds.map { case (_, f) =>
-        var nx = 0.0
-        var i = 0
-        while (i < f.length) { val x = f(i).toDouble; nx += x * x; i += 1 }
-        val norm = if (nx == 0.0) 1.0 else math.sqrt(nx)
-        f.map(_.toDouble / norm)
-      }
-      Array.tabulate(m)(s => normed.map(_.slice(s * subDim, (s + 1) * subDim)))
+    val normed = seeds.map { case (_, f) =>
+      var nx = 0.0
+      var i = 0
+      while (i < f.length) { val x = f(i).toDouble; nx += x * x; i += 1 }
+      val norm = if (nx == 0.0) 1.0 else math.sqrt(nx)
+      f.map(_.toDouble / norm)
     }
+    Array.tabulate(m)(s => normed.map(_.slice(s * subDim, (s + 1) * subDim)))
+  }
+
+  def annPq(spark: SparkSession, sfDir: String, nQueries: Int = 10,
+      k: Int = 5, nSeeds: Int = 16, m: Int = 8,
+      shortlistK: Int = 100): DataFrame =
+    pqSearch(spark, sfDir, sampleCodebooks(spark, sfDir, nSeeds, m),
+      nQueries, k, shortlistK)
+
+  /** The PQ search pipeline over a given codebook (shared by the
+    * sample-codebook q138 and the trained q142): encode → codes-table
+    * ADC scan → shortlist → exact re-rank.
+    */
+  private def pqSearch(spark: SparkSession, sfDir: String,
+      codebooks: Array[Array[Array[Double]]], nQueries: Int,
+      k: Int, shortlistK: Int): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val m = codebooks.length
+    val subDim = codebooks(0)(0).length
     // codes table: (vec_id, s, j) — M ints per vector, the PQ "index"
     val codes = emb.select(col("vec_id"),
         posexplode(graft.functions.pq_encode(col("embedding"), codebooks)))
       .toDF("vec_id", "s", "j")
     // per-query subspace distance table: nQueries x M x K rows
     val cbDf = spark.createDataFrame(
-        for (s <- 0 until m; j <- seeds.indices)
+        for (s <- 0 until m; j <- codebooks(s).indices)
           yield (s, j, codebooks(s)(j).toSeq))
       .toDF("s", "j", "subvec")
       .select(col("s"), col("j"), col("subvec").cast("array<double>"))
@@ -577,6 +592,118 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  // Trained codebooks by (sfDir, embeddings mtime, nSeeds, m): the
+  // Lloyd-step fit is a model FIT like ivfQuantizer — computed once per
+  // corpus, reused by every query construction, invalidated on rewrite.
+  private val trainedCbCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Int, Int),
+      Array[Array[Array[Double]]]]()
+
+  /** One Lloyd refinement of the sample sub-codebooks (q142's fit):
+    * assign every normalized subvector to its nearest sample
+    * sub-centroid, then replace each sub-centroid with the MEAN of its
+    * members; codes with no members keep their sample centroid.
+    *
+    * Engine-exactness (the q128 kmeans discipline adapted to a mean
+    * that L2 needs — cosine let kmeans skip the division):
+    *  - member coordinates are full-mantissa doubles (float/norm), so
+    *    their decimal cast could land on a rounding half-way point;
+    *    accumulate `floor(x*1e9)` BIGINTs instead — exact and
+    *    engine-identical, defining the trained centroid as the
+    *    1e-9-quantized mean (a model constant, not an approximation
+    *    hazard: both engines fit THE SAME model);
+    *  - the mean is `CAST(sum AS DOUBLE)/1e9/CAST(n AS DOUBLE)` — the
+    *    sum stays exact below 2^53 (assert-guarded; ~9e6 members per
+    *    code) and the two divisions are correctly-rounded IEEE ops,
+    *    identical in Spark, Scala, and DuckDB.
+    *
+    * Scale shape: one broadcast of the m*K sample centroids, one
+    * map-side argmin, one (s, j, dim)-grain partial-aggregated shuffle
+    * of m*K*subDim BIGINT cells, one bounded m*K-row collect (the
+    * model fetch). Additional Lloyd rounds would chain the same shape.
+    */
+  private[graft] def trainedCodebooks(spark: SparkSession, sfDir: String,
+      nSeeds: Int, m: Int): Array[Array[Array[Double]]] =
+    trainedCbCache.computeIfAbsent(
+      (sfDir, embeddingsMtime(sfDir), nSeeds, m), _ => {
+        val subDim = Dim / m
+        val sample = sampleCodebooks(spark, sfDir, nSeeds, m)
+        val cb0 = spark.createDataFrame(
+            for (s <- 0 until m; j <- sample(s).indices)
+              yield (s, j, sample(s)(j).toSeq))
+          .toDF("s", "j", "subvec")
+          .select(col("s"), col("j"), col("subvec").cast("array<double>"))
+        val en = Tables.embeddings(spark, sfDir)
+          .withColumn("nr", expr(
+            """aggregate(embedding, CAST(0 AS DOUBLE),
+              |  (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"""
+              .stripMargin))
+          .withColumn("e_n", expr(
+            """transform(embedding, x -> CAST(x AS DOUBLE) /
+              |  (CASE WHEN nr = CAST(0 AS DOUBLE) THEN CAST(1 AS DOUBLE)
+              |        ELSE sqrt(nr) END))""".stripMargin))
+          .select(col("vec_id"), col("e_n"))
+        val subpoints = en.select(col("vec_id"), explode(expr(
+            s"""transform(sequence(0, ${m - 1}), s ->
+               |  struct(s AS s,
+               |    slice(e_n, s * $subDim + 1, $subDim) AS subvec))"""
+              .stripMargin)).as("p"))
+          .select(col("vec_id"), col("p.s").as("s"),
+            col("p.subvec").as("subvec"))
+        // argmin assignment: (d2, j) struct-min; j unique -> the
+        // subvec payload is never compared (assignToCentroids idiom)
+        val best = subpoints
+          .join(broadcast(cb0.withColumnRenamed("subvec", "cent")), Seq("s"))
+          .withColumn("d2", expr(
+            """aggregate(zip_with(subvec, cent,
+              |    (x, c) -> (x - c) * (x - c)),
+              |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin))
+          .groupBy("vec_id", "s")
+          .agg(min(struct(col("d2"), col("j"), col("subvec"))).as("b"))
+          .select(col("s"), col("b.j").as("j"), col("b.subvec").as("subvec"))
+        val sums = best
+          .select(col("s"), col("j"),
+            posexplode(col("subvec")).as(Seq("dim", "x")))
+          .groupBy("s", "j", "dim")
+          .agg(sum(floor(col("x") * lit(1e9)).cast("bigint")).as("sf"),
+            count(lit(1)).as("n"))
+          // 2^53 fence (the kmeans idiom): beyond ~9e6 members per code
+          // the BIGINT->double cast stops being exact — fail loudly
+          .withColumn("sf", when(
+            assert_true(abs(col("sf")) < lit(9000000000000000L),
+              lit("pq train: |centroid-dim sum| >= 9e15 - the" +
+                " bigint->double cast is no longer exact; shard the" +
+                " code or add a hi/lo split")).isNull,
+            col("sf")))
+        val grid = cb0.select(col("s"), col("j"),
+          posexplode(col("subvec")).as(Seq("dim", "c0")))
+        val trained = grid.join(sums, Seq("s", "j", "dim"), "left")
+          .withColumn("c", coalesce(
+            col("sf").cast("double") / lit(1e9) / col("n").cast("double"),
+            col("c0")))
+          .groupBy("s", "j")
+          .agg(expr("transform(sort_array(collect_list(struct(dim, c)))," +
+            " p -> p.c)").as("subvec"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1),
+            r.getAs[scala.collection.Seq[Double]]("subvec").toArray))
+        val k = sample(0).length
+        val out = Array.tabulate(m, k)((_, _) => Array.empty[Double])
+        trained.foreach { case (s, j, v) => out(s)(j) = v }
+        require(out.forall(_.forall(_.nonEmpty)), "pq train: missing cell")
+        out
+      })
+
+  /** q142 — PQ ANN over the TRAINED sub-codebooks (one Lloyd step,
+    * [[trainedCodebooks]]): identical search pipeline to q138, better
+    * reconstruction. The oracle restates fit AND search in SQL.
+    */
+  def annPqTrained(spark: SparkSession, sfDir: String, nQueries: Int = 10,
+      k: Int = 5, nSeeds: Int = 16, m: Int = 8,
+      shortlistK: Int = 100): DataFrame =
+    pqSearch(spark, sfDir, trainedCodebooks(spark, sfDir, nSeeds, m),
+      nQueries, k, shortlistK)
+
   /** DuckDB oracle for [[annPq]]: sample sub-codebooks, argmin encoding,
     * and the fixed-order ADC pivot stated directly in SQL. One shared
     * `vdist` CTE carries every (vector, subspace, code) squared
@@ -585,7 +712,64 @@ object Similarity {
     * double fold in the same dimension order as the Spark side.
     */
   def annPqSql(nQueries: Int = 10, k: Int = 5, nSeeds: Int = 16,
+      m: Int = 8, shortlistK: Int = 100): String =
+    pqSqlWith("", "cb", nQueries, k, nSeeds, m, shortlistK)
+
+  /** DuckDB oracle for [[annPqTrained]]: the sample-codebook chain plus
+    * the one-Lloyd-step fit (argmin assignment, floor(x*1e9) BIGINT
+    * sums, grid LEFT JOIN with the sample fallback, the same
+    * double-division mean) — then the identical search tail over `cbt`.
+    */
+  def annPqTrainedSql(nQueries: Int = 10, k: Int = 5, nSeeds: Int = 16,
       m: Int = 8, shortlistK: Int = 100): String = {
+    val subDim = Dim / m
+    val train =
+      s""",
+         |spt AS (
+         |  SELECT e.vec_id, CAST(t.s AS INT) AS s,
+         |         e.e_n[CAST(t.s * $subDim + 1 AS INT) :
+         |               CAST(t.s * $subDim + $subDim AS INT)] AS subvec
+         |  FROM en e CROSS JOIN range(0, $m) t(s)),
+         |bestq AS (
+         |  SELECT s, j, subvec FROM (
+         |    SELECT p.vec_id, p.s, c.j, p.subvec,
+         |      row_number() OVER (PARTITION BY p.vec_id, p.s
+         |        ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |          list_transform(range(1, $subDim + 1), i ->
+         |            (p.subvec[CAST(i AS INT)] - c.subvec[CAST(i AS INT)]) *
+         |            (p.subvec[CAST(i AS INT)] - c.subvec[CAST(i AS INT)]))),
+         |          (acc, v) -> acc + v) ASC, c.j ASC) AS rn
+         |    FROM spt p JOIN cb c ON c.s = p.s)
+         |  WHERE rn = 1),
+         |sums AS (
+         |  SELECT s, j, CAST(r.dim AS INT) AS dim,
+         |    CAST(SUM(CAST(floor(subvec[CAST(r.dim AS INT)]
+         |      * 1000000000.0) AS BIGINT)) AS BIGINT) AS sf,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM bestq CROSS JOIN range(1, $subDim + 1) r(dim)
+         |  GROUP BY 1, 2, 3),
+         |grid AS (
+         |  SELECT s, j, CAST(r.dim AS INT) AS dim,
+         |         subvec[CAST(r.dim AS INT)] AS c0
+         |  FROM cb CROSS JOIN range(1, $subDim + 1) r(dim)),
+         |cbt AS (
+         |  SELECT s, j, list(c ORDER BY dim) AS subvec FROM (
+         |    SELECT g.s, g.j, g.dim,
+         |      COALESCE(CAST(sm.sf AS DOUBLE) / 1000000000.0
+         |                 / CAST(sm.n AS DOUBLE), g.c0) AS c
+         |    FROM grid g LEFT JOIN sums sm
+         |      ON sm.s = g.s AND sm.j = g.j AND sm.dim = g.dim)
+         |  GROUP BY 1, 2)""".stripMargin
+    pqSqlWith(train, "cbt", nQueries, k, nSeeds, m, shortlistK)
+  }
+
+  /** Shared oracle body: normalization, seeds, the sample codebook
+    * `cb`, optional extra CTEs, then the ADC search tail over
+    * `cbName`.
+    */
+  private def pqSqlWith(extraCtes: String, cbName: String,
+      nQueries: Int, k: Int, nSeeds: Int, m: Int,
+      shortlistK: Int): String = {
     val subDim = Dim / m
     val adcSum = (0 until m)
       .map(s => s"MAX(CASE WHEN c.s = $s THEN q.d2 END)")
@@ -618,7 +802,7 @@ object Similarity {
        |  SELECT CAST(t.s AS INT) AS s, seeds.j,
        |         centroid[CAST(t.s * $subDim + 1 AS INT) :
        |                  CAST(t.s * $subDim + $subDim AS INT)] AS subvec
-       |  FROM seeds CROSS JOIN range(0, $m) t(s)),
+       |  FROM seeds CROSS JOIN range(0, $m) t(s))$extraCtes,
        |vdist AS (
        |  SELECT e.vec_id, cb.s, cb.j,
        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -628,7 +812,7 @@ object Similarity {
        |        (e.e_n[CAST(cb.s * $subDim + i AS INT)]
        |          - cb.subvec[CAST(i AS INT)]))),
        |      (acc, v) -> acc + v) AS d2
-       |  FROM en e CROSS JOIN cb),
+       |  FROM en e CROSS JOIN $cbName cb),
        |codes AS (
        |  SELECT vec_id, s, j FROM (
        |    SELECT vec_id, s, j,

@@ -145,6 +145,27 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("trained PQ codebooks move off the sample seeds and keep recall") {
+    val bf = Similarity.knnBruteForce(spark, sf0001)
+      .select("query_id", "neighbor_id")
+    val pq = Similarity.annPqTrained(spark, sf0001)
+      .select("query_id", "neighbor_id")
+    val recall = bf.intersect(pq).count().toDouble / bf.count()
+    // measured 0.82 (trained) vs 0.76 (sample) at sf0.01; same floor
+    // as the sample variant — the point pinned here is the FIT runs
+    // and the searcher still recalls, not a strict ordering (one Lloyd
+    // step on isotropic data can tie)
+    assert(recall > 0.5, s"trained PQ recall $recall too low")
+    // the fit actually moved the codebook (a mean of >1 members is
+    // almost surely not a corpus point)
+    val sample = Similarity.annPq(spark, sf0001)
+      .select("query_id", "neighbor_id", "rank").collect().toSeq
+    val trained = Similarity.annPqTrained(spark, sf0001)
+      .select("query_id", "neighbor_id", "rank").collect().toSeq
+    assert(sample != trained,
+      "trained and sample PQ returned identical rankings — fit is a no-op?")
+  }
+
   test("semantic dedup finds within-cluster pairs; cap bounds the work") {
     val full = Similarity.semanticDedup(spark, sf0001).collect()
     assert(full.nonEmpty, "no within-cluster pairs at the demo threshold")
