@@ -304,6 +304,16 @@ object SparkEntry {
     // across data batches is driver-checked (self-asserts >1 data batch)
     "q134_streaming_batched" -> ((s, d) =>
       graft.streaming.EventStreams.sessionWindowsBatchedReplay(s, d)),
+    // DURABLE parquet sink + checkpoint: killed mid-replay after >=1
+    // committed batch, restarted, drained — exactly-once across the
+    // kill, batch-read back through the sink's _spark_metadata log
+    "q143_streaming_restart" -> ((s, d) =>
+      graft.streaming.EventStreams.sessionWindowsDurableRestart(s, d)),
+    // watermark ENFORCEMENT: a deliberately-late tail file (copy of the
+    // oldest bucket, highest mtime) must be dropped without trace
+    // (self-asserts numRowsDroppedByWatermark > 0)
+    "q146_streaming_late" -> ((s, d) =>
+      graft.streaming.EventStreams.sessionWindowsLateReplay(s, d)),
     // general-path PageRank: DIRECTED co-purchase edges (low->high part
     // key) with genuine dangling nodes; per-iteration mass redistribution
     "q135_directed_rank" -> ((s, d) => Graph.directedRank(s, d)),
@@ -476,5 +486,13 @@ object SparkEntry {
     "q134_streaming_batched" ->
       graft.streaming.EventStreams.sessionWindowsAvailableNowSql,
     "q135_directed_rank" -> Graph.directedRankSql(),
+    // kill/restart through a durable parquet sink: exactly-once means
+    // the recovered sink equals the same final-watermark cutoff
+    "q143_streaming_restart" ->
+      graft.streaming.EventStreams.sessionWindowsAvailableNowSql,
+    // the late tail must be watermark-DROPPED without trace: emitted
+    // set equals the cutoff over the ORIGINAL events
+    "q146_streaming_late" ->
+      graft.streaming.EventStreams.sessionWindowsAvailableNowSql,
   )
 }

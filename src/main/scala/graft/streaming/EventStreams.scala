@@ -519,9 +519,11 @@ object EventStreams {
     * (graft.devtools.DevStream).
     */
   def stageChronologicalEvents(spark: SparkSession, sfDir: String,
-      nFiles: Int): String = {
+      nFiles: Int, lateTail: Boolean = false): String = {
+    val suffix = if (lateTail) "_late" else ""
     val staging = new java.io.File("/tmp/graft_stage",
-      "batched_events_" + Integer.toHexString(sfDir.hashCode))
+      "batched_events_" + Integer.toHexString(sfDir.hashCode) + suffix)
+    val totalFiles = nFiles + (if (lateTail) 1 else 0)
     // freshness fingerprint, the Tables.eventsTsIsNanos idiom: reuse the
     // staged split only when it was built from the CURRENT source file
     // and the same nFiles — a testdata regen (new mtime) or a different
@@ -532,12 +534,17 @@ object EventStreams {
       try new java.io.File(sfDir, "events.parquet").lastModified
       catch { case _: Exception => 0L }
     val marker = new java.io.File(staging, "_graft_stage_key")
-    val key = s"$srcMtime#$nFiles"
+    val key = s"$srcMtime#$nFiles#$lateTail"
+    // the marker alone is not proof the data files survived (an
+    // age-based /tmp cleaner can remove the ~1970-mtime part files but
+    // keep the fresher marker): freshness requires the key to match AND
+    // every expected data file to still exist
     val fresh = srcMtime > 0L && marker.exists && {
       try new String(java.nio.file.Files.readAllBytes(marker.toPath),
         "UTF-8") == key
       catch { case _: Exception => false }
-    }
+    } && (0 until totalFiles).forall(i =>
+      new java.io.File(staging, f"b$i%04d.parquet").exists)
     if (fresh) return staging.getPath
     org.apache.commons.io.FileUtils.deleteQuietly(staging)
     staging.mkdirs()
@@ -550,9 +557,14 @@ object EventStreams {
     val ev = evAll.withColumn("_b",
         expr(s"CAST(((unix_micros(ts) - ${lo}L) * $nFiles) div ${span}L AS INT)"))
       .localCheckpoint(true) // one scan, reused by every bucket write
-    (0 until nFiles).foreach { i =>
+    // with lateTail the LAST staged file is a verbatim copy of the
+    // OLDEST bucket: by the time the source reaches it the watermark
+    // sits near the stream's end, so every row in it is late beyond the
+    // delay and must be watermark-DROPPED (q146's fixture)
+    val buckets = (0 until nFiles) ++ (if (lateTail) Seq(0) else Seq.empty)
+    buckets.zipWithIndex.foreach { case (b, i) =>
       val tmp = new java.io.File(staging, s"_w$i")
-      ev.filter(col("_b") === i).drop("_b")
+      ev.filter(col("_b") === b).drop("_b")
         .coalesce(1).write.parquet(tmp.getPath)
       val part = tmp.listFiles.find(_.getName.endsWith(".parquet")).get
       val dest = new java.io.File(staging, f"b$i%04d.parquet")
@@ -568,6 +580,115 @@ object EventStreams {
     // reading it as data (Spark skips _/. -prefixed files)
     java.nio.file.Files.write(marker.toPath, key.getBytes("UTF-8"))
     staging.getPath
+  }
+
+  /** q143 — DURABLE sink + checkpoint-recovery restart, the
+    * production promise every memory-sink replay leaves unexercised:
+    * the chronological multi-file replay (q134's staging) written
+    * through `writeStream.format("parquet")` with a real
+    * `checkpointLocation`, STOPPED mid-replay after at least one
+    * committed data batch, then RESTARTED from the same checkpoint and
+    * drained. Exactly-once across the kill is what the checkpoint (WAL
+    * offsets + state store) and the file sink's `_spark_metadata`
+    * transaction log jointly guarantee: the restarted query re-plans
+    * the killed in-flight batch from the WAL, session state spanning
+    * the kill point is recovered from the state store snapshot, and a
+    * batch the sink already committed is skipped — so the final sink
+    * holds each emitted session EXACTLY once, no duplicates from the
+    * re-run batch, no gap from the kill. The final emitted set is the
+    * same final-watermark cutoff as q125/q134 (chronological staging:
+    * nothing is ever late), so the oracle is the same SQL; what this
+    * row adds is that the set survived a kill/restart THROUGH a durable
+    * sink (the batch read of the sink directory resolves committed
+    * files via `_spark_metadata`, exactly the view a downstream
+    * consumer sees).
+    *
+    * Self-checks: ≥1 data batch committed BEFORE the stop (the restart
+    * genuinely recovers prior progress, it is not a fresh run) and ≥1
+    * data batch committed AFTER it (the restart did real work) — both
+    * from `recentProgress`, the q134 probe. Sink + checkpoint dirs are
+    * rebuilt per invocation, so each call exercises the full cycle.
+    *
+    * Scale: checkpoint/sink transaction-log IO is per-BATCH, not
+    * per-row; at 100 TB the identical topology holds — state sharded
+    * by key hash across executors, recovery reading one state snapshot
+    * + WAL entry per partition, the sink log compacting every 10
+    * batches (`spark.sql.streaming.fileSink.log.compactInterval`).
+    */
+  def sessionWindowsDurableRestart(spark: SparkSession, sfDir: String,
+      nFiles: Int = 4): DataFrame = {
+    val staging = stageChronologicalEvents(spark, sfDir, nFiles)
+    val base = new java.io.File("/tmp/graft_stream_sink",
+      "restart_" + Integer.toHexString(sfDir.hashCode))
+    org.apache.commons.io.FileUtils.deleteQuietly(base)
+    val sinkDir = new java.io.File(base, "out").getPath
+    val ckptDir = new java.io.File(base, "ckpt").getPath
+    def start() = sessionWindows(
+        readEventStream(spark, staging, maxFilesPerTrigger = Some(1)))
+      .writeStream.format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", ckptDir)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val (d1, d2) = withStatePartitions(spark, 8) {
+      // ---- run 1: kill after the first committed data batch ----
+      val q1 = start()
+      val deadline = System.nanoTime + 120L * 1000 * 1000 * 1000
+      while (q1.isActive && System.nanoTime < deadline &&
+          !q1.recentProgress.exists(_.numInputRows > 0))
+        Thread.sleep(2)
+      q1.stop()
+      q1.awaitTermination()
+      val committed1 = q1.recentProgress.count(_.numInputRows > 0)
+      // ---- run 2: recover from the checkpoint, drain to the end ----
+      val q2 = start()
+      q2.awaitTermination()
+      (committed1, q2.recentProgress.count(_.numInputRows > 0))
+    }
+    require(d1 >= 1, s"restart harness: first run committed $d1 data " +
+      "batches before the stop - recovery was not exercised")
+    require(d2 >= 1, s"restart harness: restarted run committed $d2 " +
+      "data batches - the kill landed after the replay already drained")
+    // batch read of the sink: committed files only, via _spark_metadata
+    spark.read.parquet(sinkDir)
+      .orderBy("user_id", "session_start")
+  }
+
+  /** q146 — watermark ENFORCEMENT made driver-visible (q134 proves the
+    * watermark advances across batches; this proves it DROPS): the
+    * chronological staging plus one deliberately-late tail file — a
+    * verbatim copy of the OLDEST time bucket, staged with the HIGHEST
+    * mtime so it arrives after the watermark has advanced to the
+    * stream's end. Every row in it is then older than
+    * `watermark = max(ts) − 10 min` by days, so the session operator
+    * drops all of them (`numRowsDroppedByWatermark`, asserted > 0 —
+    * the fixture would otherwise re-open long-closed sessions and the
+    * oracle would catch the duplicate session rows). The emitted set is
+    * therefore exactly q125's final-watermark cutoff over the ORIGINAL
+    * events — same oracle SQL; the fixture's rows must leave no trace.
+    */
+  def sessionWindowsLateReplay(spark: SparkSession, sfDir: String,
+      nFiles: Int = 4): DataFrame = {
+    val staging = stageChronologicalEvents(spark, sfDir, nFiles,
+      lateTail = true)
+    val name = "graft_stream_late_" + runCounter.incrementAndGet()
+    val dropped = withStatePartitions(spark, 8) {
+      val q = sessionWindows(
+        readEventStream(spark, staging, maxFilesPerTrigger = Some(1)))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsDroppedByWatermark).sum
+    }
+    require(dropped > 0,
+      "late replay: numRowsDroppedByWatermark == 0 - the late tail " +
+        "was not dropped, the watermark did not enforce")
+    spark.table(name)
+      .orderBy("user_id", "session_start")
   }
 
   def hourlyByTypeAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
@@ -591,8 +712,13 @@ object EventStreams {
     * constant regardless of how many users a window sees, which is the
     * streaming form of the q45 story: an exact streaming COUNT
     * DISTINCT would have to carry every user id seen per open window
-    * in the state store; the sketch caps state at registers ×
-    * open-windows. Same AvailableNow replay harness as q124; rows-only
+    * in the state store; the sketch caps state PER WINDOW at the
+    * register count. (This replay runs in Complete output mode — like
+    * q124 — where the watermark never evicts window state, so the
+    * store retains every window ever seen; the per-window bound is
+    * what the sketch buys. A long-running deployment bounds the window
+    * COUNT too by running Append/Update, where the watermark evicts
+    * closed windows.) Same AvailableNow replay harness as q124; rows-only
     * registration (sketch estimates are engine-specific — DuckDB has
     * no xxhash64), tolerance vs the batch-exact counts in
     * StreamingSpec.

@@ -75,10 +75,21 @@ class MtimeCacheSpec extends SparkSpec {
     val staged = staging.listFiles.filter(_.getName.endsWith(".parquet"))
     assert(staged.length === 2)
 
-    // cache hit: a second call must NOT rebuild (deleted file stays gone)
+    // cache hit: same source + same split must NOT rebuild (the staged
+    // files keep their pinned ~1970 mtimes across the second call)
+    val pinnedMtimes = staged.map(f => f.getName -> f.lastModified).toMap
+    graft.streaming.EventStreams.stageChronologicalEvents(spark, dir.getPath, 2)
+    staging.listFiles.filter(_.getName.endsWith(".parquet")).foreach(f =>
+      assert(f.lastModified === pinnedMtimes(f.getName),
+        "same source mtime must reuse the staging, not rewrite it"))
+
+    // a staged data file lost under a still-fresh marker (an age-based
+    // /tmp cleaner removes ~1970-mtime files but keeps the fresher
+    // marker) must be a cache MISS: the marker alone is not proof
     staged.head.delete()
     graft.streaming.EventStreams.stageChronologicalEvents(spark, dir.getPath, 2)
-    assert(!staged.head.exists, "same source mtime must reuse the staging")
+    assert(new File(staging, staged.head.getName).exists,
+      "missing staged file must trigger a rebuild")
 
     // different nFiles -> miss; rewrite source -> miss (fresh split)
     writeTable(dir, "events", events(100L), f1.lastModified)

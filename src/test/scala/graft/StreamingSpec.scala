@@ -135,6 +135,38 @@ class StreamingSpec extends SparkSpec {
     assert(multi.nonEmpty)
   }
 
+  test("q143 kill/restart through a durable sink: exactly-once, no duplicates, no gaps") {
+    // the helper kills the query after >=1 committed data batch and
+    // restarts it from the checkpoint (self-asserts both runs committed
+    // data batches, throwing if recovery was not actually exercised)
+    val recovered = EventStreams.sessionWindowsDurableRestart(spark, sf0001)
+      .collect().toSeq
+    // no duplicates: a re-run batch double-committing to the sink would
+    // duplicate (user, session_start) keys
+    val keys = recovered.map(r => (r.getLong(2), r.getTimestamp(0)))
+    assert(keys.distinct.size === keys.size,
+      "duplicate sessions in the recovered sink")
+    // no gaps: the recovered sink equals the uninterrupted emitted set
+    val single = EventStreams.sessionWindowsAvailableNow(spark, sf0001)
+      .select("session_start", "session_end", "user_id", "n_events",
+        "sum_value")
+      .collect().toSeq
+    assert(recovered.map(_.toSeq).toSet === single.map(_.toSeq).toSet)
+    assert(recovered.nonEmpty)
+  }
+
+  test("q146 late tail is watermark-dropped without trace") {
+    // the helper self-asserts numRowsDroppedByWatermark > 0; the
+    // emitted set must equal the clean replay's (the late copies of
+    // old events leave no trace - no re-opened sessions)
+    val late = EventStreams.sessionWindowsLateReplay(spark, sf0001)
+      .collect().toSeq
+    val single = EventStreams.sessionWindowsAvailableNow(spark, sf0001)
+      .collect().toSeq
+    assert(late === single)
+    assert(late.nonEmpty)
+  }
+
   test("q141 streaming HLL distinct tracks batch-exact counts per window") {
     val got = EventStreams.hourlyDistinctApproxAvailableNow(spark, sf0001)
       .collect()
