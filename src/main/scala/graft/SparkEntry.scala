@@ -87,6 +87,10 @@ object SparkEntry {
     // PQ over TRAINED sub-codebooks (one Lloyd step, engine-exact
     // quantized-mean fit); same search tail as q138
     "q142_ann_pq_trained" -> ((s, d) => Similarity.annPqTrained(s, d)),
+    // IVF×PQ composition (IVFADC): coarse cells prune the ADC scan to
+    // each query's nprobe nearest cells; trained codebooks + the same
+    // shortlist/re-rank tail
+    "q144_ann_ivf_pq" -> ((s, d) => Similarity.annIvfPq(s, d)),
     // streaming approx-distinct: the HLL register buffer as windowed
     // state (constant per open window); rows-only, StreamingSpec holds
     // the tolerance vs batch-exact counts
@@ -372,6 +376,7 @@ object SparkEntry {
     "q139_sampled_kpi" -> Insights.sampledKpiSql(),
     "q140_semantic_dedup" -> Similarity.semanticDedupSql(),
     "q142_ann_pq_trained" -> Similarity.annPqTrainedSql(),
+    "q144_ann_ivf_pq" -> Similarity.annIvfPqSql(),
     "q35_media_frames" -> Multimodal.mediaFramesSql,
     "q36_clean_sales" -> CleanCsv.cleanSalesCsvSql,
     "q37_clean_products" -> CleanCsv.cleanProductsCsvSql,

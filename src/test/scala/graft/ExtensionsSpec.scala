@@ -166,6 +166,98 @@ class ExtensionsSpec extends SparkSpec {
       "trained and sample PQ returned identical rankings — fit is a no-op?")
   }
 
+  test("second Lloyd round: distortion keeps falling, recall stays at the knee") {
+    // mean quantization distortion (min squared L2 to the nearest
+    // sub-centroid, over all normalized subvectors) must fall
+    // monotonically sample -> iter1 -> iter2: each refit is a genuine
+    // Lloyd descent step. Recall@5 does NOT improve past iter 1 on the
+    // isotropic corpus (measured 0.82 iter1 vs 0.78 iter2 at sf0.01) —
+    // the measured justification for registering q142 at iters = 1.
+    val m = 8
+    val subDim = Similarity.Dim / m
+    val vecs = graft.sources.Tables.embeddings(spark, sf0001)
+      .select("embedding").collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+      .map { f =>
+        var nx = 0.0
+        f.foreach(x => nx += x.toDouble * x.toDouble)
+        val nrm = if (nx == 0.0) 1.0 else math.sqrt(nx)
+        f.map(_.toDouble / nrm)
+      }
+    def distortion(cb: Array[Array[Array[Double]]]): Double = {
+      var total = 0.0
+      var n = 0L
+      vecs.foreach { v =>
+        for (s <- 0 until m) {
+          var best = Double.MaxValue
+          cb(s).foreach { c =>
+            var d2 = 0.0
+            var i = 0
+            while (i < subDim) {
+              val d = v(s * subDim + i) - c(i); d2 += d * d; i += 1
+            }
+            if (d2 < best) best = d2
+          }
+          total += best; n += 1
+        }
+      }
+      total / n
+    }
+    val d0 = distortion(Similarity.sampleCodebooks(spark, sf0001, 16, m))
+    val d1 = distortion(Similarity.trainedCodebooks(spark, sf0001, 16, m))
+    val d2 = distortion(
+      Similarity.trainedCodebooks(spark, sf0001, 16, m, iters = 2))
+    assert(d1 < d0, s"iter1 distortion $d1 !< sample $d0")
+    assert(d2 < d1, s"iter2 distortion $d2 !< iter1 $d1")
+    val bf = Similarity.knnBruteForce(spark, sf0001)
+      .select("query_id", "neighbor_id")
+    val pq2 = Similarity.annPqTrained(spark, sf0001, iters = 2)
+      .select("query_id", "neighbor_id")
+    val recall2 = bf.intersect(pq2).count().toDouble / bf.count()
+    assert(recall2 > 0.5, s"iters=2 recall $recall2 too low")
+  }
+
+  test("IVF×PQ prunes the candidate scan; recall tracks the nprobe dial") {
+    val bf = Similarity.knnBruteForce(spark, sf0001)
+      .select("query_id", "neighbor_id")
+    def recall(nprobe: Int): Double = {
+      val got = Similarity.annIvfPq(spark, sf0001, nprobe = nprobe)
+        .select("query_id", "neighbor_id")
+      bf.intersect(got).count().toDouble / bf.count()
+    }
+    // isotropic corpus: recall ~ probed-cell coverage (measured 0.54 /
+    // 0.68 at nprobe 4 / 8, sf0.01); the dial must be usable and
+    // widening the probe list must not lose pairs
+    val r4 = recall(4)
+    val r16 = recall(16)
+    assert(r4 > 0.4, s"IVF×PQ recall@nprobe=4 $r4 too low")
+    assert(r16 >= r4, s"full-probe recall $r16 < pruned $r4")
+    // nprobe = nClusters disables pruning: must equal flat trained PQ
+    // (same codebooks, same shortlist) exactly
+    val flat = Similarity.annPqTrained(spark, sf0001)
+      .collect().toSeq
+    val full = Similarity.annIvfPq(spark, sf0001, nprobe = 16)
+      .collect().toSeq
+    assert(full === flat,
+      "nprobe=nClusters IVF×PQ must equal flat trained PQ")
+    // the pruning is real: candidate volume at nprobe=4 is ~1/4 of
+    // flat (measured via the coarse assignment itself)
+    val centroids = Similarity.ivfQuantizer(spark, sf0001, 16).map(_._2)
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val assigned = emb.select(org.apache.spark.sql.functions.col("vec_id"),
+      graft.functions.argmax_cosine(
+        org.apache.spark.sql.functions.col("embedding"), centroids)
+        .as("cluster"))
+    val counts = assigned.groupBy("cluster").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum
+    // mean cell occupancy: 4 probed cells cover ~4/16 of the corpus
+    // (exact share varies with cell balance; assert it's a genuine cut)
+    val worstFourCells = counts.values.toSeq.sorted.takeRight(4).sum
+    assert(worstFourCells < n * 0.8,
+      s"4 largest cells hold $worstFourCells of $n rows - no pruning")
+  }
+
   test("semantic dedup finds within-cluster pairs; cap bounds the work") {
     val full = Similarity.semanticDedup(spark, sf0001).collect()
     assert(full.nonEmpty, "no within-cluster pairs at the demo threshold")

@@ -299,6 +299,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
   }
 
+  test("q138 PQ: one materialized embeddings scan (no FileScan re-reads)") {
+    // round-7 verdict: pqSearch re-derived the embeddings scan 8 times
+    // (encode, query table, re-rank fetch each re-read the parquet);
+    // the localCheckpoint must collapse every consumer onto one
+    // materialized scan
+    val df = graft.operators.Similarity.annPq(spark, sf0001)
+    df.collect()
+    val p = plan(df)
+    assert("FileScan".r.findAllIn(p).length === 0,
+      s"embeddings parquet re-read crept back into pqSearch:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"expected the localCheckpoint scan:\n$p")
+  }
+
+  test("q144 IVF×PQ: codes scan is cell-filtered by broadcast probes, no cartesian") {
+    val df = graft.operators.Similarity.annIvfPq(spark, sf0001)
+    df.collect()
+    val p = plan(df)
+    // the probe list and the distance table both broadcast onto the
+    // codes scan; candidate generation stays map-side
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe/distance joins must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"ADC candidate generation must not shuffle-join:\n$p")
+    // the cluster equi-key is the pruning: it must appear as a join key
+    assert(p.contains("cluster"),
+      s"cell filter missing from the executed plan:\n$p")
+  }
+
   test("q139 sampled KPI: one scan, sample filter below the aggregate") {
     val df = graft.operators.Insights.sampledKpi(spark, sf0001)
     df.collect()
