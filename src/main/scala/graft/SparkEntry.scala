@@ -332,6 +332,10 @@ object SparkEntry {
     // sampled KPI + CLT error bar (AQP): deterministic hash-sample,
     // 1/p extrapolation, exact-moment arithmetic -> full oracle
     "q139_sampled_kpi" -> ((s, d) => Insights.sampledKpi(s, d)),
+    // sampled GROUP-BY AQP: per-brand revenue estimates + per-group HT
+    // 95% intervals from the same deterministic sample panel (q139's
+    // buckets); sample filter below the broadcast dim join
+    "q145_sampled_groups" -> ((s, d) => Insights.sampledGroupKpi(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -374,6 +378,7 @@ object SparkEntry {
     "q34_ann_ivf" -> Similarity.annIvfSql(),
     "q138_ann_pq" -> Similarity.annPqSql(),
     "q139_sampled_kpi" -> Insights.sampledKpiSql(),
+    "q145_sampled_groups" -> Insights.sampledGroupKpiSql(),
     "q140_semantic_dedup" -> Similarity.semanticDedupSql(),
     "q142_ann_pq_trained" -> Similarity.annPqTrainedSql(),
     "q144_ann_ivf_pq" -> Similarity.annIvfPqSql(),

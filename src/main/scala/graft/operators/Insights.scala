@@ -572,6 +572,85 @@ object Insights {
        |FROM agg""".stripMargin
   }
 
+  /** q145 — sampled GROUP-BY AQP: per-brand revenue estimates with
+    * per-group Horvitz-Thompson 95% intervals, the dashboard-
+    * accelerator shape of q139 (which stops at one grand total). Same
+    * deterministic Bernoulli-by-hash panel — q139's `aqp` bucket key,
+    * so the 1% KPI sample is a nested subset of this 10% group panel
+    * (one persisted sample serves every dashboard at scale) — with the
+    * sample filter BELOW the dim join and the aggregate: the scan
+    * reads p% of the fact, the broadcast part join sees only sampled
+    * rows. Per-group estimator: groups are disjoint domains under
+    * Poisson sampling, so the HT total/variance apply per group
+    * unchanged — est_g = S_g/p, Var_g = ((1−p)/p²)·Σ_g x² — and the
+    * same exactness discipline (1e-4-unit BIGINT rows, DECIMAL(38,0)
+    * moments, one decToDouble conversion, identical IEEE tail) makes
+    * every cell hash-match the oracle. Default 10%: at 1% a 25-group
+    * split leaves too few rows per group for the CLT interval to be
+    * honest (ApproxSpec measures coverage against the exact totals).
+    */
+  def sampledGroupKpi(spark: SparkSession, sfDir: String,
+      pctSample: Int = 10): DataFrame = {
+    require(100 % pctSample == 0,
+      s"pctSample must divide 100, got $pctSample")
+    val revE4 = expr(
+      """CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |(100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT))"""
+        .stripMargin)
+    val sampled = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"),
+        pmod(TextAnalysis.md5Hash60(concat_ws(":", lit("aqp"),
+            col("l_orderkey"), col("l_linenumber"), col("l_partkey"))),
+          lit(100)).as("b"),
+        revE4.as("rev_e4"))
+      .filter(col("b") < pctSample)
+      .join(Joins.broadcastIfSmall(
+          Tables.part(spark, sfDir).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+    val agg = sampled.groupBy(col("p_brand").as("brand")).agg(
+      count(lit(1)).as("n_sampled"),
+      sum(col("rev_e4").cast("decimal(38,0)")).as("s_e4"),
+      sum((col("rev_e4") * col("rev_e4")).cast("decimal(38,0)"))
+        .as("q_e8"))
+    val s = Features.decToDouble(col("s_e4"), 0) / lit(10000.0)
+    val q = Features.decToDouble(col("q_e8"), 0) / lit(100000000.0)
+    val rate = lit(pctSample.toDouble) / lit(100.0)
+    agg.select(
+      col("brand"),
+      col("n_sampled"),
+      (s / rate).as("est_revenue"),
+      (lit(1.96) * sqrt((lit(1.0) - rate) * q) / rate).as("ci95_revenue"))
+      .orderBy("brand")
+  }
+
+  def sampledGroupKpiSql(pctSample: Int = 10): String = {
+    require(100 % pctSample == 0,
+      s"pctSample must divide 100, got $pctSample")
+    val revE4 = """(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+      |(100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)))"""
+      .stripMargin
+    val key = "'aqp:' || CAST(l_orderkey AS VARCHAR) || ':' || " +
+      "CAST(l_linenumber AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR)"
+    val s = s"(${Features.decToDoubleSql("s_e4", 0)} / 10000.0)"
+    val q = s"(${Features.decToDoubleSql("q_e8", 0)} / 100000000.0)"
+    val rate = s"(CAST($pctSample AS DOUBLE) / CAST(100 AS DOUBLE))"
+    s"""WITH sampled AS (
+       |  SELECT p_brand AS brand, $revE4 AS rev_e4
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE ${TextAnalysis.md5Hash60Sql(key)} % 100 < $pctSample),
+       |agg AS (
+       |  SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       |         CAST(SUM(CAST(rev_e4 AS HUGEINT)) AS DECIMAL(38,0)) AS s_e4,
+       |         CAST(SUM(CAST(rev_e4 AS HUGEINT) * rev_e4) AS DECIMAL(38,0))
+       |           AS q_e8
+       |  FROM sampled GROUP BY brand)
+       |SELECT brand, n_sampled,
+       |  ($s / $rate) AS est_revenue,
+       |  (1.96 * sqrt((1.0 - $rate) * $q) / $rate) AS ci95_revenue
+       |FROM agg
+       |ORDER BY brand""".stripMargin
+  }
+
   /** Category revenue mix with share-of-total % (F8; "Electronics 37.78%").
     * The grand total comes from an empty-frame window aggregate — a
     * single-row broadcast exchange, not a second scan. Share is computed

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Insights, StatQa}
+import graft.sources.Tables
 
 /** Approximate-twin contracts (q119/q120): the rows-only registered
   * sketch queries must track their exact counterparts within the
@@ -86,6 +87,40 @@ class ApproxSpec extends SparkSpec {
     val se = math.sqrt(trueLines * pr * (1 - pr)) / pr
     assert(math.abs(estLines.toDouble - trueLines) <= 2.5 * se,
       s"est_lines $estLines vs true $trueLines (se $se)")
+  }
+
+  test("q145 per-group HT intervals cover the exact per-brand revenue") {
+    // hash-deterministic sample, so fixed not flaky; the exact totals
+    // are the full-scan rev_e4 sums per brand. Gates measured at
+    // sf0.001/sf0.01: every group within 1x..1.3x its CI (worst 0.87 /
+    // 1.30) — assert ALL within 2x (cushion for testdata regens; a
+    // per-group miss probability ~1e-4 under the CLT) and the nominal
+    // 95% behavior on the panel (>= 80% of groups within 1x).
+    val est = Insights.sampledGroupKpi(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = Tables.lineitem(spark, sf0001)
+      .join(Tables.part(spark, sf0001),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg((sum(expr(
+        """CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+          |(100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT))
+          |AS DECIMAL(38,0))""".stripMargin)).cast("double") / lit(1e4))
+        .as("rev"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(est.keySet === exact.keySet, "brand coverage differs")
+    val ratios = exact.map { case (b, t) =>
+      val (n, e, ci) = est(b)
+      assert(n > 0, s"$b: empty sample group")
+      assert(ci > 0.0, s"$b: degenerate interval")
+      math.abs(e - t) / ci
+    }
+    ratios.foreach(r => assert(r <= 2.0,
+      s"a group's estimate misses its exact total by ${r}x the CI"))
+    val within1 = ratios.count(_ <= 1.0)
+    assert(within1 >= (ratios.size * 0.8).toInt,
+      s"only $within1/${ratios.size} groups inside the nominal 95% CI")
   }
 
   test("q120 capacity bound still recalls a planted heavy key") {

@@ -339,6 +339,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q145 sampled group-by: one fact scan, sample filter below the broadcast dim join") {
+    val df = graft.operators.Insights.sampledGroupKpi(spark, sf0001)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert("FileScan".r.findAllIn(p).length === 2,
+      s"group AQP must read lineitem and part exactly once each:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"part dim must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dim join shuffled:\n$p")
+  }
+
   test("q140 semantic dedup: no cartesian; pair join is cluster-equi-keyed") {
     val df = graft.operators.Similarity.semanticDedup(spark, sf0001)
     df.collect()
