@@ -85,7 +85,8 @@ case class HllSketch(p: Int)
   require(p >= 4 && p <= 18, s"HLL precision out of range: $p")
   override def zero: Array[Byte] = new Array[Byte](1 << p)
   override def reduce(regs: Array[Byte], hash: Long): Array[Byte] =
-    HllCore.update(p, regs, hash)
+    if (hash == HllAgg.NullSentinel) regs
+    else HllCore.update(p, regs, hash)
   override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
     HllCore.merge(a, b)
   override def finish(regs: Array[Byte]): Long = HllCore.estimate(regs)
@@ -107,7 +108,8 @@ case class HllSketchBytes(p: Int)
   require(p >= 4 && p <= 18, s"HLL precision out of range: $p")
   override def zero: Array[Byte] = new Array[Byte](1 << p)
   override def reduce(regs: Array[Byte], hash: Long): Array[Byte] =
-    HllCore.update(p, regs, hash)
+    if (hash == HllAgg.NullSentinel) regs
+    else HllCore.update(p, regs, hash)
   override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
     HllCore.merge(a, b)
   override def finish(regs: Array[Byte]): Array[Byte] = regs
@@ -150,22 +152,36 @@ object HllAgg {
   /** Nominal register count (= state bytes) the rsd dial buys. */
   def registersForRsd(rsd: Double): Long = 1L << pForRsd(rsd)
 
+  /** NULL rows map to this hash value in the codegen'd projection and
+    * the reduce SKIPS it — matching COUNT(DISTINCT) and the built-in
+    * `approx_count_distinct`, which both ignore nulls (xxhash64(null)
+    * alone would return the seed constant and count null as one
+    * value). A genuine key colliding with the sentinel is ignored too:
+    * probability 2^-64 per distinct key, orders of magnitude below the
+    * estimator's own 1.04/sqrt(m) error.
+    */
+  val NullSentinel: Long = 0x6e756c6c5f686c6cL // "null_hll"
+
   /** Approximate COUNT(DISTINCT expr): hashing stays in the codegen'd
     * projection below the aggregate; only the 2-array-op reduce runs
-    * object-side. Null inputs hash to the seed constant and land in one
-    * register — the same "counts null as one value" semantics the
-    * built-in has.
+    * object-side. Null inputs are skipped ([[NullSentinel]]), the
+    * COUNT(DISTINCT) / approx_count_distinct semantics.
     */
   def countDistinct(c: Column, rsd: Double): Column =
     udaf(HllSketch(pForRsd(rsd)), Encoders.scalaLong)
-      .apply(xxhash64(c))
+      .apply(hashOrSentinel(c))
 
   /** Aggregate to the raw sketch BYTES (re-aggregatable; pair with
-    * [[mergeEstimate]]). One m-byte BINARY cell per group.
+    * [[mergeEstimate]]). One m-byte BINARY cell per group. Nulls are
+    * skipped ([[NullSentinel]]).
     */
   def sketch(c: Column, rsd: Double): Column =
     udaf(HllSketchBytes(pForRsd(rsd)), Encoders.scalaLong)
-      .apply(xxhash64(c))
+      .apply(hashOrSentinel(c))
+
+  private def hashOrSentinel(c: Column): Column =
+    org.apache.spark.sql.functions.when(c.isNotNull, xxhash64(c))
+      .otherwise(org.apache.spark.sql.functions.lit(NullSentinel))
 
   /** Merge a column of [[sketch]] cells (same rsd) into one estimate. */
   def mergeEstimate(sketches: Column, rsd: Double): Column =

@@ -87,4 +87,24 @@ class HllSpec extends SparkSpec {
       assert(math.abs(e - 10000.0) / 10000.0 <= 0.06, s"group est $e")
     }
   }
+
+  test("nulls are skipped, matching COUNT(DISTINCT) semantics") {
+    // 1000 distinct keys + 500 null rows: the estimate must track 1000
+    // (not 1001) and equal the estimate over the null-free frame
+    // bit-for-bit — nulls leave the registers untouched
+    val withNulls = spark.range(1500L)
+      .select(when(col("id") < 1000, col("id")).as("k"))
+    val noNulls = spark.range(1000L).select(col("id").as("k"))
+    val a = withNulls.agg(HllAgg.countDistinct(col("k"), 0.02))
+      .collect()(0).getLong(0)
+    val b = noNulls.agg(HllAgg.countDistinct(col("k"), 0.02))
+      .collect()(0).getLong(0)
+    assert(a === b, s"null rows changed the sketch: $a vs $b")
+    val cellA = withNulls.agg(HllAgg.sketch(col("k"), 0.02))
+      .collect()(0).getAs[Array[Byte]](0)
+    val cellB = noNulls.agg(HllAgg.sketch(col("k"), 0.02))
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(cellA, cellB),
+      "null rows changed the persisted registers")
+  }
 }
