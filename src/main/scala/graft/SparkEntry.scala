@@ -336,6 +336,10 @@ object SparkEntry {
     // 95% intervals from the same deterministic sample panel (q139's
     // buckets); sample filter below the broadcast dim join
     "q145_sampled_groups" -> ((s, d) => Insights.sampledGroupKpi(s, d)),
+    // incremental near-dup admission: incoming (odd) batch probed
+    // against the PERSISTED corpus (even) band index - O(batch) per
+    // ingest, never re-pairs the corpus
+    "q147_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -379,6 +383,7 @@ object SparkEntry {
     "q138_ann_pq" -> Similarity.annPqSql(),
     "q139_sampled_kpi" -> Insights.sampledKpiSql(),
     "q145_sampled_groups" -> Insights.sampledGroupKpiSql(),
+    "q147_incremental_dedup" -> Dedup.incrementalDedupSql(),
     "q140_semantic_dedup" -> Similarity.semanticDedupSql(),
     "q142_ann_pq_trained" -> Similarity.annPqTrainedSql(),
     "q144_ann_ivf_pq" -> Similarity.annIvfPqSql(),

@@ -170,6 +170,128 @@ object Dedup {
       .select("doc_a", "doc_b", "overlap")
       .orderBy("doc_a", "doc_b")
 
+  /** q147 — INCREMENTAL near-dup admission, the production ingest
+    * shape: the corpus' band-bucket index is PERSISTED once
+    * ([[corpusBandIndex]] — (doc_id, band_idx, band_key) parquet,
+    * mtime-keyed like the streaming staging), and each incoming batch
+    * is deduped against it by probing the index, never re-pairing the
+    * corpus. At 100 TB the difference is the whole point: batch-vs-all
+    * LSH re-bands every corpus doc on every ingest (O(corpus) per
+    * batch); here the per-batch cost is O(batch signatures) + one
+    * equi-join against an index that at scale lives bucketed by
+    * band_key, and admitting a batch appends its own band rows to the
+    * same index.
+    *
+    * Fixture split: even doc_ids are the existing corpus, odd doc_ids
+    * the incoming batch (deterministic, oracle-restatable). Output is
+    * one row per incoming doc that near-duplicates an existing doc —
+    * (doc_id, dup_of, jaccard) with dup_of = the best-matching corpus
+    * doc (highest exact Jaccard, tie toward the lowest id), the
+    * admission decision a curation pipeline acts on.
+    */
+  def incrementalDedup(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val index = spark.read.parquet(corpusBandIndex(spark, sfDir))
+      .select(col("doc_id").as("corpus_id"),
+        col("band_idx"), col("band_key"))
+    // incoming batch: signatures + band keys for the odd half only
+    val incoming = bandedFromSigs(
+      minhashSignaturesRaw(spark, sfDir)
+        .filter(pmod(col("doc_id"), lit(2)) === 1)
+        .repartition(col("doc_id")))
+    val cands = incoming.join(index, Seq("band_idx", "band_key"))
+      .select(col("doc_id"), col("corpus_id"))
+      .distinct()
+    val sh = Tables.withMinParallelism(Tables.documents(spark, sfDir),
+        spark.sparkContext.defaultParallelism).select(
+      col("doc_id"),
+      array_distinct(graft.functions.word_shingles(col("text"))).as("sh"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("jaccard"), asc("corpus_id"))
+    cands
+      .join(sh, "doc_id")
+      .join(sh.withColumnRenamed("doc_id", "corpus_id")
+        .withColumnRenamed("sh", "sh_c"), "corpus_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh"), col("sh_c"))).cast("double") /
+          size(array_union(col("sh"), col("sh_c"))))
+      .filter(col("jaccard") >= threshold)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("corpus_id").as("dup_of"), col("jaccard"))
+      .orderBy("doc_id")
+  }
+
+  /** Build (or reuse) the persisted corpus band index: the even-doc_id
+    * half's (doc_id, band_idx, band_key) rows as parquet under
+    * /tmp/graft_index, keyed on the documents parquet mtime + the LSH
+    * dials — the streaming-staging freshness idiom, including the
+    * staged-files-exist check (a marker alone is not proof the data
+    * survived a /tmp cleaner).
+    */
+  private def corpusBandIndex(spark: SparkSession, sfDir: String): String = {
+    val root = new java.io.File("/tmp/graft_index",
+      "bands_" + Integer.toHexString(sfDir.hashCode))
+    val data = new java.io.File(root, "bands")
+    val marker = new java.io.File(root, "_graft_index_key")
+    val srcMtime =
+      try new java.io.File(sfDir, "documents.parquet").lastModified
+      catch { case _: Exception => 0L }
+    val key = s"$srcMtime#$NumHashes#$Bands#$RowsPerBand"
+    val fresh = srcMtime > 0L && marker.exists && {
+      try new String(java.nio.file.Files.readAllBytes(marker.toPath),
+        "UTF-8") == key
+      catch { case _: Exception => false }
+    } && new java.io.File(data, "_SUCCESS").exists
+    if (!fresh) {
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      root.mkdirs()
+      bandedFromSigs(
+        minhashSignaturesRaw(spark, sfDir)
+          .filter(pmod(col("doc_id"), lit(2)) === 0)
+          .repartition(col("doc_id")))
+        .write.parquet(data.getPath)
+      java.nio.file.Files.write(marker.toPath, key.getBytes("UTF-8"))
+    }
+    data.getPath
+  }
+
+  /** DuckDB oracle for [[incrementalDedup]]: the banded CTE prefix with
+    * candidates restricted to (incoming odd) × (corpus even), exact
+    * Jaccard by shingle-row join, best match per incoming doc.
+    */
+  def incrementalDedupSql(threshold: Double = 0.5): String =
+    s"""@BANDED@,
+       |cands AS MATERIALIZED (
+       |  SELECT DISTINCT i.doc_id, c.doc_id AS corpus_id
+       |  FROM banded i JOIN banded c
+       |    ON i.band_idx = c.band_idx AND i.band_key = c.band_key
+       |   AND i.doc_id % 2 = 1 AND c.doc_id % 2 = 0),
+       |sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM sh_rows GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_id, c.corpus_id, count(*) AS n_inter
+       |  FROM cands c
+       |  JOIN sh_rows a ON a.doc_id = c.doc_id
+       |  JOIN sh_rows b ON b.doc_id = c.corpus_id AND b.s = a.s
+       |  GROUP BY c.doc_id, c.corpus_id),
+       |scored AS (
+       |  SELECT i.doc_id, i.corpus_id,
+       |    CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+       |  FROM inter i
+       |  JOIN sizes sa ON sa.doc_id = i.doc_id
+       |  JOIN sizes sb ON sb.doc_id = i.corpus_id
+       |  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter)
+       |          >= $threshold),
+       |best AS (
+       |  SELECT doc_id, corpus_id AS dup_of, jaccard,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY jaccard DESC, corpus_id ASC) AS rn
+       |  FROM scored)
+       |SELECT doc_id, dup_of, jaccard FROM best WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+      .replace("@BANDED@", lshBandedCte)
+
   /** LSH candidate pairs with both docs' distinct shingle sets attached
     * (shared tail of the Jaccard / containment scorers).
     */
@@ -185,18 +307,7 @@ object Dedup {
     // are identical.
     val sigs = minhashSignaturesRaw(spark, sfDir)
       .repartition(col("doc_id"))
-    val banded = sigs.select(
-        col("doc_id"),
-        expr(
-          s"""transform(sequence(0, ${Bands - 1}), b ->
-             |  md5(CAST(concat_ws(',', CAST(b AS STRING),
-             |    CAST(try_element_at(minhash, b * $RowsPerBand + 1) AS STRING),
-             |    CAST(try_element_at(minhash, b * $RowsPerBand + 2) AS STRING),
-             |    CAST(try_element_at(minhash, b * $RowsPerBand + 3) AS STRING),
-             |    CAST(try_element_at(minhash, b * $RowsPerBand + 4) AS STRING)) AS BINARY)))""".stripMargin)
-          .as("bands"))
-      .select(col("doc_id"),
-        posexplode_outer(col("bands")).as(Seq("band_idx", "band_key")))
+    val banded = bandedFromSigs(sigs)
       .transform(capBuckets(maxBucketSize))
     val cands = banded.as("a")
       .join(banded.as("b"),
@@ -215,6 +326,25 @@ object Dedup {
       .join(sh.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("sh", "sh_b"), "doc_b")
   }
+
+  /** (doc_id, band_idx, band_key) rows from a signature frame — the LSH
+    * banding shared by the batch pair-finder and the incremental index.
+    * posexplode_outer (not posexplode) avoids the generator's implicit
+    * `size(bands) > 0` filter re-evaluating the bands under the scan.
+    */
+  private def bandedFromSigs(sigs: DataFrame): DataFrame =
+    sigs.select(
+        col("doc_id"),
+        expr(
+          s"""transform(sequence(0, ${Bands - 1}), b ->
+             |  md5(CAST(concat_ws(',', CAST(b AS STRING),
+             |    CAST(try_element_at(minhash, b * $RowsPerBand + 1) AS STRING),
+             |    CAST(try_element_at(minhash, b * $RowsPerBand + 2) AS STRING),
+             |    CAST(try_element_at(minhash, b * $RowsPerBand + 3) AS STRING),
+             |    CAST(try_element_at(minhash, b * $RowsPerBand + 4) AS STRING)) AS BINARY)))""".stripMargin)
+          .as("bands"))
+      .select(col("doc_id"),
+        posexplode_outer(col("bands")).as(Seq("band_idx", "band_key")))
 
   /** Drop band buckets holding more than `cap` docs (the LSH mega-bucket
     * guard). One count-over-bucket window — partitioned by the band key,
@@ -353,7 +483,7 @@ object Dedup {
     * tails divide the same integers the list formulation divided, so
     * the doubles are bit-identical.
     */
-  private def lshCandidatesCte: String =
+  private def lshBandedCte: String =
     s"""WITH sh_rows AS MATERIALIZED (
        |  SELECT doc_id, unnest(list_distinct($shinglesExprDuck)) AS s
        |  FROM documents),
@@ -370,7 +500,11 @@ object Dedup {
        |      || ',' || minhash[band_idx * $RowsPerBand + 2]
        |      || ',' || minhash[band_idx * $RowsPerBand + 3]
        |      || ',' || minhash[band_idx * $RowsPerBand + 4]) AS band_key
-       |  FROM sigs, (SELECT UNNEST(range(0, $Bands)) AS band_idx) b),
+       |  FROM sigs, (SELECT UNNEST(range(0, $Bands)) AS band_idx) b)"""
+      .stripMargin
+
+  private def lshCandidatesCte: String =
+    s"""@BANDED@,
        |cands AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM banded a JOIN banded b
@@ -384,6 +518,7 @@ object Dedup {
        |  JOIN sh_rows a ON a.doc_id = c.doc_a
        |  JOIN sh_rows b ON b.doc_id = c.doc_b AND b.s = a.s
        |  GROUP BY c.doc_a, c.doc_b)""".stripMargin
+      .replace("@BANDED@", lshBandedCte)
 
   // NOTE: the CTE is spliced AFTER stripMargin (placeholder pattern) —
   // its '||' continuation lines would be truncated to '|' if the outer

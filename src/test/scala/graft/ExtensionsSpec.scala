@@ -65,6 +65,32 @@ class ExtensionsSpec extends SparkSpec {
     assert(randomPairs > 10.0, s"random-pair avg hamming $randomPairs suspiciously low")
   }
 
+  test("q147 incremental dedup == batch pairs restricted to cross-parity best matches; index reused") {
+    val got = Dedup.incrementalDedup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // reference: the batch pair-finder's cross-parity pairs, reduced to
+    // the best corpus match per incoming (odd) doc
+    val want = Dedup.neardupPairs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => (a % 2) != (b % 2) }
+      .map { case (a, b, j) =>
+        if (a % 2 == 1) (a, b, j) else (b, a, j) }
+      .groupBy(_._1).map { case (_, ms) =>
+        ms.minBy { case (_, c, j) => (-j, c) } }
+      .toSeq.sortBy(_._1)
+    assert(got === want)
+    assert(got.nonEmpty, "fixture has no cross-parity near-dups")
+    // the persisted index must be REUSED on a second call (same
+    // documents mtime): the parquet _SUCCESS file is not rewritten
+    val success = new java.io.File("/tmp/graft_index",
+      "bands_" + Integer.toHexString(sf0001.hashCode) + "/bands/_SUCCESS")
+    assert(success.exists)
+    val stamp = success.lastModified
+    Dedup.incrementalDedup(spark, sf0001).collect()
+    assert(success.lastModified === stamp,
+      "second ingest rebuilt the corpus index instead of probing it")
+  }
+
   test("exact dedup: distinct texts at sf0.001 -> every group has 1 copy") {
     val d = Dedup.exactDedup(spark, sf0001)
     assert(d.count() === 500)
