@@ -340,6 +340,15 @@ object SparkEntry {
     // against the PERSISTED corpus (even) band index - O(batch) per
     // ingest, never re-pairs the corpus
     "q147_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)),
+    // UPDATE output mode over the multi-batch replay: the sink is the
+    // update log; folding it (latest update per key) must equal the
+    // batch aggregate (self-asserts the log shows cross-batch updates)
+    "q148_streaming_update" -> ((s, d) =>
+      graft.streaming.EventStreams.hourlyByTypeUpdateReplay(s, d)),
+    // stream-static enrichment join: events joined to the static
+    // customer dim (broadcast) below a segment rollup
+    "q149_streaming_enrich" -> ((s, d) =>
+      graft.streaming.EventStreams.segmentRollupStream(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -384,6 +393,10 @@ object SparkEntry {
     "q139_sampled_kpi" -> Insights.sampledKpiSql(),
     "q145_sampled_groups" -> Insights.sampledGroupKpiSql(),
     "q147_incremental_dedup" -> Dedup.incrementalDedupSql(),
+    // folding the update log must reproduce the q26 batch aggregate
+    "q148_streaming_update" -> Events.hourlyByTypeSql,
+    "q149_streaming_enrich" ->
+      graft.streaming.EventStreams.segmentRollupStreamSql,
     "q140_semantic_dedup" -> Similarity.semanticDedupSql(),
     "q142_ann_pq_trained" -> Similarity.annPqTrainedSql(),
     "q144_ann_ivf_pq" -> Similarity.annIvfPqSql(),

@@ -705,6 +705,116 @@ object EventStreams {
     spark.table(name).orderBy("window_start", "event_type")
   }
 
+  /** q148 — UPDATE output mode, completing the output-mode triad
+    * (q124 Complete, q125/q134/q143 Append, this): the hourly rollup
+    * over the chronological multi-file replay emits, per micro-batch,
+    * the CURRENT aggregate of every (window, type) the batch touched —
+    * the incremental-dashboard shape, where a downstream store upserts
+    * keys instead of rewriting the table. The memory sink therefore
+    * holds the UPDATE LOG: several rows per window that spanned a file
+    * boundary (counts strictly increase across its updates), one per
+    * window contained in a single file. The query folds the log the
+    * way that downstream upsert store would — latest update per key,
+    * selected by `max_by(struct(...), n_events)` since n_events is
+    * strictly monotone over a key's updates — and that fold must equal
+    * the batch aggregate exactly (the oracle is q26's SQL; the decimal
+    * sum accumulates in the state store across batches, so the final
+    * update's double conversion is the batch-identical value).
+    * Self-asserts ≥2 data batches AND that the log holds MORE rows
+    * than the folded result — proof that some window was genuinely
+    * updated across batches, i.e. the mode was exercised, not merely
+    * configured.
+    */
+  def hourlyByTypeUpdateReplay(spark: SparkSession, sfDir: String,
+      nFiles: Int = 4): DataFrame = {
+    val staging = stageChronologicalEvents(spark, sfDir, nFiles)
+    val name = "graft_stream_update_" + runCounter.incrementAndGet()
+    val nDataBatches = withStatePartitions(spark, 8) {
+      val q = hourlyByType(
+        readEventStream(spark, staging, maxFilesPerTrigger = Some(1)))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.recentProgress.count(_.numInputRows > 0)
+    }
+    require(nDataBatches >= 2,
+      s"update replay ran $nDataBatches data batches - the multi-batch " +
+        "update path was NOT exercised")
+    val log = spark.table(name)
+    val folded = log
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(
+        max(col("n_events")).as("n_events"),
+        expr("max_by(sum_value, n_events)").as("sum_value"))
+      .orderBy("window_start", "event_type")
+    val logRows = log.count()
+    val keyRows = folded.count()
+    // ground truth from the data itself: does any (window, type) key
+    // have events in >1 staged time bucket? If so its key MUST appear
+    // more than once in the update log; if the fixture is too sparse
+    // for any key to span a boundary (sf0.001), there is nothing to
+    // assert — the check is structural, not fixture-tuned
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val bounds = ev.agg(min(expr("unix_micros(ts)")).as("lo"),
+      max(expr("unix_micros(ts)")).as("hi")).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val span = hi - lo + 1
+    val spanningKeys = ev
+      .select(window(col("ts"), "1 hour").as("w"), col("event_type"),
+        expr(s"CAST(((unix_micros(ts) - ${lo}L) * $nFiles) div ${span}L AS INT)")
+          .as("b"))
+      .groupBy("w", "event_type")
+      .agg(countDistinct(col("b")).as("nb"))
+      .filter(col("nb") > 1)
+      .count()
+    require(spanningKeys == 0 || logRows > keyRows,
+      s"$spanningKeys keys span a file boundary but the update log has " +
+        s"$logRows rows for $keyRows keys - cross-batch updates were " +
+        "NOT emitted")
+    folded
+  }
+
+  /** q149 — STREAM-STATIC enrichment join, the deployment shape every
+    * streaming pipeline hits first (enrich events against a dimension
+    * that is NOT a stream): the event stream inner-joins the static
+    * customer dim on user_id = c_custkey below a Complete-mode rollup
+    * by market segment. The static side broadcasts (no state, no
+    * watermark needed on a static relation — Spark re-plans the join
+    * per micro-batch, which is also why a slowly-changing dim picks up
+    * mid-stream in a live deployment). Oracle: the identical batch
+    * join + rollup in SQL.
+    */
+  def segmentRollupStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "graft_stream_enrich_" + runCounter.incrementAndGet()
+    withStatePartitions(spark, 8) {
+      val dim = graft.sources.Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val q = readEventStream(spark, sfDir, glob = Some("events.parquet"))
+        .join(org.apache.spark.sql.functions.broadcast(dim),
+          col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(28,10)")).cast("double")
+            .as("sum_value"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name).orderBy("segment")
+  }
+
+  /** Oracle for [[segmentRollupStream]]: the batch join + rollup. */
+  val segmentRollupStreamSql: String =
+    """SELECT c_mktsegment AS segment, COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   /** q141 — approximate distinct users per hourly window, STREAMING:
     * the native HLL sketch ([[graft.functions.HllAgg]]) as the
     * aggregate of a watermarked windowed streaming aggregation. The

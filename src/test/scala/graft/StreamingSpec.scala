@@ -167,6 +167,33 @@ class StreamingSpec extends SparkSpec {
     assert(late.nonEmpty)
   }
 
+  test("q148 update-mode log folds to the batch aggregate (self-asserts cross-batch updates)") {
+    // the helper requires >=2 data batches AND a log strictly larger
+    // than the key set (some window updated across batches); the fold
+    // must equal the batch rollup cell-exactly
+    val got = EventStreams.hourlyByTypeUpdateReplay(spark, sf0001)
+      .collect().toSeq
+    val want = Events.hourlyByType(spark, sf0001).collect().toSeq
+    assert(got.map(_.toSeq) === want.map(_.toSeq))
+    assert(got.nonEmpty)
+  }
+
+  test("q149 stream-static enrichment equals the batch join rollup") {
+    val got = EventStreams.segmentRollupStream(spark, sf0001)
+      .collect().toSeq
+    val want = Tables.events(spark, sf0001)
+      .join(broadcast(Tables.customer(spark, sf0001)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,10)")).cast("double")
+          .as("sum_value"))
+      .orderBy("segment").collect().toSeq
+    assert(got.map(_.toSeq) === want.map(_.toSeq))
+    assert(got.nonEmpty)
+  }
+
   test("q141 streaming HLL distinct tracks batch-exact counts per window") {
     val got = EventStreams.hourlyDistinctApproxAvailableNow(spark, sf0001)
       .collect()
