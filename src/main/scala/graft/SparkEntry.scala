@@ -349,6 +349,12 @@ object SparkEntry {
     // customer dim (broadcast) below a segment rollup
     "q149_streaming_enrich" -> ((s, d) =>
       graft.streaming.EventStreams.segmentRollupStream(s, d)),
+    // mergeable histogram percentile cells: per-shard bucket counts,
+    // rollup by vector add, percentile from the cumulative walk -
+    // integer-exact, so it carries a FULL oracle (q137's pattern for
+    // percentiles, without t-digest's implementation-defined state)
+    "q150_histogram_cells" -> ((s, d) =>
+      Insights.histogramPercentileCells(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -397,6 +403,7 @@ object SparkEntry {
     "q148_streaming_update" -> Events.hourlyByTypeSql,
     "q149_streaming_enrich" ->
       graft.streaming.EventStreams.segmentRollupStreamSql,
+    "q150_histogram_cells" -> Insights.histogramPercentileCellsSql(),
     "q140_semantic_dedup" -> Similarity.semanticDedupSql(),
     "q142_ann_pq_trained" -> Similarity.annPqTrainedSql(),
     "q144_ann_ivf_pq" -> Similarity.annIvfPqSql(),

@@ -483,6 +483,117 @@ object Insights {
         col("sum_shard_ests").cast("long").as("sum_shard_ests"))
   }
 
+  /** q150 — MERGEABLE histogram percentile cells, the percentile
+    * analog of q137's HLL shard pattern and the engine-exact
+    * complement to the t-digest twins (q119): aggregate the fact ONCE
+    * into per-shard equi-width bucket counts over exact price cents —
+    * (shard, bucket, n) BIGINT rows, ≤4096 cells per shard,
+    * persistable as an ordinary table — then answer any later
+    * percentile rollup by SUMMING cells (vector add: associative,
+    * commutative, lossless) and walking the cumulative histogram.
+    * Never rescans the fact. Unlike a t-digest cell the merge is
+    * EXACT, every step is integer arithmetic, and the estimate is
+    * deterministic — so this query carries a FULL DuckDB oracle
+    * (rows+hash), not a rows-only tolerance contract.
+    *
+    * Estimate definition (a model constant, stated so both engines
+    * compute it identically): bucket(c) = (c−lo)·nb div (hi−lo+1);
+    * for percentile p% the target rank is ceil(N·p/100) in integers
+    * ((N·p+99) div 100), the answer bucket is the smallest with
+    * cumulative ≥ target, and the estimate is the bucket's integer
+    * midpoint lo + (2b+1)(hi−lo+1) div (2nb), presented in currency
+    * units via one exact BIGINT→double division by 100. Accuracy is
+    * bounded by the bucket width (range/4096 ≈ 0.025% of the value
+    * range; ApproxSpec measures vs the exact q49-family percentiles).
+    * Heavy-tailed domains would swap the grid for a log-scale one —
+    * the cells, merge, and walk are unchanged.
+    *
+    * Scale shape: one scan → (shard, bucket) partial-aggregated
+    * shuffle; the merged histogram is ≤ nb rows, so the cumulative
+    * window and the percentile selection are driver-trivial no matter
+    * the fact size. The lo/hi grid bounds ride a broadcast 1-row agg.
+    */
+  def histogramPercentileCells(spark: SparkSession, sfDir: String,
+      nb: Int = 4096): DataFrame = {
+    val cents = expr(
+      "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    val base = Tables.lineitem(spark, sfDir)
+      .select(cents.as("c"), year(col("l_shipdate")).as("shard"))
+    val bounds = base.agg(min(col("c")).as("lo"), max(col("c")).as("hi"))
+    val cells = base.crossJoin(broadcast(bounds))
+      .select(col("shard"),
+        expr(s"((c - lo) * $nb) div (hi - lo + 1)").as("bucket"))
+      .groupBy("shard", "bucket")
+      .agg(count(lit(1)).as("n"))
+      // eager, ≤ shards × nb rows: the merged walk and the metadata
+      // columns below both consume it
+      .localCheckpoint(true)
+    val meta = cells.agg(
+      countDistinct(col("shard")).as("n_shards"),
+      count(lit(1)).as("n_cells"))
+    val merged = cells.groupBy("bucket")
+      .agg(sum(col("n")).as("n"))
+    val wCum = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    // ≤ nb rows past this point: the global windows are bounded
+    val cum = merged
+      .withColumn("cum", sum(col("n")).over(wCum))
+      .withColumn("nt", sum(col("n")).over(wAll))
+    val pcts = spark.createDataFrame(
+      Seq(Tuple1(50L), Tuple1(90L), Tuple1(99L))).toDF("pct")
+    broadcast(pcts).join(cum,
+        col("cum") >= expr("(nt * pct + 99) div 100"))
+      .groupBy("pct")
+      .agg(min(col("bucket")).as("b"), max(col("nt")).as("n_rows"))
+      .crossJoin(broadcast(bounds))
+      .crossJoin(broadcast(meta))
+      .select(
+        col("pct"),
+        col("n_rows"),
+        (expr(s"lo + ((2 * b + 1) * (hi - lo + 1)) div (2 * $nb)")
+          .cast("double") / lit(100.0)).as("est_price"),
+        col("n_shards").cast("long").as("n_shards"),
+        col("n_cells"))
+      .orderBy("pct")
+  }
+
+  def histogramPercentileCellsSql(nb: Int = 4096): String =
+    s"""WITH base AS (
+       |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |           AS c,
+       |         year(l_shipdate) AS shard
+       |  FROM lineitem),
+       |bounds AS (SELECT MIN(c) AS lo, MAX(c) AS hi FROM base),
+       |cells AS (
+       |  SELECT shard, ((c - lo) * $nb) // (hi - lo + 1) AS bucket,
+       |         CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM base, bounds GROUP BY 1, 2),
+       |meta AS (
+       |  SELECT CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_shards,
+       |         CAST(COUNT(*) AS BIGINT) AS n_cells
+       |  FROM cells),
+       |merged AS (
+       |  SELECT bucket, CAST(SUM(n) AS BIGINT) AS n
+       |  FROM cells GROUP BY 1),
+       |cum AS (
+       |  SELECT bucket,
+       |    CAST(SUM(n) OVER (ORDER BY bucket
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+       |    CAST(SUM(n) OVER () AS BIGINT) AS nt
+       |  FROM merged),
+       |pcts AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS pct),
+       |sel AS (
+       |  SELECT pct, MIN(bucket) AS b, MAX(nt) AS n_rows
+       |  FROM pcts JOIN cum ON cum >= (nt * pct + 99) // 100
+       |  GROUP BY pct)
+       |SELECT pct, n_rows,
+       |  CAST(lo + ((2 * b + 1) * (hi - lo + 1)) // (2 * $nb) AS DOUBLE)
+       |    / 100.0 AS est_price,
+       |  n_shards, n_cells
+       |FROM sel, bounds, meta
+       |ORDER BY pct""".stripMargin
+
   /** q139 — sampled KPI with an error bar (approximate query
     * processing): the revenue/line-count KPIs answered from a
     * deterministic `pctSample`% hash-sample with unbiased 1/p

@@ -123,6 +123,26 @@ class ApproxSpec extends SparkSpec {
       s"only $within1/${ratios.size} groups inside the nominal 95% CI")
   }
 
+  test("q150 histogram-cell percentiles within one bucket width of exact") {
+    val nb = 4096
+    val got = Insights.histogramPercentileCells(spark, sf0001, nb)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.keySet === Set(50L, 90L, 99L))
+    // exact percentiles under the same rank rule (ceil(N*p/100), value
+    // at that rank) over the same cents domain
+    val cents = Tables.lineitem(spark, sf0001)
+      .select(expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .as("c"))
+      .collect().map(_.getLong(0)).sorted
+    val width = (cents.last - cents.head + 1).toDouble / nb / 100.0
+    Seq(50L, 90L, 99L).foreach { p =>
+      val exact = cents(((cents.length * p + 99) / 100 - 1).toInt) / 100.0
+      assert(math.abs(got(p) - exact) <= width,
+        s"p$p: est ${got(p)} vs exact $exact (bucket width $width)")
+    }
+  }
+
   test("q120 capacity bound still recalls a planted heavy key") {
     // adversarial fixture: 5000 distinct singleton keys + one key with
     // 500 occurrences, summarized with capacity 16 << 5001 distinct.
