@@ -355,6 +355,22 @@ object SparkEntry {
     // percentiles, without t-digest's implementation-defined state)
     "q150_histogram_cells" -> ((s, d) =>
       Insights.histogramPercentileCells(s, d)),
+    // triangle counting with degree-ordered orientation: wedge fanout
+    // bounded by out-degree^2 = O(m) total, hub-safe
+    "q151_triangle_count" -> ((s, d) => Graph.triangleCounts(s, d)),
+    // distribution drift (TVD + Linf, ppm) between stream halves -
+    // integer-exact, no libm in either engine
+    "q152_value_drift" -> ((s, d) => StatQa.valueDrift(s, d)),
+    // exact audience-overlap matrix: one fact dedup, user-grain
+    // self-join bounded by the type vocabulary
+    "q153_audience_overlap" -> ((s, d) => Events.audienceOverlap(s, d)),
+    // foreachBatch MERGE sink: versioned latest-by-user target folded
+    // across batches (idempotent struct-max merge = exactly-once state)
+    "q154_streaming_upsert" -> ((s, d) =>
+      graft.streaming.EventStreams.latestByUserUpsertReplay(s, d)),
+    // cluster-balanced diversity sample: proportional quotas with a
+    // tail floor, md5-rank selection, map-side argmax assignment
+    "q155_diversity_sample" -> ((s, d) => Similarity.diversitySample(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -404,6 +420,12 @@ object SparkEntry {
     "q149_streaming_enrich" ->
       graft.streaming.EventStreams.segmentRollupStreamSql,
     "q150_histogram_cells" -> Insights.histogramPercentileCellsSql(),
+    "q151_triangle_count" -> Graph.triangleCountsSql(),
+    "q152_value_drift" -> StatQa.valueDriftSql(),
+    "q153_audience_overlap" -> Events.audienceOverlapSql,
+    // the folded upsert target must equal the q66 batch latest-by-user
+    "q154_streaming_upsert" -> Events.latestByUserSql,
+    "q155_diversity_sample" -> Similarity.diversitySampleSql(),
     "q140_semantic_dedup" -> Similarity.semanticDedupSql(),
     "q142_ann_pq_trained" -> Similarity.annPqTrainedSql(),
     "q144_ann_ivf_pq" -> Similarity.annIvfPqSql(),

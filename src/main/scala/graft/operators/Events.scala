@@ -655,4 +655,66 @@ object Events {
       |FROM p ASOF LEFT JOIN c
       |  ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts
       |ORDER BY p.user_id, purchase_ts, purchase_id""".stripMargin
+
+  /** q153 — audience OVERLAP matrix: for every pair of event types,
+    * the exact distinct-user intersection, each side's distinct
+    * audience, and the Jaccard similarity in ppm — the
+    * "which segments share users" question every campaign dashboard
+    * asks, and the exact twin of what a theta-sketch intersection
+    * would estimate at sketch cost.
+    *
+    * Scale shape: ONE distinct over (user, type) — the only fact-
+    * volume exchange — then a SELF-JOIN ON user_id over the deduped
+    * user-type table. That join is co-partitioned (both sides hash on
+    * user_id from the same exchange) and its per-user fanout is
+    * bounded by the TYPE VOCABULARY (≤ C(types,2) pairs per user),
+    * not by the user's event count — so at 100 TB the pair exchange
+    * is |users|·O(types²), orders of magnitude below the fact. Pair
+    * sizes join node-grain (types² rows). Pairs with an empty
+    * intersection are absent by construction (an equi-join can't
+    * produce them); with Jaccard 0 they carry no ranking signal.
+    */
+  def audienceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val ut = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type")).distinct()
+      .localCheckpoint(true) // one fact dedup, read 3x (sizes + both legs)
+    val sizes = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val inter = ut.select(col("user_id"), col("event_type").as("type_a"))
+      .join(ut.select(col("user_id"), col("event_type").as("type_b")),
+        Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_both"))
+    inter
+      .join(Joins.broadcastIfSmall(
+        sizes.select(col("event_type").as("type_a"), col("n").as("n_a"))),
+        Seq("type_a"))
+      .join(Joins.broadcastIfSmall(
+        sizes.select(col("event_type").as("type_b"), col("n").as("n_b"))),
+        Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        expr("CAST(n_both * 1000000 div (n_a + n_b - n_both) AS BIGINT)")
+          .as("jaccard_ppm"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** DuckDB oracle for [[audienceOverlap]]: same dedup → self-join →
+    * inclusion-exclusion ppm, all exact integers.
+    */
+  val audienceOverlapSql: String =
+    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      |sizes AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1),
+      |inter AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    COUNT(*) AS n_both
+      |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+      |    AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT i.type_a, i.type_b, sa.n AS n_a, sb.n AS n_b, i.n_both,
+      |  CAST(i.n_both * 1000000 // (sa.n + sb.n - i.n_both) AS BIGINT)
+      |    AS jaccard_ppm
+      |FROM inter i
+      |JOIN sizes sa ON sa.event_type = i.type_a
+      |JOIN sizes sb ON sb.event_type = i.type_b
+      |ORDER BY i.type_a, i.type_b""".stripMargin
 }

@@ -215,6 +215,127 @@ object Graph {
        |ORDER BY rank_e12 DESC, part""".stripMargin
   }
 
+  /** q151 — triangle counting over the co-purchase graph with
+    * DEGREE-ORDERED ORIENTATION, the classic trick that makes
+    * distributed triangle enumeration safe on skewed graphs: every
+    * undirected edge {a,b} is oriented from the endpoint with the
+    * smaller (degree, id) to the larger, which bounds every node's
+    * OUT-degree by O(sqrt(m)) — so the wedge self-join (the only
+    * quadratic step) fans out per node by out-degree², never by the
+    * raw degree² a hub would pay. A triangle {u,v,w} with
+    * ord(u)<ord(v)<ord(w) is then found EXACTLY once: as the wedge
+    * (u→v, u→w) closed by the oriented edge v→w.
+    *
+    * Scale shape: pair generation is the one fact exchange (the q94
+    * basket machinery, checkpointed); degrees are node-grain
+    * (broadcast-gated joins); wedges shuffle on src and close with
+    * one (v,w) equi-join. No driver collects, no cartesian. Output is
+    * per-node triangle participation (each triangle credits all three
+    * corners), exact BIGINTs.
+    *
+    * Reference analogue: the co-purchase affinity analysis
+    * (Retail_Sales_Analysis.sql's product-pair views) stops at pairs;
+    * triangles are the next clique size up — "these three products
+    * sell together" — and the orientation is what a 100 TB pair graph
+    * needs to enumerate them without a hub blowup.
+    */
+  def triangleCounts(spark: SparkSession, sfDir: String,
+      minPairs: Int = 2): DataFrame = {
+    val pairs = RetailBi.basketPairCounts(
+        RetailBi.baskets(Tables.lineitem(spark, sfDir)),
+        minPairs = minPairs, maxItems = 64)
+      .select(col("part_a").as("a"), col("part_b").as("b"))
+    triangleCountsFromPairs(pairs,
+      sizeProxy = Some(Tables.part(spark, sfDir)))
+  }
+
+  /** [[triangleCounts]] over an explicit undirected edge frame
+    * (columns `a < b`, distinct) — testability seam: GraphSpec feeds
+    * known topologies. `sizeProxy` gates the node-grain degree
+    * broadcasts (nodes ≤ the proxy's row count); None = hard
+    * broadcast (test-sized inputs).
+    */
+  private[graft] def triangleCountsFromPairs(pairsIn: DataFrame,
+      sizeProxy: Option[DataFrame] = None): DataFrame = {
+    val pairs = pairsIn
+      .localCheckpoint(true) // pair generation runs once; deg + orient derive
+    val deg = pairs.select(col("a").as("node"))
+      .unionByName(pairs.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    def gate(df: DataFrame): DataFrame = sizeProxy match {
+      case Some(p) => Joins.broadcastIfSmall(df, p)
+      case None => broadcast(df)
+    }
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = pairs
+      .join(gate(
+        deg.select(col("node").as("a"), col("deg").as("da"))), Seq("a"))
+      .join(gate(
+        deg.select(col("node").as("b"), col("deg").as("db"))), Seq("b"))
+      .select(
+        when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+        // order key of dst, carried so the wedge filter needs no re-join
+        when(aFirst, col("db")).otherwise(col("da")).as("dd"))
+      .localCheckpoint(true) // read 3x: both wedge legs + the closing join
+    val wedges = oriented.select(col("src"), col("dst").as("v"), col("dd").as("dv"))
+      .join(oriented.select(col("src"), col("dst").as("w"), col("dd").as("dw")),
+        Seq("src"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+    val tris = wedges.join(
+      oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      .select(col("src").as("u"), col("v"), col("w"))
+    tris.select(col("u").as("part"))
+      .unionByName(tris.select(col("v").as("part")))
+      .unionByName(tris.select(col("w").as("part")))
+      .groupBy("part").agg(count(lit(1)).as("tri_cnt"))
+      .orderBy(desc("tri_cnt"), asc("part"))
+  }
+
+  /** DuckDB oracle for [[triangleCounts]]: the identical orientation
+    * and wedge-close, tuple order spelled out as (deg, id)
+    * lexicographic CASEs. MATERIALIZED on pairs/oriented — both are
+    * referenced more than once and DuckDB inlines CTEs by default.
+    */
+  def triangleCountsSql(minPairs: Int = 2): String =
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.p AS pa, b.p AS pb
+       |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+       |  GROUP BY a.p, b.p
+       |  HAVING COUNT(*) >= $minPairs),
+       |deg AS MATERIALIZED (
+       |  SELECT node, COUNT(*) AS deg FROM (
+       |    SELECT pa AS node FROM pairs
+       |    UNION ALL
+       |    SELECT pb FROM pairs) GROUP BY node),
+       |oriented AS MATERIALIZED (
+       |  SELECT
+       |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND pa < pb)
+       |      THEN pa ELSE pb END AS src,
+       |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND pa < pb)
+       |      THEN pb ELSE pa END AS dst,
+       |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND pa < pb)
+       |      THEN db.deg ELSE da.deg END AS dd
+       |  FROM pairs
+       |  JOIN deg da ON da.node = pa
+       |  JOIN deg db ON db.node = pb),
+       |tri AS MATERIALIZED (
+       |  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+       |  FROM oriented e1
+       |  JOIN oriented e2 ON e1.src = e2.src
+       |    AND (e1.dd < e2.dd OR (e1.dd = e2.dd AND e1.dst < e2.dst))
+       |  JOIN oriented e3 ON e3.src = e1.dst AND e3.dst = e2.dst)
+       |SELECT part, CAST(COUNT(*) AS BIGINT) AS tri_cnt FROM (
+       |  SELECT u AS part FROM tri
+       |  UNION ALL SELECT v FROM tri
+       |  UNION ALL SELECT w FROM tri)
+       |GROUP BY part
+       |ORDER BY tri_cnt DESC, part""".stripMargin
+
   /** DuckDB oracle for [[copurchaseRank]]: the identical integer
     * recurrence unrolled as one CTE per iteration.
     */

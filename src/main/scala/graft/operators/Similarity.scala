@@ -1124,6 +1124,95 @@ object Similarity {
        |WHERE cosine >= CAST($threshold AS DOUBLE)
        |ORDER BY cluster, vec_a, vec_b""".stripMargin
 
+  /** q155 — cluster-BALANCED diversity sampling, the subset-selection
+    * op training-data curation runs after dedup: pick a fixed-size,
+    * deterministic sample whose composition follows the corpus's
+    * semantic cluster structure (proportional allocation) but never
+    * starves a small cluster (a minimum per-cluster floor) — the
+    * "keep the tail domains represented" knob. Selection within a
+    * cluster is by md5 hash rank (deterministic "random", the q53
+    * train-split idiom), so the sample is reproducible run-over-run
+    * and engine-over-engine.
+    *
+    * quota_c = max(minQuota, totalQuota · n_c div n) — exact integer
+    * allocation (floor-div; the floor means the realized total can
+    * land a few rows under/over totalQuota, which proportional
+    * allocation accepts by construction).
+    *
+    * Scale shape: centroids are a broadcast literal array (memoized
+    * quantizer); assignment is one map-side argmax (native codegen'd
+    * expression); cluster sizes are a tiny agg joined back broadcast;
+    * the per-cluster rank is a window partitioned BY CLUSTER (never
+    * global). At 100 TB: one scan + one window exchange on the
+    * cluster key, skew-bounded because the hash rank only needs the
+    * top `quota_c` per cluster — WindowGroupLimit pushes the cap
+    * map-side exactly as in the ANN shortlists.
+    */
+  def diversitySample(spark: SparkSession, sfDir: String,
+      nClusters: Int = 16, totalQuota: Int = 1024,
+      minQuota: Int = 8): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = ivfQuantizer(spark, sfDir, nClusters).map(_._2)
+    val assigned = emb.select(col("vec_id"),
+      graft.functions.argmax_cosine(col("embedding"), centroids)
+        .as("cluster"))
+    val sizes = assigned.groupBy("cluster").agg(count(lit(1)).as("n_c"))
+    val n1 = broadcast(assigned.agg(count(lit(1)).as("n")))
+    val quotas = broadcast(sizes.crossJoin(n1).select(col("cluster"),
+      col("n_c"),
+      greatest(lit(minQuota.toLong),
+        expr(s"${totalQuota}L * n_c div n")).as("quota")))
+    val wCell = Window.partitionBy("cluster")
+      .orderBy(md5(col("vec_id").cast("string").cast("binary")),
+        col("vec_id"))
+    assigned
+      .withColumn("pick_rank", row_number().over(wCell))
+      .join(quotas, Seq("cluster"))
+      .filter(col("pick_rank") <= col("quota"))
+      .select(col("cluster"), col("vec_id"),
+        col("pick_rank").cast("long").as("pick_rank"),
+        col("n_c"), col("quota"))
+      .orderBy("cluster", "pick_rank")
+  }
+
+  /** DuckDB oracle for [[diversitySample]]: seeds → assignment →
+    * sizes → integer quota → hash-rank filter, verbatim.
+    */
+  def diversitySampleSql(nClusters: Int = 16, totalQuota: Int = 1024,
+      minQuota: Int = 8): String =
+    s"""WITH seeds AS (
+       |  SELECT CAST(row_number() OVER (
+       |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT)
+       |           AS cluster,
+       |         embedding AS centroid
+       |  FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT $nClusters),
+       |assigned AS (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT e.vec_id, s.cluster,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosineExprDuck("e.embedding", "s.centroid")} DESC,
+       |                 s.cluster ASC) AS rn
+       |    FROM embeddings e CROSS JOIN seeds s)
+       |  WHERE rn = 1),
+       |sizes AS (SELECT cluster, COUNT(*) AS n_c FROM assigned GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n FROM assigned),
+       |quotas AS (
+       |  SELECT cluster, n_c,
+       |    GREATEST($minQuota, $totalQuota * n_c // n.n) AS quota
+       |  FROM sizes CROSS JOIN n),
+       |ranked AS (
+       |  SELECT cluster, vec_id,
+       |    row_number() OVER (PARTITION BY cluster
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS pick_rank
+       |  FROM assigned)
+       |SELECT r.cluster, r.vec_id, CAST(r.pick_rank AS BIGINT) AS pick_rank,
+       |  q.n_c, q.quota
+       |FROM ranked r JOIN quotas q ON r.cluster = q.cluster
+       |WHERE r.pick_rank <= q.quota
+       |ORDER BY r.cluster, r.pick_rank""".stripMargin
+
   /** Embedding near-duplicate pairs: cosine >= threshold, candidates
     * restricted to pairs agreeing on at least one 4-bit LSH band (truly
     * near-identical vectors agree on nearly every hyperplane sign, so

@@ -381,4 +381,114 @@ object StatQa {
       .orderBy(col("cnt").desc, col(keyCol))
       .limit(topN)
   }
+
+  /** q152 — distribution DRIFT between two halves of the event
+    * stream, the screen every training-data pipeline runs before
+    * admitting a new batch: per event type, the `value` distribution
+    * of the later half (candidate) is compared against the earlier
+    * half (reference) on a fixed equal-width binning, and the drift is
+    * reported as total-variation distance and L∞ (max single-bin
+    * shift), both in ppm.
+    *
+    * Everything is INTEGER-exact so the report hash-matches a second
+    * engine: the time split is the BIGINT microsecond midpoint
+    * ((min+max) div 2), bin = least(nBins−1, floor(value/width)) —
+    * one correctly-rounded double divide then an exact floor,
+    * identical IEEE ops in both engines — and the per-bin shares are
+    * ppm floor-divisions of exact counts. TVD = Σ|ref−cur| div 2 in
+    * ppm units; NO logs (a PSI/KL form would put libm `ln` in the
+    * hot path, and ln is not correctly rounded in either engine — the
+    * same class of divergence the decimal→double fences guard).
+    *
+    * Scale shape: one fact scan to a (type, period, bin) count grid —
+    * partial counters collapse map-side, the exchange carries
+    * ≤ types × 2 × nBins rows — then node-grain joins on the tiny
+    * grid. The min/max midpoint rides along as a broadcast 1-row
+    * frame. At 100 TB this is the cheapest possible shape: drift
+    * needs no sort, no window, no sample.
+    */
+  def valueDrift(spark: SparkSession, sfDir: String,
+      nBins: Int = 20, width: Double = 25.0): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"),
+        expr("unix_micros(ts)").as("us"))
+    val mid = broadcast(ev.agg(
+      expr("(min(us) + max(us)) div 2").as("mid")))
+    val binned = ev.crossJoin(mid)
+      .select(col("event_type"),
+        when(col("us") <= col("mid"), lit(0)).otherwise(lit(1)).as("period"),
+        least(lit(nBins - 1), greatest(lit(0),
+          floor(col("value") / lit(width)).cast("int"))).as("bin"))
+    val grid = binned.groupBy("event_type", "period", "bin")
+      .agg(count(lit(1)).as("n"))
+    val totals = grid.groupBy("event_type", "period")
+      .agg(sum("n").as("tot"))
+    val ppm = grid.join(totals, Seq("event_type", "period"))
+      .select(col("event_type"), col("period"), col("bin"),
+        col("n"), expr("CAST(n * 1000000 div tot AS BIGINT)").as("ppm"))
+    val ref = ppm.filter(col("period") === 0)
+      .select(col("event_type"), col("bin"), col("ppm").as("ref_ppm"))
+    val cur = ppm.filter(col("period") === 1)
+      .select(col("event_type"), col("bin"), col("ppm").as("cur_ppm"))
+    val diffs = ref.join(cur, Seq("event_type", "bin"), "full_outer")
+      .select(col("event_type"),
+        abs(coalesce(col("ref_ppm"), lit(0L)) -
+          coalesce(col("cur_ppm"), lit(0L))).as("d"))
+      .groupBy("event_type")
+      .agg(expr("sum(d) div 2").as("tvd_ppm"), max("d").as("linf_ppm"))
+    val counts = totals.groupBy("event_type")
+      .agg(sum(when(col("period") === 0, col("tot"))).cast("long").as("n_ref"),
+        sum(when(col("period") === 1, col("tot"))).cast("long").as("n_cur"))
+    counts.join(diffs, Seq("event_type"))
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
+        col("tvd_ppm").cast("long").as("tvd_ppm"),
+        col("linf_ppm").cast("long").as("linf_ppm"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB oracle for [[valueDrift]]: identical integer pipeline —
+    * epoch_us midpoint, same binning expression, same ppm floor-divs.
+    */
+  def valueDriftSql(nBins: Int = 20, width: Double = 25.0): String =
+    s"""WITH ev AS (
+       |  SELECT event_type, value,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+       |  FROM events),
+       |mid AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM ev),
+       |binned AS (
+       |  SELECT event_type,
+       |    CASE WHEN us <= mid THEN 0 ELSE 1 END AS period,
+       |    LEAST($nBins - 1, GREATEST(0,
+       |      CAST(FLOOR(value / $width) AS INT))) AS bin
+       |  FROM ev CROSS JOIN mid),
+       |grid AS (
+       |  SELECT event_type, period, bin, COUNT(*) AS n
+       |  FROM binned GROUP BY 1, 2, 3),
+       |totals AS (
+       |  SELECT event_type, period, SUM(n) AS tot
+       |  FROM grid GROUP BY 1, 2),
+       |ppm AS (
+       |  SELECT g.event_type, g.period, g.bin,
+       |    CAST(g.n * 1000000 // t.tot AS BIGINT) AS ppm
+       |  FROM grid g JOIN totals t
+       |    ON g.event_type = t.event_type AND g.period = t.period),
+       |diffs AS (
+       |  SELECT COALESCE(r.event_type, c.event_type) AS event_type,
+       |    ABS(COALESCE(r.ppm, 0) - COALESCE(c.ppm, 0)) AS d
+       |  FROM (SELECT * FROM ppm WHERE period = 0) r
+       |  FULL OUTER JOIN (SELECT * FROM ppm WHERE period = 1) c
+       |    ON r.event_type = c.event_type AND r.bin = c.bin),
+       |drift AS (
+       |  SELECT event_type, SUM(d) // 2 AS tvd_ppm, MAX(d) AS linf_ppm
+       |  FROM diffs GROUP BY 1),
+       |counts AS (
+       |  SELECT event_type,
+       |    CAST(SUM(CASE WHEN period = 0 THEN tot END) AS BIGINT) AS n_ref,
+       |    CAST(SUM(CASE WHEN period = 1 THEN tot END) AS BIGINT) AS n_cur
+       |  FROM totals GROUP BY 1)
+       |SELECT c.event_type, c.n_ref, c.n_cur,
+       |  CAST(d.tvd_ppm AS BIGINT) AS tvd_ppm,
+       |  CAST(d.linf_ppm AS BIGINT) AS linf_ppm
+       |FROM counts c JOIN drift d ON c.event_type = d.event_type
+       |ORDER BY c.event_type""".stripMargin
 }

@@ -296,6 +296,25 @@ class ExtensionsSpec extends SparkSpec {
       "cap=2 must bound each cluster to a single candidate pair")
   }
 
+  test("diversity sample: quotas honored per cluster, floor keeps the tail") {
+    val sample = Similarity.diversitySample(spark, sf0001,
+      totalQuota = 64, minQuota = 4).collect()
+    assert(sample.nonEmpty)
+    // per-cluster pick count == min(quota, n_c); ranks are 1..count
+    sample.groupBy(_.getAs[Int]("cluster")).foreach { case (_, rows) =>
+      val quota = rows.head.getAs[Long]("quota")
+      val nC = rows.head.getAs[Long]("n_c")
+      assert(rows.length.toLong === math.min(quota, nC))
+      assert(rows.map(_.getAs[Long]("pick_rank")).sorted.toSeq ===
+        (1L to rows.length.toLong))
+      assert(quota >= 4L, "floor violated")
+    }
+    // determinism: a second run picks the identical set
+    val again = Similarity.diversitySample(spark, sf0001,
+      totalQuota = 64, minQuota = 4).collect()
+    assert(sample.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("ngram jaccard blocking finds high-sim pairs with exact scores") {
     val pairs = Dedup.ngramJaccardPairs(spark, sf0001)
     assert(pairs.count() > 0)

@@ -54,4 +54,26 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(fast === general)
   }
+
+  test("triangle counts: known topology, each corner credited once") {
+    // K4 on {1,2,3,4} (4 triangles, each node in exactly 3) plus a
+    // dangling pendant edge 4-5 (no triangle) — the pendant perturbs
+    // degrees, so the orientation tiebreak is exercised too
+    val pairs = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L))).toDF("a", "b")
+    val got = Graph.triangleCountsFromPairs(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangle counts: triangle total is invariant to edge input order") {
+    // same graph with pair rows shuffled/renumbered: orientation is a
+    // function of (deg, id) only, so the result cannot depend on input
+    // row order
+    val pairs = Seq((2L, 3L), (4L, 5L), (1L, 4L), (3L, 4L), (1L, 2L),
+      (2L, 4L), (1L, 3L)).toDF("a", "b")
+    val got = Graph.triangleCountsFromPairs(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
 }

@@ -50,4 +50,23 @@ class StatQaSpec extends SparkSpec {
       assert(g >= -1e-9 && g < 1.0, s"gini out of range: $r")
     }
   }
+
+  test("q152 drift: metric inequalities hold and the split partitions the stream") {
+    val rows = StatQa.valueDrift(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    var nTotal = 0L
+    rows.foreach { r =>
+      val tvd = r.getAs[Long]("tvd_ppm"); val linf = r.getAs[Long]("linf_ppm")
+      assert(tvd >= 0L && tvd <= 1000000L, s"tvd out of range: $r")
+      assert(linf <= 1000000L)
+      // TVD = Σ|d| div 2 over ≤20 bins: max|d| ≤ Σ|d| gives
+      // linf ≤ 2·tvd+1 (floor slack), Σ|d| ≤ 20·max|d| gives tvd ≤ 10·linf
+      assert(linf <= 2 * tvd + 1, s"linf exceeds 2*tvd+1: $r")
+      assert(tvd <= 10 * linf, s"tvd exceeds nBins/2 * linf: $r")
+      nTotal += r.getAs[Long]("n_ref") + r.getAs[Long]("n_cur")
+    }
+    // the midpoint split PARTITIONS the stream: no row lost or doubled
+    assert(nTotal ===
+      graft.sources.Tables.events(spark, sf0001).count())
+  }
 }

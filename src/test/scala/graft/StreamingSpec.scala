@@ -194,6 +194,20 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q154 foreachBatch upsert target equals the batch latest-by-user") {
+    // the helper self-asserts >=2 data batches (the merge genuinely
+    // folded across versions); the final version must equal the batch
+    // CDC compaction cell-exactly
+    val got = EventStreams.latestByUserUpsertReplay(spark, sf0001)
+      .select("user_id", "event_id", "ts", "event_type", "value")
+      .collect().toSeq
+    val want = Events.latestByUser(spark, sf0001)
+      .select("user_id", "event_id", "ts", "event_type", "value")
+      .collect().toSeq
+    assert(got.map(_.toSeq) === want.map(_.toSeq))
+    assert(got.nonEmpty)
+  }
+
   test("q141 streaming HLL distinct tracks batch-exact counts per window") {
     val got = EventStreams.hourlyDistinctApproxAvailableNow(spark, sf0001)
       .collect()
