@@ -231,7 +231,7 @@ object Dedup {
     */
   private def corpusBandIndex(spark: SparkSession, sfDir: String): String = {
     val root = new java.io.File("/tmp/graft_index",
-      "bands_" + Integer.toHexString(sfDir.hashCode))
+      "bands_" + Tables.pathKey(sfDir))
     val data = new java.io.File(root, "bands")
     val marker = new java.io.File(root, "_graft_index_key")
     val srcMtime =

@@ -298,6 +298,13 @@ object Graph {
     * and wedge-close, tuple order spelled out as (deg, id)
     * lexicographic CASEs. MATERIALIZED on pairs/oriented — both are
     * referenced more than once and DuckDB inlines CTEs by default.
+    *
+    * CAP ASSUMPTION (shared with the q94 basketPairsSql oracle): the
+    * Spark side inherits basketPairCounts' `maxItems = 64` basket cap;
+    * this SQL has no corresponding cap, so the two agree only while no
+    * order holds more than 64 distinct parts — true at every TPC-H
+    * scale factor (max basket ~7 lines). A corpus that could exceed it
+    * would need `HAVING COUNT(DISTINCT p) <= 64` folded into `items`.
     */
   def triangleCountsSql(minPairs: Int = 2): String =
     s"""WITH items AS (

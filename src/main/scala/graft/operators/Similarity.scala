@@ -1145,8 +1145,13 @@ object Similarity {
     * the per-cluster rank is a window partitioned BY CLUSTER (never
     * global). At 100 TB: one scan + one window exchange on the
     * cluster key, skew-bounded because the hash rank only needs the
-    * top `quota_c` per cluster — WindowGroupLimit pushes the cap
-    * map-side exactly as in the ANN shortlists.
+    * top rows per cluster — and since Spark's WindowGroupLimit
+    * pushdown only fires on `rank <= literal` (a post-join
+    * `pick_rank <= quota` column compare ranks the full partition),
+    * the plan first caps at the LITERAL upper bound of any quota,
+    * max(minQuota, totalQuota) ≥ quota_c, so the map-side limit
+    * engages, then applies the exact per-cluster quota after the
+    * broadcast join.
     */
   def diversitySample(spark: SparkSession, sfDir: String,
       nClusters: Int = 16, totalQuota: Int = 1024,
@@ -1167,6 +1172,10 @@ object Similarity {
         col("vec_id"))
     assigned
       .withColumn("pick_rank", row_number().over(wCell))
+      // literal cap first: quota_c <= max(minQuota, totalQuota) always,
+      // and rank <= literal is what enables the WindowGroupLimit
+      // map-side pushdown (rank <= col("quota") would rank everything)
+      .filter(col("pick_rank") <= lit(math.max(minQuota, totalQuota).toLong))
       .join(quotas, Seq("cluster"))
       .filter(col("pick_rank") <= col("quota"))
       .select(col("cluster"), col("vec_id"),

@@ -417,8 +417,12 @@ object StatQa {
     val binned = ev.crossJoin(mid)
       .select(col("event_type"),
         when(col("us") <= col("mid"), lit(0)).otherwise(lit(1)).as("period"),
-        least(lit(nBins - 1), greatest(lit(0),
-          floor(col("value") / lit(width)).cast("int"))).as("bin"))
+        // LONG bin, never INT: a Spark INT cast overflow wraps silently
+        // (a wrapped-positive extreme value would mis-bin past the
+        // greatest(0,...) guard) while the DuckDB oracle's INT cast
+        // throws — BIGINT on both sides keeps extremes divergence-free
+        least(lit(nBins - 1L), greatest(lit(0L),
+          floor(col("value") / lit(width)).cast("long"))).as("bin"))
     val grid = binned.groupBy("event_type", "period", "bin")
       .agg(count(lit(1)).as("n"))
     val totals = grid.groupBy("event_type", "period")
@@ -459,7 +463,7 @@ object StatQa {
        |  SELECT event_type,
        |    CASE WHEN us <= mid THEN 0 ELSE 1 END AS period,
        |    LEAST($nBins - 1, GREATEST(0,
-       |      CAST(FLOOR(value / $width) AS INT))) AS bin
+       |      CAST(FLOOR(value / $width) AS BIGINT))) AS bin
        |  FROM ev CROSS JOIN mid),
        |grid AS (
        |  SELECT event_type, period, bin, COUNT(*) AS n

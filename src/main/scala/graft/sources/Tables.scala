@@ -484,6 +484,18 @@ object Tables {
   def withMinParallelism(df: DataFrame, min: Int): DataFrame =
     if (df.rdd.getNumPartitions >= min) df else df.repartition(min)
 
+  /** Collision-free /tmp directory key for a source path: md5 of the
+    * FULL path (String.hashCode is 32-bit — two sfDirs can collide and
+    * concurrent sessions would clobber each other's staging / index /
+    * sink version chains; safe before only because the sbt project lock
+    * serialized runs). Shared by the streaming staging dirs, the dedup
+    * band index, and the durable-sink harnesses.
+    */
+  def pathKey(path: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString.take(16)
+
   /** Hive-partitioned parquet sink (SURVEY.md §2 J4's pruning half:
     * directory partitioning replaces the reference's fact-FK indexes for
     * date/categorical predicates — a filter on the partition column

@@ -522,7 +522,7 @@ object EventStreams {
       nFiles: Int, lateTail: Boolean = false): String = {
     val suffix = if (lateTail) "_late" else ""
     val staging = new java.io.File("/tmp/graft_stage",
-      "batched_events_" + Integer.toHexString(sfDir.hashCode) + suffix)
+      "batched_events_" + graft.sources.Tables.pathKey(sfDir) + suffix)
     val totalFiles = nFiles + (if (lateTail) 1 else 0)
     // freshness fingerprint, the Tables.eventsTsIsNanos idiom: reuse the
     // staged split only when it was built from the CURRENT source file
@@ -619,7 +619,7 @@ object EventStreams {
       nFiles: Int = 4): DataFrame = {
     val staging = stageChronologicalEvents(spark, sfDir, nFiles)
     val base = new java.io.File("/tmp/graft_stream_sink",
-      "restart_" + Integer.toHexString(sfDir.hashCode))
+      "restart_" + graft.sources.Tables.pathKey(sfDir))
     org.apache.commons.io.FileUtils.deleteQuietly(base)
     val sinkDir = new java.io.File(base, "out").getPath
     val ckptDir = new java.io.File(base, "ckpt").getPath
@@ -887,8 +887,10 @@ object EventStreams {
   def latestByUserUpsertReplay(spark: SparkSession, sfDir: String,
       nFiles: Int = 4): DataFrame = {
     val staging = stageChronologicalEvents(spark, sfDir, nFiles)
+    // md5 of the full path, not String.hashCode: 32-bit hash collisions
+    // between two sfDirs would interleave their version chains (ADVICE r8)
     val base = new java.io.File("/tmp/graft_stream_sink",
-      "upsert_" + Integer.toHexString(sfDir.hashCode))
+      "upsert_" + graft.sources.Tables.pathKey(sfDir))
     org.apache.commons.io.FileUtils.deleteQuietly(base)
     base.mkdirs()
     def versionsBelow(limit: Long): Seq[(Long, java.io.File)] = {
