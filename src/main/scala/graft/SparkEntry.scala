@@ -371,6 +371,10 @@ object SparkEntry {
     // cluster-balanced diversity sample: proportional quotas with a
     // tail floor, md5-rank selection, map-side argmax assignment
     "q155_diversity_sample" -> ((s, d) => Similarity.diversitySample(s, d)),
+    // REAL image codec at the decode boundary (not the q30 stub): BMP
+    // encode -> header parse + pixel walk + structural layout inverse,
+    // partition-wise with per-partition codec state
+    "q156_media_decode" -> ((s, d) => Multimodal.mediaDecode(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -408,6 +412,7 @@ object SparkEntry {
     "q29_events_daily" -> Events.dailyTypeRollupSql,
     "q30_media_features" -> Multimodal.mediaFeaturesSql,
     "q31_media_rollup" -> Multimodal.mediaKindRollupSql,
+    "q156_media_decode" -> Multimodal.mediaDecodeSql,
     "q32_events_props" -> Events.propsRollupSql,
     "q33_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(),
     "q34_ann_ivf" -> Similarity.annIvfSql(),

@@ -8,14 +8,19 @@ import graft.sources.Tables
 /** Multimodal-column plumbing (builder prompt §multimodal): media as
   * opaque `binary` columns with typed metadata, processed partition-wise.
   *
-  * The decode step is a clearly-marked STUB (this container has no
-  * image/audio codecs): [[fakeDecode]] derives deterministic
-  * pseudo-features from an md5 of the payload. Everything AROUND the
-  * stub is real and tested — the schema contract, the binary column
-  * handling, the partition-wise batched execution shape (mapPartitions
-  * over an iterator == one "batch" per partition, the same contract a
+  * Two tiers live here. The q30/q31/q35 family keeps its clearly-marked
+  * STUB decode ([[fakeDecode]]: deterministic md5-derived
+  * pseudo-features — this container has no image/audio codec libs for
+  * arbitrary formats), with everything AROUND the stub real and
+  * tested — the schema contract, the binary column handling, the
+  * partition-wise batched execution shape (mapPartitions over an
+  * iterator == one "batch" per partition, the same contract a
   * Pandas-UDF `mapInPandas` has in PySpark), and the downstream
-  * aggregation plumbing.
+  * aggregation plumbing. The q156 family ([[bmpEncode]]/[[bmpDecode]])
+  * is a REAL pure-JVM image codec — an actual BMP writer and a
+  * header-parsing, pixel-walking, layout-inverting reader — so the
+  * decode boundary itself is exercised with genuine per-byte work, not
+  * a stand-in.
   *
   * Scale notes: decode is the textbook case for partition-wise
   * processing — per-element codec setup amortizes across the partition
@@ -188,6 +193,191 @@ object Multimodal {
       |       md5(frame) AS frame_hash
       |FROM frames
       |ORDER BY media_id, frame_idx""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q156 — the decode step made REAL (round 9; closes the last stub
+  // family): a genuine pure-JVM image codec. Documents are ENCODED into
+  // structurally-valid BMP files (BITMAPFILEHEADER + BITMAPINFOHEADER +
+  // bottom-up 4-byte-aligned 24-bpp pixel rows; the text bytes are the
+  // pixel data, the header's reserved field carries the content length
+  // exactly as real writers stash app data there), then DECODED by an
+  // actual header parse + full pixel-array walk. Nothing here is
+  // md5-derived fakery: the decoder validates the 'BM' magic, reads
+  // width/height/bpp/offset from the header, computes channel-byte
+  // statistics over the real pixel array, and structurally INVERTS the
+  // encoding — reassembling the bottom-up rows into top-down content
+  // order and truncating the row padding — so the content md5 matches
+  // the source text's md5 only if every layout decision (row reversal,
+  // stride, padding, offsets) round-trips exactly. The DuckDB oracle
+  // recomputes all of it from `documents.text` (ASCII contract, as
+  // [[mediaFrames]]): dimensions and file size from strlen arithmetic,
+  // the pixel byte sum as the per-character codepoint sum (padding
+  // zeros contribute nothing), and md5(text) for the recovered content.
+  //
+  // Scale shape: both codec steps are partition-wise iterator maps with
+  // per-partition codec state (the MessageDigest; a real libjpeg-style
+  // context would sit in the same slot), payloads never cross a
+  // shuffle (encode → decode fuse into the scan stage; the spread
+  // repartition exists only because the testdata is single-row-group),
+  // and per-row cost is O(payload bytes) — real decode work that
+  // taskRunSum scales with, unlike the md5 stub.
+  // ------------------------------------------------------------------
+
+  /** A document rendered as a BMP file. */
+  case class BmpMedia(media_id: Long, payload: Array[Byte])
+
+  /** Decoded facts: header fields + pixel statistics + the content
+    * recovered by structurally inverting the encoding.
+    */
+  case class MediaDecoded(media_id: Long, file_size: Long, width: Int,
+    height: Int, px_sum: Long, px_nonzero: Long, content_md5: String)
+
+  private val BmpHeaderBytes = 54
+
+  /** Partition-wise BMP encoder: 24-bpp, `widthPx` pixels wide (the
+    * default 32 gives a 96-byte stride, already 4-byte aligned),
+    * bottom-up rows (positive biHeight — the on-disk convention), last
+    * row zero-padded. One reusable no-alloc path per partition aside
+    * from the output buffer each row owns.
+    */
+  def bmpEncode(media: Dataset[MediaRecord], widthPx: Int = 32): Dataset[BmpMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val rowBytes = ((widthPx * 3 + 3) / 4) * 4 // 4-byte row alignment
+      it.map { m =>
+        val len = m.payload.length
+        val h = math.max(1, (len + rowBytes - 1) / rowBytes)
+        val fileSize = BmpHeaderBytes + rowBytes * h
+        val buf = java.nio.ByteBuffer.allocate(fileSize)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.put('B'.toByte).put('M'.toByte)
+        buf.putInt(fileSize)
+        buf.putInt(len)            // reserved field: content byte length
+        buf.putInt(BmpHeaderBytes) // pixel data offset
+        buf.putInt(40)             // BITMAPINFOHEADER size
+        buf.putInt(widthPx)
+        buf.putInt(h)              // positive height = bottom-up rows
+        buf.putShort(1)            // color planes
+        buf.putShort(24)           // bits per pixel
+        buf.putInt(0)              // BI_RGB (uncompressed)
+        buf.putInt(rowBytes * h)   // image size
+        buf.putInt(2835); buf.putInt(2835) // 72 dpi in px/metre
+        buf.putInt(0); buf.putInt(0)       // palette: unused at 24 bpp
+        var r = 0
+        while (r < h) {            // stored row r = image row h-1-r
+          val start = (h - 1 - r) * rowBytes
+          var c = 0
+          while (c < rowBytes) {
+            val idx = start + c
+            buf.put(if (idx < len) m.payload(idx) else 0: Byte)
+            c += 1
+          }
+          r += 1
+        }
+        BmpMedia(m.media_id, buf.array())
+      }
+    }
+  }
+
+  /** Partition-wise BMP decoder: header parse (validated), pixel-array
+    * statistics, and the structural inverse of [[bmpEncode]]'s layout
+    * (bottom-up rows reassembled top-down, padding truncated via the
+    * reserved-field length). Per-partition codec init = the digest; a
+    * malformed payload fails loudly rather than yielding garbage stats.
+    */
+  def bmpDecode(bmps: Dataset[BmpMedia]): Dataset[MediaDecoded] = {
+    import bmps.sparkSession.implicits._
+    bmps.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { b =>
+        val p = b.payload
+        require(p.length >= BmpHeaderBytes &&
+          p(0) == 'B'.toByte && p(1) == 'M'.toByte,
+          s"media ${b.media_id}: not a BMP payload")
+        val buf = java.nio.ByteBuffer.wrap(p)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.position(2)
+        val fileSize = buf.getInt
+        val contentLen = buf.getInt   // reserved field (encoder contract)
+        val dataOffset = buf.getInt
+        val hdrSize = buf.getInt
+        val w = buf.getInt
+        val h = buf.getInt
+        val planes = buf.getShort
+        val bpp = buf.getShort
+        val compression = buf.getInt
+        require(hdrSize == 40 && planes == 1 && bpp == 24 &&
+          compression == 0 && h > 0,
+          s"media ${b.media_id}: unsupported BMP variant " +
+            s"(hdr=$hdrSize planes=$planes bpp=$bpp comp=$compression h=$h)")
+        require(fileSize == p.length,
+          s"media ${b.media_id}: header file size $fileSize != " +
+            s"payload ${p.length}")
+        val rowBytes = ((w * 3 + 3) / 4) * 4
+        require(dataOffset + rowBytes.toLong * h == p.length,
+          s"media ${b.media_id}: pixel array does not fill the file")
+        var pxSum = 0L
+        var nz = 0L
+        var i = dataOffset
+        while (i < p.length) {
+          val v = p(i) & 0xff
+          pxSum += v
+          if (v != 0) nz += 1
+          i += 1
+        }
+        require(contentLen >= 0 && contentLen <= rowBytes.toLong * h,
+          s"media ${b.media_id}: content length $contentLen out of range")
+        val content = new Array[Byte](contentLen)
+        var copied = 0
+        var imgRow = 0
+        while (copied < contentLen) { // invert the bottom-up storage
+          val stored = h - 1 - imgRow
+          val n = math.min(rowBytes, contentLen - copied)
+          System.arraycopy(p, dataOffset + stored * rowBytes,
+            content, copied, n)
+          copied += n
+          imgRow += 1
+        }
+        val hex = md.digest(content).map(x => f"${x & 0xff}%02x").mkString
+        MediaDecoded(b.media_id, fileSize.toLong, w, h, pxSum, nz, hex)
+      }
+    }
+  }
+
+  /** Registered q156: documents → real BMP bytes → real decode. The
+    * spread repartition keeps the fused encode+decode off the testdata's
+    * single-row-group scan task (Tables.withMinParallelism note).
+    */
+  def mediaDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.withMinParallelism(
+        mediaFromDocuments(spark, sfDir).toDF(),
+        spark.sparkContext.defaultParallelism)
+      .as[MediaRecord]
+    bmpDecode(bmpEncode(media)).toDF().orderBy("media_id")
+  }
+
+  /** DuckDB oracle for [[mediaDecode]] — every decoded fact restated
+    * from the source text (ASCII contract, see [[mediaFrames]]):
+    * stride = 96 bytes (width 32 × 24 bpp, aligned), height = padded
+    * row count, file size = header + pixel array, pixel byte sum = the
+    * per-character codepoint sum (zero padding adds nothing), nonzero
+    * pixel bytes = strlen (ASCII text has no NULs), and the recovered
+    * content md5 = md5(text) — which only matches if the row-reversal
+    * inverse in the decoder is exactly right.
+    */
+  val mediaDecodeSql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(54 + 96 * GREATEST(1, (strlen(text) + 95) // 96) AS BIGINT)
+      |    AS file_size,
+      |  CAST(32 AS INT) AS width,
+      |  CAST(GREATEST(1, (strlen(text) + 95) // 96) AS INT) AS height,
+      |  CAST(COALESCE(list_sum(list_transform(range(1, strlen(text) + 1),
+      |    i -> ascii(text[CAST(i AS INT)]))), 0) AS BIGINT) AS px_sum,
+      |  CAST(strlen(text) AS BIGINT) AS px_nonzero,
+      |  md5(text) AS content_md5
+      |FROM documents
+      |ORDER BY media_id""".stripMargin
 
   /** Downstream rollup over extracted features (proves features flow
     * into ordinary relational ops after the stub boundary).

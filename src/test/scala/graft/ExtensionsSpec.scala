@@ -468,6 +468,42 @@ class ExtensionsSpec extends SparkSpec {
     assert(first.sameElements(again))
   }
 
+  test("bmp codec: real round-trip — header fields, pixel stats, content inverse") {
+    import spark.implicits._
+    val texts = Seq(
+      1L -> "hello world",                   // sub-row content
+      2L -> ("x" * 96),                      // exactly one full row
+      3L -> ("abcdefgh" * 40),               // multi-row with padding (320 B)
+      4L -> "")                              // empty payload edge
+    val media = texts.toDF("media_id", "text")
+      .selectExpr("media_id", "'image' AS kind",
+        "CAST(text AS BINARY) AS payload", "'fixture' AS source")
+      .as[operators.Multimodal.MediaRecord]
+    val decoded = operators.Multimodal.bmpDecode(
+        operators.Multimodal.bmpEncode(media))
+      .collect().map(d => d.media_id -> d).toMap
+    texts.foreach { case (id, t) =>
+      val d = decoded(id)
+      val h = math.max(1, (t.length + 95) / 96)
+      assert(d.width === 32 && d.height === h, s"doc $id dims")
+      assert(d.file_size === 54L + 96L * h, s"doc $id size")
+      assert(d.px_sum === t.map(_.toLong).sum, s"doc $id px_sum")
+      assert(d.px_nonzero === t.length.toLong, s"doc $id nonzero")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val expect = md.digest(t.getBytes("UTF-8"))
+        .map(x => f"${x & 0xff}%02x").mkString
+      assert(d.content_md5 === expect, s"doc $id content inverse")
+    }
+    // a corrupted payload must fail loudly, never yield silent garbage
+    val bad = media.filter(_.media_id == 3L).map { m =>
+      val p = m.payload.clone(); // not remotely a BMP
+      operators.Multimodal.BmpMedia(m.media_id, p)
+    }
+    intercept[org.apache.spark.SparkException] {
+      operators.Multimodal.bmpDecode(bad).collect()
+    }
+  }
+
   test("multimodal frame sampling: every step-th pseudo-frame of videos, with offsets") {
     val media = operators.Multimodal.mediaFromDocuments(spark, sf0001)
     val frames = operators.Multimodal.sampleFramesStub(media)
