@@ -375,6 +375,15 @@ object SparkEntry {
     // encode -> header parse + pixel walk + structural layout inverse,
     // partition-wise with per-partition codec state
     "q156_media_decode" -> ((s, d) => Multimodal.mediaDecode(s, d)),
+    // the q141 sketch in its DEPLOYMENT mode: Update output + watermark
+    // EVICTION of closed windows, observed via numRowsRemoved (rows-only;
+    // StreamingSpec holds tolerance vs batch-exact + the eviction assert)
+    "q157_streaming_evict" -> ((s, d) =>
+      graft.streaming.EventStreams.hourlyDistinctApproxUpdateReplay(s, d)),
+    // slowly-changing-dim pickup: foreachBatch re-read + mid-stream
+    // version bump, v1/v2 names both observed in the folded output
+    "q160_stream_dim_swap" -> ((s, d) =>
+      graft.streaming.EventStreams.dimSwapEnrichReplay(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -424,6 +433,8 @@ object SparkEntry {
     "q148_streaming_update" -> Events.hourlyByTypeSql,
     "q149_streaming_enrich" ->
       graft.streaming.EventStreams.segmentRollupStreamSql,
+    "q160_stream_dim_swap" ->
+      graft.streaming.EventStreams.dimSwapEnrichReplaySql(),
     "q150_histogram_cells" -> Insights.histogramPercentileCellsSql(),
     "q151_triangle_count" -> Graph.triangleCountsSql(),
     "q152_value_drift" -> StatQa.valueDriftSql(),

@@ -30,7 +30,8 @@ class QueriesSpec extends SparkSpec {
     val approxOnly = Set("q45_kpi_approx", "q119_approx_percentiles",
       "q120_approx_heavy_hitters", "q136_sketch_sweep",
       "q137_hll_shards", // in-row self-oracle + HllSpec equality
-      "q141_streaming_distinct") // StreamingSpec tolerance vs batch
+      "q141_streaming_distinct", // StreamingSpec tolerance vs batch
+      "q157_streaming_evict") // StreamingSpec tolerance + eviction assert
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing == approxOnly,
       s"queries without oracle beyond the whitelist: ${missing -- approxOnly}")

@@ -232,6 +232,32 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("q157 update-mode HLL folds to batch-exact windows, eviction asserted") {
+    // the query itself require()s numRowsRemoved > 0 and >=2 data
+    // batches — reaching the assertions below means eviction happened
+    val got = EventStreams.hourlyDistinctApproxUpdateReplay(spark, sf0001)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val want = Tables.events(spark, sf0001)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("x"),
+        count(lit(1)).as("n"))
+      .select(col("window.start"), col("event_type"), col("x"), col("n"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet === want.keySet,
+      "window/type coverage differs - an update was lost to eviction")
+    want.foreach { case (k, (x, n)) =>
+      val (ax, an) = got(k)
+      assert(an === n, s"$k: event count $an != $n (fold picked a " +
+        "non-final update)")
+      val tol = math.max(2.0, 3 * 0.02 * x)
+      assert(math.abs(ax - x) <= tol, s"$k: approx $ax vs exact $x")
+    }
+  }
+
   test("session_window streaming runs and covers every user") {
     val stream = MemoryStream[Event](spark, 3)
     stream.addData(eventData)
