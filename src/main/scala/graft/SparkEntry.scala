@@ -384,6 +384,9 @@ object SparkEntry {
     // version bump, v1/v2 names both observed in the folded output
     "q160_stream_dim_swap" -> ((s, d) =>
       graft.streaming.EventStreams.dimSwapEnrichReplay(s, d)),
+    // IVF×PQ against the PERSISTED codes index (encode once at ingest,
+    // search reads codes parquet; PlanSpec pins no pq_encode in search)
+    "q158_pq_stored" -> ((s, d) => Similarity.annIvfPqStored(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -445,6 +448,8 @@ object SparkEntry {
     "q140_semantic_dedup" -> Similarity.semanticDedupSql(),
     "q142_ann_pq_trained" -> Similarity.annPqTrainedSql(),
     "q144_ann_ivf_pq" -> Similarity.annIvfPqSql(),
+    // identical results to q144: the stored index holds the same codes
+    "q158_pq_stored" -> Similarity.annIvfPqSql(),
     "q35_media_frames" -> Multimodal.mediaFramesSql,
     "q36_clean_sales" -> CleanCsv.cleanSalesCsvSql,
     "q37_clean_products" -> CleanCsv.cleanProductsCsvSql,

@@ -577,6 +577,70 @@ object Similarity {
     pqSearch(spark, sfDir, trainedCodebooks(spark, sfDir, nSeeds, m),
       nQueries, k, shortlistK, coarse = Some((nClusters, nprobe)))
 
+  /** q158 — the PQ codes as a PERSISTED stored index (q144 re-encodes
+    * the corpus inside every query construction — fine at sf, but the
+    * scaladoc's own claim is that at scale the codes ARE the stored
+    * index layout): [[pqCodesIndex]] materializes (vec_id, cluster, s,
+    * j) once per corpus as an mtime-keyed parquet (the q147 band-index
+    * idiom — rebuilt only when the embeddings file or a dial changes),
+    * and the search READS it — the executed search plan contains a
+    * FileScan of the codes parquet and zero `pq_encode` calls
+    * (PlanSpec-pinned). Same trained codebooks (memoized fit keyed on
+    * the same mtime, so codes and distance tables always agree), same
+    * routing + ADC + shortlist + re-rank tail, identical results to
+    * q144 — the oracle is the q144 SQL.
+    *
+    * At 100 TB this is the deployment split: encode once at ingest
+    * (write-side), search forever against the code table (read-side,
+    * ~M bytes per vector instead of 4·Dim), partitioned by coarse cell
+    * so probes prune files before IO.
+    */
+  def annIvfPqStored(spark: SparkSession, sfDir: String, nQueries: Int = 10,
+      k: Int = 5, nClusters: Int = 16, nprobe: Int = 4, nSeeds: Int = 16,
+      m: Int = 8, shortlistK: Int = 100): DataFrame = {
+    val codes = spark.read.parquet(
+      pqCodesIndex(spark, sfDir, nSeeds, m, nClusters))
+    pqSearch(spark, sfDir, trainedCodebooks(spark, sfDir, nSeeds, m),
+      nQueries, k, shortlistK, coarse = Some((nClusters, nprobe)),
+      storedCodes = Some(codes))
+  }
+
+  /** Build (or reuse) the persisted PQ codes index: (vec_id, cluster,
+    * s, j) parquet under /tmp/graft_index, keyed on the embeddings
+    * mtime + every dial that shapes the codes — the [[corpusBandIndex]]
+    * freshness idiom including the staged-files-exist check (a marker
+    * alone is not proof the data survived a /tmp cleaner).
+    */
+  private def pqCodesIndex(spark: SparkSession, sfDir: String,
+      nSeeds: Int, m: Int, nClusters: Int): String = {
+    val root = new java.io.File("/tmp/graft_index",
+      "pq_" + Tables.pathKey(sfDir))
+    val data = new java.io.File(root, "codes")
+    val marker = new java.io.File(root, "_graft_index_key")
+    val srcMtime = embeddingsMtime(sfDir)
+    val key = s"$srcMtime#$nSeeds#$m#$nClusters#iters1"
+    val fresh = srcMtime > 0L && marker.exists && {
+      try new String(java.nio.file.Files.readAllBytes(marker.toPath),
+        "UTF-8") == key
+      catch { case _: Exception => false }
+    } && new java.io.File(data, "_SUCCESS").exists
+    if (!fresh) {
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      root.mkdirs()
+      val codebooks = trainedCodebooks(spark, sfDir, nSeeds, m)
+      val centroids = ivfQuantizer(spark, sfDir, nClusters).map(_._2)
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"),
+          graft.functions.argmax_cosine(col("embedding"), centroids)
+            .as("cluster"),
+          posexplode(graft.functions.pq_encode(col("embedding"), codebooks)))
+        .toDF("vec_id", "cluster", "s", "j")
+        .write.parquet(data.getPath)
+      java.nio.file.Files.write(marker.toPath, key.getBytes("UTF-8"))
+    }
+    data.getPath
+  }
+
   /** The PQ search pipeline over a given codebook (shared by the
     * sample-codebook q138, the trained q142, and the IVF-pruned q144):
     * encode → codes-table ADC scan → shortlist → exact re-rank.
@@ -596,7 +660,8 @@ object Similarity {
   private def pqSearch(spark: SparkSession, sfDir: String,
       codebooks: Array[Array[Array[Double]]], nQueries: Int,
       k: Int, shortlistK: Int,
-      coarse: Option[(Int, Int)] = None): DataFrame = {
+      coarse: Option[(Int, Int)] = None,
+      storedCodes: Option[DataFrame] = None): DataFrame = {
     // one materialized scan shared by encode, the query table, and the
     // exact re-rank fetch (the kmeans idiom; without it the executed
     // plan re-reads the parquet 8 times)
@@ -608,8 +673,10 @@ object Similarity {
     // codes table: (vec_id, s, j) — M ints per vector, the PQ "index";
     // under IVF×PQ each row also carries its coarse cell id (computed
     // in the same scan-fused pass — at scale this IS the stored index
-    // layout: codes partitioned by cell)
-    val codes = coarse match {
+    // layout: codes partitioned by cell). With `storedCodes` the table
+    // comes from the PERSISTED index parquet instead (q158): the search
+    // path then contains no pq_encode over the corpus at all.
+    val codes = storedCodes.getOrElse(coarse match {
       case Some((nClusters, _)) =>
         val centroids = ivfQuantizer(spark, sfDir, nClusters).map(_._2)
         emb.select(col("vec_id"),
@@ -621,7 +688,7 @@ object Similarity {
         emb.select(col("vec_id"),
             posexplode(graft.functions.pq_encode(col("embedding"), codebooks)))
           .toDF("vec_id", "s", "j")
-    }
+    })
     // per-query subspace distance table: nQueries x M x K rows
     val cbDf = spark.createDataFrame(
         for (s <- 0 until m; j <- codebooks(s).indices)

@@ -329,6 +329,23 @@ class PlanSpec extends SparkSpec {
       s"cell filter missing from the executed plan:\n$p")
   }
 
+  test("q158 stored-index PQ: search reads the codes parquet, never re-encodes") {
+    val df = graft.operators.Similarity.annIvfPqStored(spark, sf0001)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("pq_encode"),
+      s"stored-index search path must not re-encode the corpus:\n$p")
+    assert(p.contains("FileScan") && p.contains("codes"),
+      s"expected a FileScan of the persisted codes parquet:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"ADC candidate generation must stay broadcast/map-side:\n$p")
+    // stored-index results must equal the re-encoding q144 exactly
+    val live = graft.operators.Similarity.annIvfPq(spark, sf0001)
+    assert(df.exceptAll(live).count() === 0 &&
+      live.exceptAll(df).count() === 0,
+      "stored-index search diverged from the in-line encoding path")
+  }
+
   test("q139 sampled KPI: one scan, sample filter below the aggregate") {
     val df = graft.operators.Insights.sampledKpi(spark, sf0001)
     df.collect()
