@@ -387,6 +387,9 @@ object SparkEntry {
     // IVF×PQ against the PERSISTED codes index (encode once at ingest,
     // search reads codes parquet; PlanSpec pins no pq_encode in search)
     "q158_pq_stored" -> ((s, d) => Similarity.annIvfPqStored(s, d)),
+    // the incremental-dedup LOOP: round-1 admits appended to the index
+    // as a versioned segment, round 2 dedups against corpus + admits
+    "q159_dedup_loop" -> ((s, d) => Dedup.incrementalDedupLoop(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -432,6 +435,7 @@ object SparkEntry {
     "q139_sampled_kpi" -> Insights.sampledKpiSql(),
     "q145_sampled_groups" -> Insights.sampledGroupKpiSql(),
     "q147_incremental_dedup" -> Dedup.incrementalDedupSql(),
+    "q159_dedup_loop" -> Dedup.incrementalDedupLoopSql(),
     // folding the update log must reproduce the q26 batch aggregate
     "q148_streaming_update" -> Events.hourlyByTypeSql,
     "q149_streaming_enrich" ->

@@ -199,13 +199,31 @@ object Dedup {
       minhashSignaturesRaw(spark, sfDir)
         .filter(pmod(col("doc_id"), lit(2)) === 1)
         .repartition(col("doc_id")))
-    val cands = incoming.join(index, Seq("band_idx", "band_key"))
-      .select(col("doc_id"), col("corpus_id"))
-      .distinct()
-    val sh = Tables.withMinParallelism(Tables.documents(spark, sfDir),
+    bestMatchAgainstIndex(incoming, index,
+        distinctShingles(spark, sfDir), threshold)
+      .orderBy("doc_id")
+  }
+
+  /** Distinct 3-shingle sets per doc (the exact-Jaccard verification
+    * grain shared by the incremental probes).
+    */
+  private def distinctShingles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.withMinParallelism(Tables.documents(spark, sfDir),
         spark.sparkContext.defaultParallelism).select(
       col("doc_id"),
       array_distinct(graft.functions.word_shingles(col("text"))).as("sh"))
+
+  /** The incremental-admission probe: batch band rows joined to an
+    * index's (corpus_id, band_idx, band_key) rows, candidates verified
+    * at shingle grain, best corpus match per incoming doc (highest
+    * exact Jaccard, tie toward the lowest id). Returns
+    * (doc_id, dup_of, jaccard) — unsorted (callers order or compose).
+    */
+  private def bestMatchAgainstIndex(batchBands: DataFrame,
+      index: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val cands = batchBands.join(index, Seq("band_idx", "band_key"))
+      .select(col("doc_id"), col("corpus_id"))
+      .distinct()
     val w = Window.partitionBy("doc_id")
       .orderBy(desc("jaccard"), asc("corpus_id"))
     cands
@@ -219,8 +237,133 @@ object Dedup {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("corpus_id").as("dup_of"), col("jaccard"))
-      .orderBy("doc_id")
   }
+
+  /** q159 — the incremental-dedup LOOP closed (q147 probes a read-only
+    * index; the round-8 verdict's open gap was that batch N+1 could
+    * not dedup against batch N's survivors): two ingest rounds against
+    * a MAINTAINED index. Round 1 (doc_id % 4 == 1) probes the
+    * persisted corpus (even) band index; its ADMITTED docs' band rows
+    * are then appended to the index as a versioned `_SUCCESS`-committed
+    * segment (the q154 sink idiom — at scale, one new bucketed file
+    * set per ingest, never a rewrite of the corpus index). Round 2
+    * (doc_id % 4 == 3) probes corpus ∪ segment-1 — so a round-2 doc
+    * CAN dedup against a round-1 admit, which is the property that
+    * makes the pipeline incremental in production (DedupLoopSpec pins
+    * it on a controlled fixture; on driver data it holds wherever the
+    * corpus has cross-odd near-dups). Output: both rounds' admission
+    * decisions, tagged.
+    *
+    * The whole segment chain is rebuilt per invocation (the harness
+    * must demonstrate the full loop, and segment 1 depends on round
+    * 1's result); only the corpus segment reuses the mtime-keyed
+    * cache. Oracle: both rounds restated in SQL — round 2's candidate
+    * set is (even corpus) ∪ (round-1 odd docs with no round-1 match).
+    */
+  def incrementalDedupLoop(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val root = new java.io.File("/tmp/graft_index",
+      "loop_" + Tables.pathKey(sfDir))
+    org.apache.commons.io.FileUtils.deleteQuietly(root)
+    root.mkdirs()
+    val seg0 = spark.read.parquet(corpusBandIndex(spark, sfDir))
+      .select(col("doc_id").as("corpus_id"),
+        col("band_idx"), col("band_key"))
+    val sh = distinctShingles(spark, sfDir)
+    def batchBands(residue: Int): DataFrame = bandedFromSigs(
+      minhashSignaturesRaw(spark, sfDir)
+        .filter(pmod(col("doc_id"), lit(4)) === residue)
+        .repartition(col("doc_id")))
+    // ---- round 1: probe the corpus index, admit, append segment ----
+    val bands1 = batchBands(1).localCheckpoint(true) // probed AND appended
+    val dups1 = bestMatchAgainstIndex(bands1, seg0, sh, threshold)
+      .localCheckpoint(true) // reused: output + the admit filter
+    val seg1Dir = new java.io.File(root, "seg1")
+    bands1.join(dups1.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .write.parquet(seg1Dir.getPath) // _SUCCESS-committed by Spark
+    // ---- round 2: probe corpus ∪ round-1 admits (read back from the
+    // persisted segment — the index maintenance is real, not in-memory)
+    val seg1 = spark.read.parquet(seg1Dir.getPath)
+      .select(col("doc_id").as("corpus_id"),
+        col("band_idx"), col("band_key"))
+    val dups2 = bestMatchAgainstIndex(batchBands(3),
+      seg0.unionByName(seg1), sh, threshold)
+    dups1.withColumn("batch_round", lit(1L))
+      .unionByName(dups2.withColumn("batch_round", lit(2L)))
+      .select("batch_round", "doc_id", "dup_of", "jaccard")
+      .orderBy("batch_round", "doc_id")
+  }
+
+  /** DuckDB oracle for [[incrementalDedupLoop]]: the banded CTE prefix,
+    * round-1 best matches against the even corpus, round-1 admits =
+    * round-1 docs with no match, round-2 best matches against
+    * corpus ∪ admits, both rounds tagged.
+    */
+  def incrementalDedupLoopSql(threshold: Double = 0.5): String =
+    s"""@BANDED@,
+       |sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM sh_rows GROUP BY doc_id),
+       |r1cands AS MATERIALIZED (
+       |  SELECT DISTINCT i.doc_id, c.doc_id AS corpus_id
+       |  FROM banded i JOIN banded c
+       |    ON i.band_idx = c.band_idx AND i.band_key = c.band_key
+       |   AND i.doc_id % 4 = 1 AND c.doc_id % 2 = 0),
+       |r1inter AS (
+       |  SELECT c.doc_id, c.corpus_id, count(*) AS n_inter
+       |  FROM r1cands c
+       |  JOIN sh_rows a ON a.doc_id = c.doc_id
+       |  JOIN sh_rows b ON b.doc_id = c.corpus_id AND b.s = a.s
+       |  GROUP BY c.doc_id, c.corpus_id),
+       |r1 AS MATERIALIZED (
+       |  SELECT doc_id, dup_of, jaccard FROM (
+       |    SELECT i.doc_id, i.corpus_id AS dup_of,
+       |      CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard,
+       |      row_number() OVER (PARTITION BY i.doc_id
+       |        ORDER BY CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter)
+       |          DESC, i.corpus_id ASC) AS rn
+       |    FROM r1inter i
+       |    JOIN sizes sa ON sa.doc_id = i.doc_id
+       |    JOIN sizes sb ON sb.doc_id = i.corpus_id
+       |    WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter)
+       |            >= $threshold)
+       |  WHERE rn = 1),
+       |admits AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id FROM banded
+       |  WHERE doc_id % 4 = 1
+       |    AND doc_id NOT IN (SELECT doc_id FROM r1)),
+       |r2cands AS MATERIALIZED (
+       |  SELECT DISTINCT i.doc_id, c.doc_id AS corpus_id
+       |  FROM banded i JOIN banded c
+       |    ON i.band_idx = c.band_idx AND i.band_key = c.band_key
+       |   AND i.doc_id % 4 = 3
+       |   AND (c.doc_id % 2 = 0
+       |        OR c.doc_id IN (SELECT doc_id FROM admits))),
+       |r2inter AS (
+       |  SELECT c.doc_id, c.corpus_id, count(*) AS n_inter
+       |  FROM r2cands c
+       |  JOIN sh_rows a ON a.doc_id = c.doc_id
+       |  JOIN sh_rows b ON b.doc_id = c.corpus_id AND b.s = a.s
+       |  GROUP BY c.doc_id, c.corpus_id),
+       |r2 AS (
+       |  SELECT doc_id, dup_of, jaccard FROM (
+       |    SELECT i.doc_id, i.corpus_id AS dup_of,
+       |      CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard,
+       |      row_number() OVER (PARTITION BY i.doc_id
+       |        ORDER BY CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter)
+       |          DESC, i.corpus_id ASC) AS rn
+       |    FROM r2inter i
+       |    JOIN sizes sa ON sa.doc_id = i.doc_id
+       |    JOIN sizes sb ON sb.doc_id = i.corpus_id
+       |    WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter)
+       |            >= $threshold)
+       |  WHERE rn = 1)
+       |SELECT CAST(1 AS BIGINT) AS batch_round, doc_id, dup_of, jaccard
+       |FROM r1
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT) AS batch_round, doc_id, dup_of, jaccard
+       |FROM r2
+       |ORDER BY batch_round, doc_id""".stripMargin
+      .replace("@BANDED@", lshBandedCte)
 
   /** Build (or reuse) the persisted corpus band index: the even-doc_id
     * half's (doc_id, band_idx, band_key) rows as parquet under

@@ -83,12 +83,45 @@ class ExtensionsSpec extends SparkSpec {
     // the persisted index must be REUSED on a second call (same
     // documents mtime): the parquet _SUCCESS file is not rewritten
     val success = new java.io.File("/tmp/graft_index",
-      "bands_" + Integer.toHexString(sf0001.hashCode) + "/bands/_SUCCESS")
+      "bands_" + graft.sources.Tables.pathKey(sf0001) + "/bands/_SUCCESS")
     assert(success.exists)
     val stamp = success.lastModified
     Dedup.incrementalDedup(spark, sf0001).collect()
     assert(success.lastModified === stamp,
       "second ingest rebuilt the corpus index instead of probing it")
+  }
+
+  test("q159 dedup loop: a round-2 doc dedups against a round-1 ADMIT") {
+    import spark.implicits._
+    // controlled corpus: doc_id % 2 == 0 -> corpus; % 4 == 1 -> round 1;
+    // % 4 == 3 -> round 2. doc 3 copies doc 1 (a round-1 admit) and
+    // matches nothing in the corpus — it can only dedup if round 1's
+    // admits were appended to the index (the loop under test).
+    val corpusA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpusB = "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val novel = "quick brown foxes jump over many lazy sleeping river dogs"
+    val other = "totally unrelated words about quantum chromodynamics here now"
+    val docs = Seq(
+      (0L, corpusA), (2L, corpusB),          // corpus (even)
+      (1L, novel),                           // round 1: no match -> ADMIT
+      (5L, corpusA),                         // round 1: dup of corpus 0
+      (3L, novel),                           // round 2: dup of ADMIT 1
+      (7L, other))                           // round 2: no match
+      .map { case (id, t) => (id, t, "en", "fixture", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = new java.io.File("/tmp/graft_fixture",
+      "dedup_loop_" + System.nanoTime())
+    docs.coalesce(1).write.parquet(
+      new java.io.File(dir, "documents.parquet").getPath)
+    try {
+      val got = Dedup.incrementalDedupLoop(spark, dir.getPath).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(got === Set(
+        (1L, 5L, 0L, 1.0),   // round 1: 5 dups against corpus doc 0
+        (2L, 3L, 1L, 1.0)),  // round 2: 3 dups against round-1 ADMIT 1
+        s"loop decisions wrong: $got")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
   test("exact dedup: distinct texts at sf0.001 -> every group has 1 copy") {
