@@ -257,6 +257,26 @@ object Graph {
     */
   private[graft] def triangleCountsFromPairs(pairsIn: DataFrame,
       sizeProxy: Option[DataFrame] = None): DataFrame = {
+    val oriented = orientPairs(pairsIn, sizeProxy)
+    val wedges = wedgesOf(oriented)
+    val tris = wedges.join(
+      oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      .select(col("src").as("u"), col("v"), col("w"))
+    tris.select(col("u").as("part"))
+      .unionByName(tris.select(col("v").as("part")))
+      .unionByName(tris.select(col("w").as("part")))
+      .groupBy("part").agg(count(lit(1)).as("tri_cnt"))
+      .orderBy(desc("tri_cnt"), asc("part"))
+  }
+
+  /** Degree-ordered orientation of an undirected pair frame (`a < b`,
+    * distinct): every edge points from the (degree, id)-smaller
+    * endpoint to the larger — (src, dst, dd) with dd = dst's degree,
+    * carried so the wedge filter needs no re-join. Exposed as a seam
+    * so GraphSpec can pin the √m out-degree bound on hub topologies.
+    */
+  private[graft] def orientPairs(pairsIn: DataFrame,
+      sizeProxy: Option[DataFrame] = None): DataFrame = {
     val pairs = pairsIn
       .localCheckpoint(true) // pair generation runs once; deg + orient derive
     val deg = pairs.select(col("a").as("node"))
@@ -268,7 +288,7 @@ object Graph {
     }
     val aFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
-    val oriented = pairs
+    pairs
       .join(gate(
         deg.select(col("node").as("a"), col("deg").as("da"))), Seq("a"))
       .join(gate(
@@ -276,23 +296,20 @@ object Graph {
       .select(
         when(aFirst, col("a")).otherwise(col("b")).as("src"),
         when(aFirst, col("b")).otherwise(col("a")).as("dst"),
-        // order key of dst, carried so the wedge filter needs no re-join
         when(aFirst, col("db")).otherwise(col("da")).as("dd"))
       .localCheckpoint(true) // read 3x: both wedge legs + the closing join
-    val wedges = oriented.select(col("src"), col("dst").as("v"), col("dd").as("dv"))
+  }
+
+  /** Ordered wedges of an oriented edge frame: (src→v, src→w) with
+    * ord(v) < ord(w) — the only quadratic step, whose fan-out the
+    * degree orientation bounds by out-degree² per node.
+    */
+  private[graft] def wedgesOf(oriented: DataFrame): DataFrame =
+    oriented.select(col("src"), col("dst").as("v"), col("dd").as("dv"))
       .join(oriented.select(col("src"), col("dst").as("w"), col("dd").as("dw")),
         Seq("src"))
       .filter(col("dv") < col("dw") ||
         (col("dv") === col("dw") && col("v") < col("w")))
-    val tris = wedges.join(
-      oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
-      .select(col("src").as("u"), col("v"), col("w"))
-    tris.select(col("u").as("part"))
-      .unionByName(tris.select(col("v").as("part")))
-      .unionByName(tris.select(col("w").as("part")))
-      .groupBy("part").agg(count(lit(1)).as("tri_cnt"))
-      .orderBy(desc("tri_cnt"), asc("part"))
-  }
 
   /** DuckDB oracle for [[triangleCounts]]: the identical orientation
     * and wedge-close, tuple order spelled out as (deg, id)

@@ -124,6 +124,60 @@ class ExtensionsSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
+  test("q144 IVF×PQ recall on a CLUSTERED corpus: >=0.7 at scanned fraction <=0.25") {
+    // The driver's isotropic vectors are the info-theoretic worst case
+    // for coarse pruning (q144 scaladoc); this fixture is the claimed
+    // deployment case — a seeded mixture of Gaussians, where cell
+    // routing concentrates true neighbors and IVFADC approaches
+    // flat-PQ recall at nprobe << nClusters. Gate prescribed by the
+    // round-8 verdict: recall@5 >= 0.7 while scanning <= 25% of cells.
+    import spark.implicits._
+    val dim = operators.Similarity.Dim
+    val rnd = new scala.util.Random(42)
+    def unit(): Array[Double] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val centers = Array.fill(16)(unit())
+    val sigma = 0.15 // intra-cluster cosine ~0.9, inter ~iid-random
+    val vecs = (0 until 2000).map { i =>
+      val c = centers(i % 16) // queries (vec_id<10) spread over clusters
+      val v = c.map(x => (x + sigma * rnd.nextGaussian()).toFloat)
+      (i.toLong, v.toSeq, i % 16)
+    }.toDF("vec_id", "embedding", "label")
+    val dir = new java.io.File("/tmp/graft_fixture",
+      "clustered_emb_" + System.nanoTime())
+    vecs.coalesce(1).write.parquet(
+      new java.io.File(dir, "embeddings.parquet").getPath)
+    try {
+      def topSets(df: org.apache.spark.sql.DataFrame) = df
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val exact = topSets(
+        operators.Similarity.knnBruteForce(spark, dir.getPath))
+      def recallAt(nprobe: Int): Double = {
+        val approx = topSets(operators.Similarity.annIvfPq(
+          spark, dir.getPath, nprobe = nprobe))
+        val hits = exact.toSeq.map { case (q, want) =>
+          approx.getOrElse(q, Set.empty).intersect(want).size.toDouble /
+            want.size
+        }
+        hits.sum / hits.size
+      }
+      val r2 = recallAt(2)
+      val r4 = recallAt(4)
+      val r8 = recallAt(8)
+      info(f"clustered recall@5: nprobe2=$r2%.2f nprobe4=$r4%.2f nprobe8=$r8%.2f")
+      assert(r4 >= 0.7,
+        f"clustered-corpus recall $r4%.2f at nprobe=4 (25%% of cells) " +
+          "below the 0.7 gate - the IVFADC deployment claim fails")
+      assert(r8 >= r4 - 0.05 && r4 >= r2 - 0.05,
+        s"recall not ~monotone in nprobe: $r2 / $r4 / $r8")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("exact dedup: distinct texts at sf0.001 -> every group has 1 copy") {
     val d = Dedup.exactDedup(spark, sf0001)
     assert(d.count() === 500)

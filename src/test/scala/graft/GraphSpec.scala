@@ -76,4 +76,29 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
+
+  test("triangle hub skew: star wedges stay O(n) under degree orientation") {
+    // K_{1,n}: hub 0 joined to n leaves. Unoriented wedge enumeration
+    // pays C(n,2) pairs at the hub (the quadratic hub blowup); the
+    // (deg, id) orientation points every edge leaf→hub, so out-degree
+    // is 1 everywhere and the wedge join produces ZERO rows — the √m
+    // bound claim from the q151 scaladoc, pinned as a property.
+    val n = 40
+    val star = (1 to n).map(i => (0L, i.toLong)).toDF("a", "b")
+    val orientedStar = Graph.orientPairs(star)
+    assert(orientedStar.filter($"dst" =!= 0L).count() === 0,
+      "star edges must orient leaf→hub (hub has the max degree)")
+    assert(Graph.wedgesOf(orientedStar).count() === 0,
+      s"star produced wedges - unoriented enumeration would pay C($n,2)")
+    assert(Graph.triangleCountsFromPairs(star).count() === 0)
+    // close one leaf pair: exactly one triangle, found via the single
+    // wedge at the closing leaf (out-degree 2), never via the hub
+    val starPlus = star.unionByName(Seq((1L, 2L)).toDF("a", "b"))
+    val wedges = Graph.wedgesOf(Graph.orientPairs(starPlus))
+    assert(wedges.count() === 1,
+      "one closing edge must add exactly one ordered wedge")
+    val tri = Graph.triangleCountsFromPairs(starPlus)
+      .as[(Long, Long)].collect().toMap
+    assert(tri === Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
 }
