@@ -87,10 +87,21 @@ object Bench {
     // lets the headline track analytic capability separately.
     val diagnostics = Set("q136_sketch_sweep", "q121_ann_config_sweep",
       "q105_ann_recall")
+    // Harness family: multi-batch streaming replays whose cost is the
+    // replay harness (state-store + sink-log commits × batches, kill/
+    // restart cycles), not the operator — each operator is separately
+    // oracle-checked by its batch twin (q26/q28/q66/q141). Keeping them
+    // out of `analytic` keeps the headline meaningful as the roster
+    // grows (round-8 verdict "What's wrong" #2).
+    val harness = Set("q143_streaming_restart", "q146_streaming_late",
+      "q148_streaming_update", "q154_streaming_upsert",
+      "q157_streaming_evict", "q160_stream_dim_swap")
     val diagTotal = r3(results.collect {
       case (k, v) if diagnostics(k) && v >= 0 => v }.sum)
-    val analyticTotal = r3(total - diagTotal)
-    val split = s""""analytic":$analyticTotal,"diagnostics":$diagTotal"""
+    val harnessTotal = r3(results.collect {
+      case (k, v) if harness(k) && v >= 0 => v }.sum)
+    val analyticTotal = r3(total - diagTotal - harnessTotal)
+    val split = s""""analytic":$analyticTotal,"diagnostics":$diagTotal,"harness":$harnessTotal"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec",$split,"queries":$qs,"sf":"$sfDir","passes":$passes}"""
     println(line)

@@ -616,11 +616,10 @@ object EventStreams {
     * batches (`spark.sql.streaming.fileSink.log.compactInterval`).
     */
   def sessionWindowsDurableRestart(spark: SparkSession, sfDir: String,
-      nFiles: Int = 4): DataFrame = {
+      nFiles: Int = 4, maxAttempts: Int = 3): DataFrame = {
     val staging = stageChronologicalEvents(spark, sfDir, nFiles)
     val base = new java.io.File("/tmp/graft_stream_sink",
       "restart_" + graft.sources.Tables.pathKey(sfDir))
-    org.apache.commons.io.FileUtils.deleteQuietly(base)
     val sinkDir = new java.io.File(base, "out").getPath
     val ckptDir = new java.io.File(base, "ckpt").getPath
     def start() = sessionWindows(
@@ -631,25 +630,38 @@ object EventStreams {
       .outputMode(OutputMode.Append)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    val (d1, d2) = withStatePartitions(spark, 8) {
-      // ---- run 1: kill after the first committed data batch ----
-      val q1 = start()
-      val deadline = System.nanoTime + 120L * 1000 * 1000 * 1000
-      while (q1.isActive && System.nanoTime < deadline &&
-          !q1.recentProgress.exists(_.numInputRows > 0))
-        Thread.sleep(2)
-      q1.stop()
-      q1.awaitTermination()
-      val committed1 = q1.recentProgress.count(_.numInputRows > 0)
-      // ---- run 2: recover from the checkpoint, drain to the end ----
-      val q2 = start()
-      q2.awaitTermination()
-      (committed1, q2.recentProgress.count(_.numInputRows > 0))
+    // the kill is a race by design (stop() vs the replay draining);
+    // if run 1 commits every batch before the stop lands, nothing is
+    // left to recover — rebuild the dirs and re-race (bounded retries,
+    // each a full fresh kill/restart cycle; failing only if the replay
+    // outruns the poll every time)
+    var attempt = 0
+    var recovered = false
+    while (!recovered) {
+      attempt += 1
+      org.apache.commons.io.FileUtils.deleteQuietly(base)
+      val (d1, d2) = withStatePartitions(spark, 8) {
+        // ---- run 1: kill after the first committed data batch ----
+        val q1 = start()
+        val deadline = System.nanoTime + 120L * 1000 * 1000 * 1000
+        while (q1.isActive && System.nanoTime < deadline &&
+            !q1.recentProgress.exists(_.numInputRows > 0))
+          Thread.sleep(2)
+        q1.stop()
+        q1.awaitTermination()
+        val committed1 = q1.recentProgress.count(_.numInputRows > 0)
+        // ---- run 2: recover from the checkpoint, drain to the end ----
+        val q2 = start()
+        q2.awaitTermination()
+        (committed1, q2.recentProgress.count(_.numInputRows > 0))
+      }
+      require(d1 >= 1, s"restart harness: first run committed $d1 data " +
+        "batches before the stop - recovery was not exercised")
+      if (d2 >= 1) recovered = true
+      else require(attempt < maxAttempts,
+        s"restart harness: the kill landed after the replay already " +
+          s"drained in all $maxAttempts attempts - recovery never exercised")
     }
-    require(d1 >= 1, s"restart harness: first run committed $d1 data " +
-      "batches before the stop - recovery was not exercised")
-    require(d2 >= 1, s"restart harness: restarted run committed $d2 " +
-      "data batches - the kill landed after the replay already drained")
     // batch read of the sink: committed files only, via _spark_metadata
     spark.read.parquet(sinkDir)
       .orderBy("user_id", "session_start")
