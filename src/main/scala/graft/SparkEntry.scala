@@ -390,6 +390,11 @@ object SparkEntry {
     // the incremental-dedup LOOP: round-1 admits appended to the index
     // as a versioned segment, round 2 dedups against corpus + admits
     "q159_dedup_loop" -> ((s, d) => Dedup.incrementalDedupLoop(s, d)),
+    // mergeable Count-Min shard cells (per-key counts from merged
+    // integer grids, never rescanning facts) — FULL oracle, min>=exact
+    "q161_cms_cells" -> ((s, d) => StatQa.cmsShardCells(s, d)),
+    // attribute-filtered ANN: predicate evaluated inside probed cells
+    "q162_filtered_ann" -> ((s, d) => Similarity.annIvfFiltered(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -436,6 +441,8 @@ object SparkEntry {
     "q145_sampled_groups" -> Insights.sampledGroupKpiSql(),
     "q147_incremental_dedup" -> Dedup.incrementalDedupSql(),
     "q159_dedup_loop" -> Dedup.incrementalDedupLoopSql(),
+    "q161_cms_cells" -> StatQa.cmsShardCellsSql(),
+    "q162_filtered_ann" -> Similarity.annIvfFilteredSql(),
     // folding the update log must reproduce the q26 batch aggregate
     "q148_streaming_update" -> Events.hourlyByTypeSql,
     "q149_streaming_enrich" ->

@@ -577,6 +577,108 @@ object Similarity {
     pqSearch(spark, sfDir, trainedCodebooks(spark, sfDir, nSeeds, m),
       nQueries, k, shortlistK, coarse = Some((nClusters, nprobe)))
 
+  /** q162 — ATTRIBUTE-FILTERED ANN, the retrieval shape every RAG /
+    * curation pipeline actually runs (top-k "among vectors matching a
+    * predicate", here: sharing the query's `label` — same-language /
+    * same-domain retrieval): the IVF probe routing of q34 with the
+    * filter applied INSIDE the probed cells, before ranking
+    * (pre-filtering, not post-filter-and-pray: a post-filter of an
+    * unfiltered top-k returns < k rows whenever the neighborhood is
+    * label-mixed, which on a 10-label corpus is always). The filter
+    * rides the same map-side pass as the cosine scoring — zero extra
+    * scans; at 100 TB with the codes/cells layout the predicate pushes
+    * into the cell scan as an ordinary parquet filter.
+    *
+    * Recall caveat (same dial as q34): probing nprobe cells bounds
+    * recall by probed coverage; a filtered search needs the SAME
+    * nprobe as unfiltered for the same recall since the filter shrinks
+    * candidates and true top-k alike. Oracle: the full routing +
+    * filter + ranking restated in SQL — cell-exact, like q34.
+    */
+  def annIvfFiltered(spark: SparkSession, sfDir: String, nQueries: Int = 10,
+      k: Int = 5, nClusters: Int = 16, nprobe: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val seeds: Array[(Int, Array[Float])] = ivfQuantizer(spark, sfDir, nClusters)
+    val centroids = seeds.map(_._2)
+    val assigned = emb.select(col("vec_id"), col("embedding"), col("label"),
+      graft.functions.argmax_cosine(col("embedding"), centroids).as("cluster"))
+    val centDf = spark.createDataFrame(
+      seeds.toSeq.map { case (i, c) => (i, c.toSeq) })
+      .toDF("cluster", "centroid")
+      .select(col("cluster"), col("centroid").cast("array<float>"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(desc("c_sim"), asc("cluster"))
+    val probes = queries.crossJoin(broadcast(centDf))
+      .withColumn("c_sim",
+        graft.functions.cosine_sim(col("q_emb"), col("centroid")))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter(col("probe_rank") <= nprobe)
+      .select("query_id", "q_emb", "label", "cluster")
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cosine"), asc("vec_id"))
+    // label equality joins the predicate into the cell equi-key: the
+    // filter is evaluated with the cell membership, before any scoring
+    broadcast(probes).join(assigned, Seq("cluster", "label"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cosine",
+        graft.functions.cosine_sim(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("label"), col("vec_id").as("neighbor_id"),
+        col("rank"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB oracle for [[annIvfFiltered]]: q34's routing CTEs with the
+    * label carried through and the equality folded into the scored
+    * join.
+    */
+  def annIvfFilteredSql(nQueries: Int = 10, k: Int = 5, nClusters: Int = 16,
+      nprobe: Int = 4): String =
+    s"""WITH seeds AS (
+       |  SELECT CAST(row_number() OVER (
+       |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT)
+       |           AS cluster,
+       |         embedding AS centroid
+       |  FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT $nClusters),
+       |assigned AS (
+       |  SELECT vec_id, embedding, label, cluster FROM (
+       |    SELECT e.vec_id, e.embedding, e.label, s.cluster,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosineExprDuck("e.embedding", "s.centroid")} DESC,
+       |                 s.cluster ASC) AS rn
+       |    FROM embeddings e CROSS JOIN seeds s)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, q_emb, label, cluster FROM (
+       |    SELECT q.vec_id AS query_id, q.embedding AS q_emb, q.label,
+       |      s.cluster,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosineExprDuck("q.embedding", "s.centroid")} DESC,
+       |                 s.cluster ASC) AS pr
+       |    FROM embeddings q CROSS JOIN seeds s
+       |    WHERE q.vec_id < $nQueries)
+       |  WHERE pr <= $nprobe),
+       |scored AS (
+       |  SELECT p.query_id, p.label, a.vec_id AS neighbor_id,
+       |    ${cosineExprDuck("p.q_emb", "a.embedding")} AS cosine
+       |  FROM probes p JOIN assigned a
+       |    ON a.cluster = p.cluster AND a.label = p.label
+       |   AND a.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id, label, neighbor_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, label, neighbor_id, rank, cosine
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
   /** q158 — the PQ codes as a PERSISTED stored index (q144 re-encodes
     * the corpus inside every query construction — fine at sf, but the
     * scaladoc's own claim is that at scale the codes ARE the stored

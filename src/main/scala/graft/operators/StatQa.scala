@@ -382,6 +382,100 @@ object StatQa {
       .limit(topN)
   }
 
+  /** q161 — mergeable COUNT-MIN shard cells, the q137/q150 pattern for
+    * point-frequency queries (q137 = distinct counts, q150 =
+    * percentiles, this = per-key counts): every ingest shard (here:
+    * day) aggregates into its own depth×width counter grid
+    * (shard, i, b, cnt) — an exact integer cell table that merges by
+    * plain addition, so the 100 TB deployment sketches each partition
+    * once at write time and answers "how often did key X appear" from
+    * the merged grid forever, never rescanning the facts. The CMS
+    * estimate for a key is the MIN over its depth bucket counters —
+    * always ≥ the true count (counters only ever include extra keys'
+    * mass), never below it; the registered query estimates the exact
+    * top-K heavy hitters from the merged grid NEXT TO their true
+    * counts, so the guarantee (`overcount ≥ 0`, StatQaSpec-pinned) and
+    * the collision inflation are both visible.
+    *
+    * Everything is exact integer arithmetic on md5-derived buckets
+    * (the repo's portable seedable hash), so unlike HLL/t-digest this
+    * sketch carries a FULL DuckDB oracle — the whole grid, merge, and
+    * min are restated in SQL and hash-match cell-exactly.
+    *
+    * Scale shape: one fact scan → depth rows per event (map-side
+    * partial agg collapses to ≤ shards × depth × width cells before
+    * the exchange); the rollup and the probe join touch only the tiny
+    * grid; query keys broadcast. Error: overcount ≤ e·N/width w.h.p. —
+    * width is the dial, counters are BIGINTs, cells shard-parallel.
+    */
+  def cmsShardCells(spark: SparkSession, sfDir: String, depth: Int = 4,
+      width: Int = 1024, topK: Int = 10): DataFrame = {
+    val bucketExpr = (keyCol: String) =>
+      s"""transform(sequence(0, ${depth - 1}), i ->
+         |  pmod(CAST(conv(substring(md5(CAST(concat(CAST(i AS STRING),
+         |    '|', CAST($keyCol AS STRING)) AS BINARY)), 1, 15), 16, 10)
+         |    AS BIGINT), ${width}L))""".stripMargin
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("shard"))
+    // the PERSISTABLE cells: (shard, i, b, cnt)
+    val cells = ev
+      .select(col("shard"),
+        posexplode(expr(bucketExpr("user_id"))).as(Seq("i", "b")))
+      .groupBy("shard", "i", "b")
+      .agg(count(lit(1)).as("cnt"))
+    // merge-on-read: vector addition over shards
+    val merged = cells.groupBy("i", "b")
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+    // query keys: the exact top-K (what the dashboard asks the sketch)
+    val exact = Tables.events(spark, sfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(desc("exact_cnt"), asc("user_id"))
+      .limit(topK)
+    val qcoords = exact
+      .select(col("user_id"), col("exact_cnt"),
+        posexplode(expr(bucketExpr("user_id"))).as(Seq("i", "b")))
+    broadcast(qcoords).join(merged, Seq("i", "b"))
+      .groupBy("user_id", "exact_cnt")
+      .agg(min(col("cnt")).as("cms_est"))
+      .select(col("user_id"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("exact_cnt")).as("overcount"))
+      .orderBy(desc("exact_cnt"), asc("user_id"))
+  }
+
+  /** DuckDB oracle for [[cmsShardCells]]: the identical grid — same
+    * md5 buckets, same shard cells, same merge, same min.
+    */
+  def cmsShardCellsSql(depth: Int = 4, width: Int = 1024,
+      topK: Int = 10): String =
+    s"""WITH ev AS (
+       |  SELECT user_id,
+       |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS shard
+       |  FROM events),
+       |coords AS (
+       |  SELECT user_id, shard, CAST(t.i AS INT) AS i,
+       |    CAST(('0x' || substr(md5(t.i || '|' || user_id), 1, 15))
+       |      AS BIGINT) % $width AS b
+       |  FROM ev CROSS JOIN range(0, $depth) t(i)),
+       |cells AS (
+       |  SELECT shard, i, b, COUNT(*) AS cnt FROM coords GROUP BY 1, 2, 3),
+       |merged AS (
+       |  SELECT i, b, CAST(SUM(cnt) AS BIGINT) AS cnt
+       |  FROM cells GROUP BY 1, 2),
+       |exact AS (
+       |  SELECT user_id, COUNT(*) AS exact_cnt FROM events
+       |  GROUP BY 1 ORDER BY exact_cnt DESC, user_id LIMIT $topK),
+       |qc AS (
+       |  SELECT e.user_id, e.exact_cnt, CAST(t.i AS INT) AS i,
+       |    CAST(('0x' || substr(md5(t.i || '|' || e.user_id), 1, 15))
+       |      AS BIGINT) % $width AS b
+       |  FROM exact e CROSS JOIN range(0, $depth) t(i))
+       |SELECT q.user_id, CAST(q.exact_cnt AS BIGINT) AS exact_cnt,
+       |  CAST(MIN(m.cnt) AS BIGINT) AS cms_est,
+       |  CAST(MIN(m.cnt) - q.exact_cnt AS BIGINT) AS overcount
+       |FROM qc q JOIN merged m ON q.i = m.i AND q.b = m.b
+       |GROUP BY q.user_id, q.exact_cnt
+       |ORDER BY exact_cnt DESC, user_id""".stripMargin
+
   /** q152 — distribution DRIFT between two halves of the event
     * stream, the screen every training-data pipeline runs before
     * admitting a new batch: per event type, the `value` distribution

@@ -178,6 +178,29 @@ class ExtensionsSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
+  test("q162 filtered ANN: every neighbor matches the query's label, ranks valid") {
+    val rows = operators.Similarity.annIvfFiltered(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val (q, lbl, n) = (r.getLong(0), r.getInt(1), r.getLong(2))
+      assert(emb(q) === lbl, s"query $q label mismatch")
+      assert(emb(n) === lbl, s"neighbor $n fails the label predicate of $q")
+      assert(q !== n)
+    }
+    // per query: <= k rows, cosine non-increasing in rank
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.length <= 5, s"query $q returned ${rs.length} > k rows")
+      val byRank = rs.sortBy(_.getInt(3)).map(_.getDouble(4))
+      assert(byRank.sliding(2).forall {
+        case Array(a, b) => a >= b
+        case _ => true
+      }, s"query $q cosine not ranked desc")
+    }
+  }
+
   test("exact dedup: distinct texts at sf0.001 -> every group has 1 copy") {
     val d = Dedup.exactDedup(spark, sf0001)
     assert(d.count() === 500)

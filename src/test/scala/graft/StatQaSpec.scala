@@ -69,4 +69,26 @@ class StatQaSpec extends SparkSpec {
     assert(nTotal ===
       graft.sources.Tables.events(spark, sf0001).count())
   }
+
+  test("q161 CMS: never undercounts; collision-free width gives exact counts") {
+    import org.apache.spark.sql.functions._
+    // the one-sided guarantee: min over depth counters >= true count
+    val rows = StatQa.cmsShardCells(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("overcount") >= 0L,
+        s"CMS undercounted: $r")
+      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("exact_cnt"))
+    }
+    // width >> key cardinality: every bucket collision-free w.h.p. is
+    // not certain, but the MIN over 4 independent rows is exact unless
+    // a key collides in ALL rows (~(n/width)^depth ≈ 1e-10 here) — so
+    // a huge width must reproduce the exact counts
+    val wide = StatQa.cmsShardCells(spark, sf0001, width = 1 << 20)
+      .collect()
+    wide.foreach { r =>
+      assert(r.getAs[Long]("overcount") === 0L,
+        s"collision-free CMS not exact: $r")
+    }
+  }
 }
