@@ -395,6 +395,14 @@ object SparkEntry {
     "q161_cms_cells" -> ((s, d) => StatQa.cmsShardCells(s, d)),
     // attribute-filtered ANN: predicate evaluated inside probed cells
     "q162_filtered_ann" -> ((s, d) => Similarity.annIvfFiltered(s, d)),
+    // stream-stream LEFT OUTER interval join: unmatched errors surface
+    // on watermark-proven no-match (state eviction semantics)
+    "q163_streaming_outer_join" -> ((s, d) =>
+      graft.streaming.EventStreams.errorClickLeftOuterAvailableNow(s, d)),
+    // ORC sink/scan roundtrip (third columnar format; oracle reads the
+    // original table - the q118 sink-fidelity discipline)
+    "q164_orc_roundtrip" -> ((s, d) =>
+      graft.sources.Tables.ordersOrcRoundtrip(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -443,6 +451,9 @@ object SparkEntry {
     "q159_dedup_loop" -> Dedup.incrementalDedupLoopSql(),
     "q161_cms_cells" -> StatQa.cmsShardCellsSql(),
     "q162_filtered_ann" -> Similarity.annIvfFilteredSql(),
+    "q163_streaming_outer_join" ->
+      graft.streaming.EventStreams.errorClickLeftOuterAvailableNowSql(),
+    "q164_orc_roundtrip" -> graft.sources.Tables.ordersOrcRoundtripSql,
     // folding the update log must reproduce the q26 batch aggregate
     "q148_streaming_update" -> Events.hourlyByTypeSql,
     "q149_streaming_enrich" ->

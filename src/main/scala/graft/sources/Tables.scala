@@ -354,8 +354,7 @@ object Tables {
     */
   def ordersSinkRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val base = sinkStaged.computeIfAbsent(sfDir, _ => {
-      val p = "/tmp/graft_stage/sink_orders_" +
-        Integer.toHexString(sfDir.hashCode)
+      val p = "/tmp/graft_stage/sink_orders_" + pathKey(sfDir)
       val o = orders(spark, sfDir)
       overwriteParquet(o.filter(col("o_orderkey") % 2 === 0), p + "/pq")
       appendParquet(o.filter(col("o_orderkey") % 2 === 1), p + "/pq")
@@ -374,6 +373,30 @@ object Tables {
   val ordersSinkRoundtripSql: String =
     """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
       |  CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** q164 — ORC sink + scan roundtrip: the third columnar format the
+    * engine writes/reads natively (parquet q118, CSV q36-38/q118,
+    * JSONL q48, JDBC, this). DuckDB cannot read ORC, so the oracle
+    * reads the ORIGINAL table — equality proves the ORC hop preserved
+    * every cell (the q118 discipline: the sink is judged by what comes
+    * back). Declared-schema read, per-JVM staged once.
+    */
+  def ordersOrcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = orcStaged.computeIfAbsent(sfDir, _ => {
+      val p = "/tmp/graft_stage/orc_orders_" + pathKey(sfDir)
+      orders(spark, sfDir).write.mode("overwrite").orc(p)
+      p
+    })
+    spark.read.schema(ordersSchema).orc(base).orderBy("o_orderkey")
+  }
+
+  private val orcStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  val ordersOrcRoundtripSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  o_orderdate, o_orderpriority
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
   /** Parquet sink, append (SURVEY.md §2 A3 — the JDBC batch append becomes

@@ -269,7 +269,7 @@ object EventStreams {
     * without the range condition the state would grow forever.
     */
   def errorClickPairsStream(events: DataFrame,
-      windowMinutes: Int = 5): DataFrame = {
+      windowMinutes: Int = 5, joinType: String = "inner"): DataFrame = {
     // Spark rejects stream-stream joins with no equality predicate — the
     // chunked-time key from RangeJoin doubles as that equi-key: each
     // error replicates to the (at most 2) chunks its window overlaps,
@@ -288,7 +288,8 @@ object EventStreams {
       .withColumn("click_chunk", expr(s"unix_micros(click_ts) div $chunkUs"))
     errors.join(clicks, expr(
       s"""err_chunk = click_chunk AND click_ts >= error_ts AND
-         |click_ts < error_ts + interval $windowMinutes minutes""".stripMargin))
+         |click_ts < error_ts + interval $windowMinutes minutes""".stripMargin),
+      joinType)
       .drop("err_chunk", "click_chunk")
   }
 
@@ -333,6 +334,90 @@ object EventStreams {
       | AND CAST(c.ts AS TIMESTAMP) <
       |     CAST(e.ts AS TIMESTAMP) + INTERVAL 5 MINUTE
       |ORDER BY error_id, click_id""".stripMargin
+
+  /** q163 — stream-stream LEFT OUTER interval join, the null-emitting
+    * twin of q133 (inner): an error with no click inside its window
+    * must still surface, which in Structured Streaming is a STATE
+    * EVICTION semantic — the unmatched row is emitted only when the
+    * right-side watermark proves no future click can match (error_ts +
+    * window below the watermark), in the no-data finalization batch of
+    * the bounded replay. Errors in the final watermark horizon stay in
+    * state and are withheld, exactly as a live deployment withholds
+    * them — the oracle restates that cutoff (the q125 discipline).
+    *
+    * The chunked equi-key (two state replicas per error) is repaired at
+    * drain: a matched pair is unique (a click lives in exactly one
+    * chunk), while an error whose OTHER chunk replica matched still
+    * emits one (error, null) replica row — LEFT OUTER truth at error
+    * grain is "null iff NO replica matched", folded with one
+    * error-grain aggregate over the tiny drained sink. Unmatched rows
+    * render click_id = -1 (a NULL output column would compare
+    * None-vs-NaN differently across the driver's two readers).
+    */
+  def errorClickLeftOuterAvailableNow(spark: SparkSession,
+      sfDir: String, windowMinutes: Int = 5): DataFrame = {
+    val name = "graft_stream_louter_" + runCounter.incrementAndGet()
+    withStatePartitions(spark, 8) {
+      val ev = readEventStream(spark, sfDir, glob = Some("events.parquet"))
+      val q = errorClickPairsStream(ev, windowMinutes,
+          joinType = "left_outer")
+        .select(col("error_id"), col("click_id"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val sink = spark.table(name)
+    val matched = sink.filter(col("click_id").isNotNull)
+      .select("error_id", "click_id")
+    val unmatched = sink.groupBy("error_id")
+      .agg(max(col("click_id")).as("any_click"))
+      .filter(col("any_click").isNull)
+      .select(col("error_id"), lit(-1L).as("click_id"))
+    matched.unionByName(unmatched)
+      .orderBy("error_id", "click_id")
+  }
+
+  /** Oracle for [[errorClickLeftOuterAvailableNow]]: the batch LEFT
+    * JOIN at pair grain, with the null rows restricted to errors whose
+    * eviction horizon (error_ts + window) fell below the final
+    * watermark. Two Spark facts the cutoff must encode exactly: the
+    * GLOBAL watermark is the MIN over both sides' watermark operators
+    * (each computes max over ITS OWN column — the last error pins it
+    * even when clicks run hours later; found empirically: the final
+    * error's null row is withheld because its own side's watermark
+    * never passes its horizon), and watermarks are tracked in ms (max
+    * event time truncated, minus the delay). Matched pairs emit
+    * immediately (inner rows are watermark-independent in the bounded
+    * single-batch replay).
+    */
+  def errorClickLeftOuterAvailableNowSql(windowMinutes: Int = 5): String = {
+    val winUs = windowMinutes * 60L * 1000000
+    val delayMs = 10L * 60 * 1000
+    s"""WITH mx AS (
+       |  SELECT least(
+       |    max(CASE WHEN event_type = 'error'
+       |        THEN epoch_us(CAST(ts AS TIMESTAMP)) END),
+       |    max(CASE WHEN event_type = 'click'
+       |        THEN epoch_us(CAST(ts AS TIMESTAMP)) END)) AS max_us
+       |  FROM events),
+       |pairs AS (
+       |  SELECT e.event_id AS error_id,
+       |         epoch_us(CAST(e.ts AS TIMESTAMP)) AS error_us,
+       |         c.event_id AS click_id
+       |  FROM events e LEFT JOIN events c
+       |    ON c.event_type = 'click'
+       |   AND CAST(c.ts AS TIMESTAMP) >= CAST(e.ts AS TIMESTAMP)
+       |   AND CAST(c.ts AS TIMESTAMP) <
+       |       CAST(e.ts AS TIMESTAMP) + INTERVAL $windowMinutes MINUTE
+       |  WHERE e.event_type = 'error')
+       |SELECT error_id, COALESCE(click_id, -1) AS click_id
+       |FROM pairs, mx
+       |WHERE click_id IS NOT NULL
+       |   OR error_us + $winUs < (max_us // 1000 - $delayMs) * 1000
+       |ORDER BY error_id, click_id""".stripMargin
+  }
 
   /** Wire a streaming DataFrame from parquet (file-source streaming —
     * how a production deployment would tail an events directory).
