@@ -403,6 +403,9 @@ object SparkEntry {
     // original table - the q118 sink-fidelity discipline)
     "q164_orc_roundtrip" -> ((s, d) =>
       graft.sources.Tables.ordersOrcRoundtrip(s, d)),
+    // sparse keyword retrieval (inverted-index shape): term-pruned
+    // postings, integer rarity weights, top-k TakeOrdered
+    "q165_keyword_search" -> ((s, d) => TextAnalysis.keywordSearch(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -454,6 +457,7 @@ object SparkEntry {
     "q163_streaming_outer_join" ->
       graft.streaming.EventStreams.errorClickLeftOuterAvailableNowSql(),
     "q164_orc_roundtrip" -> graft.sources.Tables.ordersOrcRoundtripSql,
+    "q165_keyword_search" -> TextAnalysis.keywordSearchSql(),
     // folding the update log must reproduce the q26 batch aggregate
     "q148_streaming_update" -> Events.hourlyByTypeSql,
     "q149_streaming_enrich" ->

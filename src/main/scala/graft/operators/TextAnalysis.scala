@@ -530,4 +530,68 @@ object TextAnalysis {
        |  CAST(n_covered * 1000000 // n_bigrams AS BIGINT) AS coverage_ppm
        |FROM cov
        |ORDER BY doc_id""".stripMargin
+
+  /** q165 — KEYWORD SEARCH over the corpus, the sparse-retrieval
+    * complement to the dense ANN family (q23/q24/q34/q138…): given a
+    * literal term set, rank documents by a log-free tf·rarity score —
+    * tf(t, doc) × (N·10⁶ div df(t)), summed over matched terms, all
+    * exact integers (a BM25's ln(idf) would put libm in the score and
+    * break cross-engine hashing; the integer rarity weight preserves
+    * the idf ORDERING, which is what the ranking needs).
+    *
+    * Scale shape — this IS the inverted-index retrieval pattern: the
+    * term filter prunes the token stream at the scan (at 100 TB the
+    * postings table `(term, doc_id, tf)` is the stored index, bucketed
+    * by term, and a query touches only its terms' postings); df
+    * weights derive from the same pruned postings (one tiny agg,
+    * broadcast); scoring is one doc-grain aggregate over Σ|postings of
+    * query terms| rows; top-k is TakeOrderedAndProject, never a global
+    * sort.
+    */
+  def keywordSearch(spark: SparkSession, sfDir: String,
+      terms: Seq[String] = Seq("scan", "join", "hash"),
+      k: Int = 20): DataFrame = {
+    val docs = Tables.withMinParallelism(Tables.documents(spark, sfDir),
+      spark.sparkContext.defaultParallelism)
+    val postings = docs
+      .select(col("doc_id"),
+        explode(expr("split(lower(trim(text)), '\\\\s+')")).as("t"))
+      .filter(col("t").isInCollection(terms))
+      .groupBy("doc_id", "t")
+      .agg(count(lit(1)).as("tf"))
+    val dfq = postings.groupBy("t").agg(count(lit(1)).as("df_t"))
+    val n1 = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+    val weights = broadcast(dfq.crossJoin(n1)
+      .select(col("t"), expr("n_docs * 1000000 div df_t").as("w")))
+    postings.join(weights, "t")
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * col("w")).cast("long").as("score"),
+        count(lit(1)).as("n_hit_terms"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** DuckDB oracle for [[keywordSearch]]: postings, rarity weights and
+    * the scored top-k restated verbatim.
+    */
+  def keywordSearchSql(terms: Seq[String] = Seq("scan", "join", "hash"),
+      k: Int = 20): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+       |  FROM documents),
+       |postings AS (
+       |  SELECT doc_id, t, COUNT(*) AS tf FROM toks
+       |  WHERE t IN ($inList) GROUP BY 1, 2),
+       |dfq AS (SELECT t, COUNT(*) AS df_t FROM postings GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |w AS (SELECT t, n_docs * 1000000 // df_t AS w
+       |      FROM dfq CROSS JOIN n)
+       |SELECT p.doc_id, CAST(SUM(p.tf * w.w) AS BIGINT) AS score,
+       |  CAST(COUNT(*) AS BIGINT) AS n_hit_terms
+       |FROM postings p JOIN w ON p.t = w.t
+       |GROUP BY p.doc_id
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
 }
