@@ -406,6 +406,13 @@ object SparkEntry {
     // sparse keyword retrieval (inverted-index shape): term-pruned
     // postings, integer rarity weights, top-k TakeOrdered
     "q165_keyword_search" -> ((s, d) => TextAnalysis.keywordSearch(s, d)),
+    // SECOND real codec with real compression on the wire: deflate
+    // audio container, per-partition Inflater reuse, CRC32-verified
+    // roundtrip (q156's BMP sibling)
+    "q166_audio_decode" -> ((s, d) => Multimodal.audioDecodeRun(s, d)),
+    // positional-postings phrase search: term-pruned (doc_id, pos)
+    // pairs, adjacency verified by a position-equi-join per term
+    "q167_phrase_search" -> ((s, d) => TextAnalysis.phraseSearch(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -444,6 +451,7 @@ object SparkEntry {
     "q30_media_features" -> Multimodal.mediaFeaturesSql,
     "q31_media_rollup" -> Multimodal.mediaKindRollupSql,
     "q156_media_decode" -> Multimodal.mediaDecodeSql,
+    "q166_audio_decode" -> Multimodal.audioDecodeSql,
     "q32_events_props" -> Events.propsRollupSql,
     "q33_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(),
     "q34_ann_ivf" -> Similarity.annIvfSql(),
@@ -458,6 +466,7 @@ object SparkEntry {
       graft.streaming.EventStreams.errorClickLeftOuterAvailableNowSql(),
     "q164_orc_roundtrip" -> graft.sources.Tables.ordersOrcRoundtripSql,
     "q165_keyword_search" -> TextAnalysis.keywordSearchSql(),
+    "q167_phrase_search" -> TextAnalysis.phraseSearchSql(),
     // folding the update log must reproduce the q26 batch aggregate
     "q148_streaming_update" -> Events.hourlyByTypeSql,
     "q149_streaming_enrich" ->

@@ -379,6 +379,186 @@ object Multimodal {
       |FROM documents
       |ORDER BY media_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q166 — a SECOND real codec, this time with real COMPRESSION on the
+  // wire: an audio-style container whose body is DEFLATE-compressed
+  // (java.util.zip — the JDK's zlib). The encoder packs the sample
+  // bytes (the document text standing in for 8-bit PCM) behind a fixed
+  // little-endian header (magic, version, sample rate, sample count,
+  // CRC32 of the raw samples) and a deflate body; the decoder parses
+  // and validates the header, INFLATES the body with a per-partition
+  // reused Inflater, verifies the CRC32 against the recovered samples
+  // (a genuine end-to-end integrity check, the kind real containers
+  // carry), and emits amplitude statistics + the content md5. The
+  // DuckDB oracle restates every output column from `documents.text`
+  // (ASCII contract, as [[mediaFrames]]): sample count = strlen,
+  // amplitude sum / sum-of-squares / max = codepoint arithmetic
+  // (BIGINT-exact), md5(text) for the recovered content — which only
+  // matches if the inflate round-trips byte-exactly.
+  //
+  // Scale shape: one Deflater and one Inflater per PARTITION, reset
+  // between elements (codec-context amortization — zlib stream setup
+  // is the per-row poison a naive per-element codec pays); compressed
+  // payloads never cross a shuffle; per-row cost is O(payload bytes)
+  // of real compression work, visible to Prof.scala's taskRunSum.
+  // ------------------------------------------------------------------
+
+  /** A document rendered as a deflate-compressed audio container. */
+  case class AudioMedia(media_id: Long, payload: Array[Byte])
+
+  /** Decoded facts: header fields + amplitude statistics + recovered
+    * content hash.
+    */
+  case class AudioDecoded(media_id: Long, n_samples: Long, amp_sum: Long,
+    amp_sqsum: Long, amp_max: Int, content_md5: String)
+
+  // magic(2) + version(1) + bits(1) + rate(4) + nSamples(4) + crc(4)
+  // + reserved(2) = 18 bytes
+  private val AudioHeaderBytes = 18
+
+  /** Partition-wise container encoder: header + deflate body. One
+    * [[java.util.zip.Deflater]] per partition, `reset()` between
+    * elements.
+    */
+  def audioEncode(media: Dataset[MediaRecord],
+      sampleRate: Int = 16000): Dataset[AudioMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val deflater = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, /* nowrap = */ false)
+      val crc = new java.util.zip.CRC32
+      val chunk = new Array[Byte](8192)
+      it.map { m =>
+        deflater.reset(); crc.reset()
+        crc.update(m.payload)
+        deflater.setInput(m.payload)
+        deflater.finish()
+        val body = new java.io.ByteArrayOutputStream(
+          math.max(64, m.payload.length / 2))
+        while (!deflater.finished()) {
+          val n = deflater.deflate(chunk)
+          body.write(chunk, 0, n)
+        }
+        val bodyBytes = body.toByteArray
+        val buf = java.nio.ByteBuffer
+          .allocate(AudioHeaderBytes + bodyBytes.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.put('G'.toByte).put('A'.toByte) // magic
+        buf.put(1: Byte)                    // container version
+        buf.put(8: Byte)                    // bits per sample
+        buf.putInt(sampleRate)
+        buf.putInt(m.payload.length)        // sample count (1 byte/sample)
+        buf.putInt((crc.getValue & 0xffffffffL).toInt) // CRC32 of samples
+        buf.putShort(0)                     // reserved
+        buf.put(bodyBytes)
+        AudioMedia(m.media_id, buf.array())
+      }
+    }
+  }
+
+  /** Partition-wise container decoder: header parse (validated), real
+    * inflate, CRC32 integrity check, amplitude stats over the recovered
+    * samples. One [[java.util.zip.Inflater]] + digest per partition.
+    */
+  def audioDecode(audio: Dataset[AudioMedia]): Dataset[AudioDecoded] = {
+    import audio.sparkSession.implicits._
+    audio.mapPartitions { it =>
+      val inflater = new java.util.zip.Inflater(/* nowrap = */ false)
+      val crc = new java.util.zip.CRC32
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { a =>
+        val p = a.payload
+        require(p.length >= AudioHeaderBytes &&
+          p(0) == 'G'.toByte && p(1) == 'A'.toByte,
+          s"media ${a.media_id}: not an audio container")
+        val buf = java.nio.ByteBuffer.wrap(p)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.position(2)
+        val version = buf.get()
+        val bits = buf.get()
+        val rate = buf.getInt
+        val nSamples = buf.getInt
+        val crcStored = buf.getInt.toLong & 0xffffffffL
+        buf.getShort // reserved
+        require(version == 1 && bits == 8 && rate > 0 && nSamples >= 0,
+          s"media ${a.media_id}: unsupported audio variant " +
+            s"(ver=$version bits=$bits rate=$rate n=$nSamples)")
+        inflater.reset()
+        inflater.setInput(p, AudioHeaderBytes, p.length - AudioHeaderBytes)
+        val samples = new Array[Byte](nSamples)
+        var off = 0
+        while (off < nSamples && !inflater.finished()) {
+          val n = inflater.inflate(samples, off, nSamples - off)
+          // a truncated body makes inflate return 0 wanting more input:
+          // fail loudly instead of spinning
+          require(n > 0 || inflater.finished(),
+            s"media ${a.media_id}: inflate stalled at $off of $nSamples")
+          off += n
+        }
+        require(off == nSamples,
+          s"media ${a.media_id}: inflate recovered $off of $nSamples samples")
+        if (!inflater.finished()) {
+          // drain the stream-end marker (also the whole body when
+          // nSamples == 0); a body longer than declared must not pass
+          val probe = new Array[Byte](1)
+          val extra = inflater.inflate(probe)
+          require(extra == 0 && inflater.finished(),
+            s"media ${a.media_id}: body longer than declared $nSamples")
+        }
+        crc.reset(); crc.update(samples)
+        require(crc.getValue == crcStored,
+          s"media ${a.media_id}: CRC32 mismatch " +
+            s"(${crc.getValue} != $crcStored)")
+        var sum = 0L; var sq = 0L; var max = 0
+        var i = 0
+        while (i < nSamples) {
+          val v = samples(i) & 0xff
+          sum += v; sq += v.toLong * v
+          if (v > max) max = v
+          i += 1
+        }
+        val hex = md.digest(samples).map(x => f"${x & 0xff}%02x").mkString
+        AudioDecoded(a.media_id, nSamples.toLong, sum, sq, max, hex)
+      }
+    }
+  }
+
+  /** Registered q166: the "audio" slice of the media table → real
+    * deflate container → real inflate + CRC-verified decode. The spread
+    * repartition keeps the fused encode+decode off the testdata's
+    * single-row-group scan task.
+    */
+  def audioDecodeRun(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.withMinParallelism(
+        mediaFromDocuments(spark, sfDir).filter(col("kind") === "audio").toDF(),
+        spark.sparkContext.defaultParallelism)
+      .as[MediaRecord]
+    audioDecode(audioEncode(media)).toDF().orderBy("media_id")
+  }
+
+  /** DuckDB oracle for [[audioDecodeRun]] — every decoded fact restated
+    * from the source text (ASCII contract, see [[mediaFrames]]):
+    * sample count = strlen, amplitude sum / sum-of-squares / max as
+    * codepoint arithmetic over the characters (BIGINT-exact — no
+    * floating point anywhere), recovered content md5 = md5(text),
+    * which only matches when the deflate body round-trips byte-exactly.
+    */
+  val audioDecodeSql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(strlen(text) AS BIGINT) AS n_samples,
+      |  CAST(COALESCE(list_sum(list_transform(range(1, strlen(text) + 1),
+      |    i -> ascii(text[CAST(i AS INT)]))), 0) AS BIGINT) AS amp_sum,
+      |  CAST(COALESCE(list_sum(list_transform(range(1, strlen(text) + 1),
+      |    i -> ascii(text[CAST(i AS INT)]) * ascii(text[CAST(i AS INT)]))), 0)
+      |    AS BIGINT) AS amp_sqsum,
+      |  CAST(COALESCE(list_max(list_transform(range(1, strlen(text) + 1),
+      |    i -> ascii(text[CAST(i AS INT)]))), 0) AS INT) AS amp_max,
+      |  md5(text) AS content_md5
+      |FROM documents
+      |WHERE doc_id % 3 = 1
+      |ORDER BY media_id""".stripMargin
+
   /** Downstream rollup over extracted features (proves features flow
     * into ordinary relational ops after the stub boundary).
     */

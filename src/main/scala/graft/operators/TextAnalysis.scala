@@ -594,4 +594,74 @@ object TextAnalysis {
        |GROUP BY p.doc_id
        |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
+
+  /** q167 — PHRASE search over a POSITIONAL inverted index (the q165
+    * retrieval family's second shape): tokens are exploded with their
+    * in-document position, pruned to the phrase's vocabulary BEFORE any
+    * join (the full text never enters the shuffle — only (doc_id, pos)
+    * pairs for phrase terms do), and adjacency is verified by a
+    * position-equi-join per subsequent term: term i must sit at
+    * anchor_pos + i. Overlapping occurrences each count. Output: docs
+    * ranked by occurrence count with the earliest match position (the
+    * snippet anchor a search UI needs).
+    *
+    * Scale shape: this IS the distributed positional-postings probe —
+    * candidate lists are term-frequency-sized, the equi-join key
+    * (doc_id, pos) is maximally selective, and each fold step prunes
+    * further; a stored index would materialize `postings` once
+    * (the q158 idiom) and skip the scan entirely.
+    */
+  def phraseSearch(spark: SparkSession, sfDir: String,
+      phrase: Seq[String] = Seq("hash", "join"), k: Int = 20): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val docs = spreadDocs(spark, sfDir)
+    val postings = docs
+      .select(col("doc_id"),
+        posexplode(expr(
+          "filter(split(lower(trim(text)), '\\\\s+'), w -> w <> '')"))
+          .as(Seq("pos", "t")))
+      .filter(col("t").isInCollection(phrase.distinct))
+    val anchor = postings.filter(col("t") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    val matched = phrase.zipWithIndex.drop(1).foldLeft(anchor) {
+      case (acc, (w, i)) =>
+        acc.join(
+          postings.filter(col("t") === w)
+            .select(col("doc_id"), (col("pos") - i).as("pos")),
+          Seq("doc_id", "pos"))
+    }
+    matched.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("pos")).cast("long").as("first_pos"))
+      .orderBy(desc("n_matches"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** DuckDB oracle for [[phraseSearch]]: positional postings (0-based,
+    * over the same empty-filtered token list) and the adjacency join
+    * chain restated verbatim.
+    */
+  def phraseSearchSql(phrase: Seq[String] = Seq("hash", "join"),
+      k: Int = 20): String = {
+    val inList = phrase.distinct.map(w => s"'$w'").mkString(", ")
+    val joins = phrase.zipWithIndex.drop(1).map { case (w, i) =>
+      s"JOIN p p$i ON p$i.doc_id = p0.doc_id AND p$i.pos = p0.pos + $i" +
+        s" AND p$i.t = '$w'"
+    }.mkString("\n")
+    s"""WITH tk AS (
+       |  SELECT doc_id, list_filter($tokensSql, w -> w <> '') AS tks
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |         tks[CAST(i AS INT)] AS t
+       |  FROM tk, LATERAL UNNEST(range(1, len(tks) + 1)) r(i)
+       |  WHERE tks[CAST(i AS INT)] IN ($inList))
+       |SELECT p0.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+       |  CAST(MIN(p0.pos) AS BIGINT) AS first_pos
+       |FROM p p0
+       |$joins
+       |WHERE p0.t = '${phrase.head}'
+       |GROUP BY p0.doc_id
+       |ORDER BY n_matches DESC, p0.doc_id LIMIT $k""".stripMargin
+  }
 }

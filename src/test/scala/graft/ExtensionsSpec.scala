@@ -614,6 +614,74 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("audio codec: deflate round-trip — header, CRC, amplitude stats, content") {
+    import spark.implicits._
+    val texts = Seq(
+      1L -> "hello world",            // ordinary short content
+      2L -> ("ab" * 4000),            // highly compressible (8 kB)
+      3L -> (1 to 500).map(i =>       // incompressible-ish ASCII (LCG bits)
+        (((i * 1103515245 + 12345) >>> 16) % 94 + 33).toChar).mkString,
+      4L -> "",                       // empty payload edge
+      5L -> "x")                      // single sample
+    val media = texts.toDF("media_id", "text")
+      .selectExpr("media_id", "'audio' AS kind",
+        "CAST(text AS BINARY) AS payload", "'fixture' AS source")
+      .as[operators.Multimodal.MediaRecord]
+    val encoded = operators.Multimodal.audioEncode(media)
+    val decoded = operators.Multimodal.audioDecode(encoded)
+      .collect().map(d => d.media_id -> d).toMap
+    texts.foreach { case (id, t) =>
+      val d = decoded(id)
+      val codes = t.map(_.toInt)
+      assert(d.n_samples === t.length.toLong, s"doc $id n_samples")
+      assert(d.amp_sum === codes.map(_.toLong).sum, s"doc $id amp_sum")
+      assert(d.amp_sqsum === codes.map(c => c.toLong * c).sum, s"doc $id sqsum")
+      assert(d.amp_max === (if (codes.isEmpty) 0 else codes.max), s"doc $id max")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val expect = md.digest(t.getBytes("UTF-8"))
+        .map(x => f"${x & 0xff}%02x").mkString
+      assert(d.content_md5 === expect, s"doc $id content round-trip")
+    }
+    // the compressible payload must actually compress on the wire
+    val encLens = encoded.collect().map(e => e.media_id -> e.payload.length).toMap
+    assert(encLens(2L) < 8000 / 4, "deflate did no work on 'ab'*4000")
+    // a flipped body byte must fail the CRC/inflate, never yield garbage
+    val bad = encoded.filter(_.media_id == 2L).map { a =>
+      val p = a.payload.clone(); p(p.length - 3) = (p(p.length - 3) ^ 0x55).toByte
+      operators.Multimodal.AudioMedia(a.media_id, p)
+    }
+    intercept[org.apache.spark.SparkException] {
+      operators.Multimodal.audioDecode(bad).collect()
+    }
+    // a truncated body must fail loudly (stall guard), not spin or pass
+    val short = encoded.filter(_.media_id == 3L).map { a =>
+      operators.Multimodal.AudioMedia(a.media_id,
+        a.payload.take(a.payload.length - 20))
+    }
+    intercept[org.apache.spark.SparkException] {
+      operators.Multimodal.audioDecode(short).collect()
+    }
+  }
+
+  test("phrase search: positional adjacency equals a sliding-window brute force") {
+    val phrase = Seq("hash", "join")
+    val got = operators.TextAnalysis.phraseSearch(spark, sf0001, phrase, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // brute force: slide over the empty-filtered lowercase tokens
+    val expected = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .flatMap { r =>
+        val toks = r.getString(1).trim.toLowerCase.split("\\s+")
+          .filter(_.nonEmpty)
+        val hits = toks.sliding(phrase.length).zipWithIndex
+          .collect { case (w, i) if w.sameElements(phrase) => i }.toSeq
+        if (hits.isEmpty) None
+        else Some((r.getLong(0), hits.size.toLong, hits.min.toLong))
+      }
+      .sortBy { case (id, n, _) => (-n, id) }.take(20)
+    assert(got.toSeq === expected.toSeq)
+  }
+
   test("multimodal frame sampling: every step-th pseudo-frame of videos, with offsets") {
     val media = operators.Multimodal.mediaFromDocuments(spark, sf0001)
     val frames = operators.Multimodal.sampleFramesStub(media)
