@@ -413,6 +413,15 @@ object SparkEntry {
     // positional-postings phrase search: term-pruned (doc_id, pos)
     // pairs, adjacency verified by a position-equi-join per term
     "q167_phrase_search" -> ((s, d) => TextAnalysis.phraseSearch(s, d)),
+    // REAL frame sampling over a REAL seekable container: per-frame
+    // deflate streams behind a (offset, compLen, CRC32) directory;
+    // only every 4th frame is inflated — sampled bytes, not container
+    // bytes, set the cost (the q35 stub's semantics made genuine)
+    "q168_video_frames" -> ((s, d) => Multimodal.videoFramesRun(s, d)),
+    // REAL resize: BMP decode -> nearest-neighbor 16x16 gather ->
+    // re-encode -> decode with the unmodified decoder; the oracle
+    // replays the integer gather (the resize stub's semantics made real)
+    "q169_media_resize" -> ((s, d) => Multimodal.mediaResize(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -467,6 +476,8 @@ object SparkEntry {
     "q164_orc_roundtrip" -> graft.sources.Tables.ordersOrcRoundtripSql,
     "q165_keyword_search" -> TextAnalysis.keywordSearchSql(),
     "q167_phrase_search" -> TextAnalysis.phraseSearchSql(),
+    "q168_video_frames" -> Multimodal.videoFramesSql,
+    "q169_media_resize" -> Multimodal.mediaResizeSql,
     // folding the update log must reproduce the q26 batch aggregate
     "q148_streaming_update" -> Events.hourlyByTypeSql,
     "q149_streaming_enrich" ->

@@ -559,6 +559,328 @@ object Multimodal {
       |WHERE doc_id % 3 = 1
       |ORDER BY media_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q169 — REAL resize (replaces [[resizeStub]]'s semantics with
+  // genuine raster work): decode the BMP pixel grid, nearest-neighbor
+  // gather into a fixed thumbnail (the standard integer mapping
+  // src = (dst * srcDim) / dstDim), and RE-ENCODE through the same
+  // [[bmpEncode]] — so the output is a structurally-valid BMP that the
+  // unmodified [[bmpDecode]] then verifies end-to-end (header, stride,
+  // row reversal, padding). The registered query is the full
+  // decode → resize → re-encode → decode chain; the DuckDB oracle
+  // restates the thumbnail's pixel-byte sum and nonzero count from the
+  // source text by replaying the same integer gather (ASCII contract,
+  // see [[mediaFrames]]). The recovered-content md5 is asserted against
+  // a brute-force gather in ExtensionsSpec (DuckDB cannot build strings
+  // containing NUL padding bytes, so the hash stays spec-side).
+  //
+  // Scale shape: three partition-wise iterator maps that fuse into one
+  // task per partition — payloads never shuffle, per-row cost is
+  // O(source + thumbnail bytes) of real gather work.
+  // ------------------------------------------------------------------
+
+  /** Nearest-neighbor resize of [[bmpEncode]]-shaped BMPs to a
+    * `tw`×`th` thumbnail, emitted as a real BMP (re-encoded through
+    * [[bmpEncode]]'s layout via the gathered content bytes).
+    */
+  def bmpResize(bmps: Dataset[BmpMedia], tw: Int = 16,
+      th: Int = 16): Dataset[BmpMedia] = {
+    import bmps.sparkSession.implicits._
+    val gathered = bmps.mapPartitions { it =>
+      it.map { b =>
+        val p = b.payload
+        require(p.length >= BmpHeaderBytes &&
+          p(0) == 'B'.toByte && p(1) == 'M'.toByte,
+          s"media ${b.media_id}: not a BMP payload")
+        val buf = java.nio.ByteBuffer.wrap(p)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val contentLen = buf.getInt(6)  // reserved field (encoder contract)
+        val dataOffset = buf.getInt(10)
+        val sw = buf.getInt(18)
+        val sh = buf.getInt(22)
+        require(sw > 0 && sh > 0, s"media ${b.media_id}: bad dims $sw x $sh")
+        val srcRow = ((sw * 3 + 3) / 4) * 4
+        require(dataOffset + srcRow.toLong * sh == p.length,
+          s"media ${b.media_id}: pixel array does not fill the file")
+        // gather in IMAGE coordinates; source image row r lives at
+        // stored row sh-1-r (bottom-up), padding bytes read as stored
+        val out = new Array[Byte](tw * 3 * th)
+        var y = 0
+        while (y < th) {
+          val sy = (y.toLong * sh / th).toInt
+          val srcBase = dataOffset + (sh - 1 - sy) * srcRow
+          var x = 0
+          while (x < tw) {
+            val sx = (x.toLong * sw / tw).toInt
+            val si = srcBase + sx * 3
+            val di = (y * tw + x) * 3
+            out(di) = p(si); out(di + 1) = p(si + 1); out(di + 2) = p(si + 2)
+            x += 1
+          }
+          y += 1
+        }
+        MediaRecord(b.media_id, "image", out, s"resize:${contentLen}")
+      }
+    }
+    bmpEncode(gathered, widthPx = tw)
+  }
+
+  /** Registered q169: documents → BMP → nearest-neighbor 16×16
+    * thumbnail → re-encode → decode with the unmodified [[bmpDecode]].
+    * The md5 column is dropped here (NUL padding puts it outside
+    * DuckDB's string model; ExtensionsSpec pins it brute-force).
+    */
+  def mediaResize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.withMinParallelism(
+        mediaFromDocuments(spark, sfDir).filter(col("kind") === "image").toDF(),
+        spark.sparkContext.defaultParallelism)
+      .as[MediaRecord]
+    bmpDecode(bmpResize(bmpEncode(media))).toDF()
+      .select("media_id", "file_size", "width", "height", "px_sum",
+        "px_nonzero")
+      .orderBy("media_id")
+  }
+
+  /** DuckDB oracle for [[mediaResize]] — the integer nearest-neighbor
+    * gather replayed over the source text: source grid is 32 px wide
+    * (96-byte stride), height = padded row count; thumbnail pixel
+    * (x, y) pulls source bytes at (y*sh//16)*96 + (x*32//16)*3 + b,
+    * valued ascii(char) inside the content and 0 in the padding. The
+    * re-encoded thumbnail is 16 px wide: stride 48, height 16, file
+    * size 54 + 48*16 = 822, and its content (768 bytes) pads nothing.
+    */
+  val mediaResizeSql: String =
+    """WITH imgs AS (
+      |  SELECT doc_id AS media_id, text,
+      |         GREATEST(1, (strlen(text) + 95) // 96) AS sh
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |px AS (
+      |  SELECT media_id,
+      |    list_sum(list_transform(range(0, 16), y ->
+      |      list_sum(list_transform(range(0, 16), x ->
+      |        list_sum(list_transform(range(0, 3), b -> CASE
+      |          WHEN (y * sh // 16) * 96 + (x * 2) * 3 + b < strlen(text)
+      |          THEN ascii(text[CAST((y * sh // 16) * 96 + (x * 2) * 3
+      |                               + b + 1 AS INT)])
+      |          ELSE 0 END)))))) AS psum,
+      |    list_sum(list_transform(range(0, 16), y ->
+      |      list_sum(list_transform(range(0, 16), x ->
+      |        list_sum(list_transform(range(0, 3), b -> CASE
+      |          WHEN (y * sh // 16) * 96 + (x * 2) * 3 + b < strlen(text)
+      |           AND ascii(text[CAST((y * sh // 16) * 96 + (x * 2) * 3
+      |                               + b + 1 AS INT)]) <> 0
+      |          THEN 1 ELSE 0 END)))))) AS pnz
+      |  FROM imgs)
+      |SELECT media_id,
+      |  CAST(54 + 48 * 16 AS BIGINT) AS file_size,
+      |  CAST(16 AS INT) AS width,
+      |  CAST(16 AS INT) AS height,
+      |  CAST(COALESCE(psum, 0) AS BIGINT) AS px_sum,
+      |  CAST(COALESCE(pnz, 0) AS BIGINT) AS px_nonzero
+      |FROM px
+      |ORDER BY media_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q168 — REAL frame sampling over a REAL seekable video container
+  // (replaces the q35 stub's semantics with genuine codec work). The
+  // encoder splits the payload into fixed-raw-size frames, DEFLATES
+  // each frame independently, and writes a frame DIRECTORY (body
+  // offset, compressed length, CRC32 of the raw frame) behind a fixed
+  // header — the seek-table layout every real container (MP4 stco/stsz,
+  // MKV cues) carries precisely so readers can sample frames WITHOUT
+  // decoding the stream in between. The sampler parses the directory
+  // and inflates ONLY every `step`-th frame: per-row cost scales with
+  // SAMPLED bytes, not container bytes — the entire point of frame
+  // sampling at 100 TB. ExtensionsSpec proves the skip structurally:
+  // corrupting a non-sampled frame's body bytes must NOT fail the
+  // decode (it is never inflated), while corrupting a sampled frame
+  // must fail loudly (CRC/inflate), never yield garbage.
+  //
+  // The DuckDB oracle restates every per-frame fact from the source
+  // text (ASCII contract, see [[mediaFrames]]): raw slice length,
+  // codepoint sum, md5 of the slice — which only match if the
+  // directory offsets, per-frame inflate, and CRC all round-trip.
+  // ------------------------------------------------------------------
+
+  /** A document rendered as a seekable compressed video container. */
+  case class VideoMedia(media_id: Long, payload: Array[Byte])
+
+  /** One sampled, inflated, CRC-verified frame. */
+  case class VideoFrame(media_id: Long, frame_idx: Int, byte_offset: Long,
+    frame_len: Long, amp_sum: Long, frame_md5: String)
+
+  // magic(2) + version(1) + reserved(1) + frameRaw(4) + nFrames(4)
+  // + totalRaw(4) = 16 bytes; directory entry = off(4)+clen(4)+crc(4)
+  private val VideoHeaderBytes = 16
+  private val VideoDirEntryBytes = 12
+
+  /** Partition-wise container encoder: fixed-raw-size frames, each an
+    * independent deflate stream, plus a (offset, compLen, CRC32) seek
+    * directory. One Deflater/CRC32 per partition, reset between frames.
+    */
+  def videoEncode(media: Dataset[MediaRecord],
+      frameRaw: Int = 64): Dataset[VideoMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val deflater = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, /* nowrap = */ false)
+      val crc = new java.util.zip.CRC32
+      val chunk = new Array[Byte](8192)
+      it.map { m =>
+        val len = m.payload.length
+        val n = (len + frameRaw - 1) / frameRaw // empty payload -> 0 frames
+        val dir = new Array[Int](n * 3)
+        val body = new java.io.ByteArrayOutputStream(math.max(64, len / 2))
+        var f = 0
+        while (f < n) {
+          val start = f * frameRaw
+          val rawLen = math.min(frameRaw, len - start)
+          crc.reset(); crc.update(m.payload, start, rawLen)
+          deflater.reset()
+          deflater.setInput(m.payload, start, rawLen)
+          deflater.finish()
+          val off = body.size()
+          while (!deflater.finished()) {
+            val k = deflater.deflate(chunk)
+            body.write(chunk, 0, k)
+          }
+          dir(f * 3) = off
+          dir(f * 3 + 1) = body.size() - off
+          dir(f * 3 + 2) = (crc.getValue & 0xffffffffL).toInt
+          f += 1
+        }
+        val bodyBytes = body.toByteArray
+        val buf = java.nio.ByteBuffer
+          .allocate(VideoHeaderBytes + n * VideoDirEntryBytes + bodyBytes.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.put('G'.toByte).put('V'.toByte) // magic
+        buf.put(1: Byte)                    // container version
+        buf.put(0: Byte)                    // reserved
+        buf.putInt(frameRaw)
+        buf.putInt(n)
+        buf.putInt(len)                     // total raw content length
+        var i = 0
+        while (i < dir.length) { buf.putInt(dir(i)); i += 1 }
+        buf.put(bodyBytes)
+        VideoMedia(m.media_id, buf.array())
+      }
+    }
+  }
+
+  /** Partition-wise frame sampler: directory-seeked, inflating ONLY
+    * every `step`-th frame (skipped frames' bytes are never touched),
+    * CRC32-verified per sampled frame. One Inflater/CRC32/digest per
+    * partition.
+    */
+  def videoSampleFrames(videos: Dataset[VideoMedia],
+      step: Int = 4): Dataset[VideoFrame] = {
+    require(step >= 1, "step must be >= 1")
+    import videos.sparkSession.implicits._
+    videos.mapPartitions { it =>
+      val inflater = new java.util.zip.Inflater(/* nowrap = */ false)
+      val crc = new java.util.zip.CRC32
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { v =>
+        val p = v.payload
+        require(p.length >= VideoHeaderBytes &&
+          p(0) == 'G'.toByte && p(1) == 'V'.toByte,
+          s"media ${v.media_id}: not a video container")
+        val buf = java.nio.ByteBuffer.wrap(p)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.position(2)
+        val version = buf.get(); buf.get() // reserved
+        val frameRaw = buf.getInt
+        val n = buf.getInt
+        val totalRaw = buf.getInt
+        require(version == 1 && frameRaw > 0 && n >= 0 && totalRaw >= 0 &&
+          (n.toLong - 1) * frameRaw < math.max(totalRaw, 1) &&
+          n.toLong * frameRaw >= totalRaw,
+          s"media ${v.media_id}: inconsistent video header " +
+            s"(ver=$version raw=$frameRaw n=$n total=$totalRaw)")
+        val bodyStart = VideoHeaderBytes + n * VideoDirEntryBytes
+        require(bodyStart <= p.length,
+          s"media ${v.media_id}: directory overruns the payload")
+        (0 until n by step).iterator.map { f =>
+          val e = VideoHeaderBytes + f * VideoDirEntryBytes
+          val off = buf.getInt(e)
+          val clen = buf.getInt(e + 4)
+          val crcStored = buf.getInt(e + 8).toLong & 0xffffffffL
+          require(off >= 0 && clen > 0 &&
+            bodyStart + off + clen <= p.length,
+            s"media ${v.media_id}: frame $f directory out of range")
+          val rawLen =
+            if (f == n - 1) totalRaw - f * frameRaw else frameRaw
+          val raw = new Array[Byte](rawLen)
+          inflater.reset()
+          inflater.setInput(p, bodyStart + off, clen)
+          var got = 0
+          while (got < rawLen && !inflater.finished()) {
+            val k = inflater.inflate(raw, got, rawLen - got)
+            require(k > 0 || inflater.finished(),
+              s"media ${v.media_id}: frame $f inflate stalled at $got")
+            got += k
+          }
+          require(got == rawLen && {
+            // the frame stream must END here: longer bodies must not pass
+            val probe = new Array[Byte](1)
+            inflater.finished() || (inflater.inflate(probe) == 0 &&
+              inflater.finished())
+          }, s"media ${v.media_id}: frame $f recovered $got of $rawLen")
+          crc.reset(); crc.update(raw)
+          require(crc.getValue == crcStored,
+            s"media ${v.media_id}: frame $f CRC32 mismatch")
+          var sum = 0L; var i = 0
+          while (i < rawLen) { sum += raw(i) & 0xff; i += 1 }
+          val hex = md.digest(raw).map(x => f"${x & 0xff}%02x").mkString
+          VideoFrame(v.media_id, f, f.toLong * frameRaw, rawLen.toLong,
+            sum, hex)
+        }
+      }
+    }
+  }
+
+  /** Registered q168: the "video" media slice → seekable deflate
+    * container → directory-seeked sample of every 4th frame, inflated
+    * and CRC-verified. The spread repartition keeps the fused
+    * encode+sample off the testdata's single-row-group scan task.
+    */
+  def videoFramesRun(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.withMinParallelism(
+        mediaFromDocuments(spark, sfDir).filter(col("kind") === "video").toDF(),
+        spark.sparkContext.defaultParallelism)
+      .as[MediaRecord]
+    videoSampleFrames(videoEncode(media)).toDF()
+      .orderBy("media_id", "frame_idx")
+  }
+
+  /** DuckDB oracle for [[videoFramesRun]] — every sampled frame's facts
+    * restated from the source text (ASCII contract, see
+    * [[mediaFrames]]): frames are 64-char slices, sampled every 4th;
+    * length, codepoint sum, and md5 of each slice only match if the
+    * directory seek + per-frame inflate + CRC round-trip exactly.
+    * Empty documents have zero frames (ceil semantics).
+    */
+  val videoFramesSql: String =
+    """WITH videos AS (
+      |  SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 2),
+      |frames AS (
+      |  SELECT media_id,
+      |         CAST(f AS INT) AS frame_idx,
+      |         CAST(f * 64 AS BIGINT) AS byte_offset,
+      |         substr(text, CAST(f * 64 + 1 AS INT), 64) AS frame
+      |  FROM videos,
+      |       LATERAL UNNEST(range(0, (strlen(text) + 63) // 64, 4)) t(f))
+      |SELECT media_id, frame_idx, byte_offset,
+      |       CAST(strlen(frame) AS BIGINT) AS frame_len,
+      |       CAST(COALESCE(list_sum(list_transform(
+      |         range(1, strlen(frame) + 1),
+      |         i -> ascii(frame[CAST(i AS INT)]))), 0) AS BIGINT) AS amp_sum,
+      |       md5(frame) AS frame_md5
+      |FROM frames
+      |ORDER BY media_id, frame_idx""".stripMargin
+
   /** Downstream rollup over extracted features (proves features flow
     * into ordinary relational ops after the stub boundary).
     */

@@ -682,6 +682,104 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("video container: seek-table sampling inflates ONLY sampled frames") {
+    import spark.implicits._
+    val texts = Seq(
+      1L -> ("the quick brown fox " * 40),  // 800 chars = 13 frames
+      2L -> ("z" * 64),                     // exactly one frame
+      3L -> ("y" * 65),                     // short last frame (idx 1 unsampled)
+      4L -> "",                             // zero frames
+      5L -> (1 to 300).map(i =>             // incompressible-ish ASCII
+        (((i * 48271) >>> 12) % 94 + 33).toChar).mkString)
+    val media = texts.toDF("media_id", "text")
+      .selectExpr("media_id", "'video' AS kind",
+        "CAST(text AS BINARY) AS payload", "'fixture' AS source")
+      .as[operators.Multimodal.MediaRecord]
+    val encoded = operators.Multimodal.videoEncode(media)
+    val got = operators.Multimodal.videoSampleFrames(encoded)
+      .collect().map(f => (f.media_id, f.frame_idx) -> f).toMap
+    // brute force: every 4th 64-char slice of the raw text
+    texts.foreach { case (id, t) =>
+      val n = (t.length + 63) / 64
+      val idxs = 0 until n by 4
+      assert(got.keys.count(_._1 == id) === idxs.size, s"doc $id frame count")
+      idxs.foreach { f =>
+        val slice = t.substring(f * 64, math.min(f * 64 + 64, t.length))
+        val fr = got((id, f))
+        assert(fr.byte_offset === f.toLong * 64)
+        assert(fr.frame_len === slice.length.toLong, s"doc $id frame $f len")
+        assert(fr.amp_sum === slice.map(_.toLong).sum, s"doc $id frame $f sum")
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val expect = md.digest(slice.getBytes("UTF-8"))
+          .map(x => f"${x & 0xff}%02x").mkString
+        assert(fr.frame_md5 === expect, s"doc $id frame $f content")
+      }
+    }
+    // THE SKIP PROOF: corrupting a frame the sampler never visits must
+    // not fail (its bytes are never inflated); corrupting a sampled
+    // frame must fail loudly. Frame 1 of doc 1 is unsampled (step 4);
+    // frame 0 is sampled. Locate both via the directory.
+    def corrupt(frameIdx: Int)
+        : org.apache.spark.sql.Dataset[operators.Multimodal.VideoMedia] =
+      encoded.filter(_.media_id == 1L).map { v =>
+        val p = v.payload.clone()
+        val buf = java.nio.ByteBuffer.wrap(p)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val n = buf.getInt(8)
+        val bodyStart = 16 + n * 12
+        val e = 16 + frameIdx * 12
+        val off = buf.getInt(e); val clen = buf.getInt(e + 4)
+        val mid = bodyStart + off + clen / 2
+        p(mid) = (p(mid) ^ 0x55).toByte
+        operators.Multimodal.VideoMedia(v.media_id, p)
+      }
+    val afterSkip = operators.Multimodal.videoSampleFrames(corrupt(1))
+      .collect() // must NOT throw: frame 1's bytes are never read
+    assert(afterSkip.map(_.frame_idx).sorted === Array(0, 4, 8, 12))
+    intercept[org.apache.spark.SparkException] {
+      operators.Multimodal.videoSampleFrames(corrupt(0)).collect()
+    }
+  }
+
+  test("bmp resize: nearest-neighbor gather round-trips through the real codec") {
+    import spark.implicits._
+    val texts = Seq(
+      1L -> ("pixel content for a tall image " * 20), // 620 chars = 7 rows
+      2L -> "short",                                  // 1 padded row
+      3L -> "",                                       // all-padding image
+      4L -> ("r" * 96 * 16))                          // exactly 16 full rows
+    val media = texts.toDF("media_id", "text")
+      .selectExpr("media_id", "'image' AS kind",
+        "CAST(text AS BINARY) AS payload", "'fixture' AS source")
+      .as[operators.Multimodal.MediaRecord]
+    val thumbs = operators.Multimodal.bmpDecode(
+        operators.Multimodal.bmpResize(
+          operators.Multimodal.bmpEncode(media)))
+      .collect().map(d => d.media_id -> d).toMap
+    texts.foreach { case (id, t) =>
+      val bytes = t.getBytes("UTF-8")
+      val sh = math.max(1, (bytes.length + 95) / 96)
+      // brute-force gather in image coordinates (padding reads 0)
+      val content = (0 until 16).flatMap { y =>
+        val sy = y * sh / 16
+        (0 until 16).flatMap { x =>
+          val base = sy * 96 + (x * 2) * 3
+          (0 until 3).map(b =>
+            if (base + b < bytes.length) bytes(base + b) else 0: Byte)
+        }
+      }.toArray
+      val d = thumbs(id)
+      assert(d.width === 16 && d.height === 16, s"doc $id dims")
+      assert(d.file_size === 54L + 48 * 16, s"doc $id file size")
+      assert(d.px_sum === content.map(v => (v & 0xff).toLong).sum,
+        s"doc $id px_sum")
+      assert(d.px_nonzero === content.count(_ != 0).toLong, s"doc $id nz")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val expect = md.digest(content).map(x => f"${x & 0xff}%02x").mkString
+      assert(d.content_md5 === expect, s"doc $id thumbnail content")
+    }
+  }
+
   test("multimodal frame sampling: every step-th pseudo-frame of videos, with offsets") {
     val media = operators.Multimodal.mediaFromDocuments(spark, sf0001)
     val frames = operators.Multimodal.sampleFramesStub(media)
