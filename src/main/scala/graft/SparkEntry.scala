@@ -422,6 +422,14 @@ object SparkEntry {
     // re-encode -> decode with the unmodified decoder; the oracle
     // replays the integer gather (the resize stub's semantics made real)
     "q169_media_resize" -> ((s, d) => Multimodal.mediaResize(s, d)),
+    // stream-stream FULL OUTER interval join: both unmatched sides
+    // surface by state eviction (completes the q133/q163 triad)
+    "q170_streaming_full_outer" -> ((s, d) =>
+      graft.streaming.EventStreams.errorClickFullOuterAvailableNow(s, d)),
+    // BM25 ranking: tf saturation + length normalization over the
+    // q165 postings shape; integer idf weights, floor-quantized
+    // per-term contributions (order-free exact cross-engine sum)
+    "q171_bm25_search" -> ((s, d) => TextAnalysis.bm25Search(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -478,6 +486,9 @@ object SparkEntry {
     "q167_phrase_search" -> TextAnalysis.phraseSearchSql(),
     "q168_video_frames" -> Multimodal.videoFramesSql,
     "q169_media_resize" -> Multimodal.mediaResizeSql,
+    "q170_streaming_full_outer" ->
+      graft.streaming.EventStreams.errorClickFullOuterAvailableNowSql(),
+    "q171_bm25_search" -> TextAnalysis.bm25SearchSql(),
     // folding the update log must reproduce the q26 batch aggregate
     "q148_streaming_update" -> Events.hourlyByTypeSql,
     "q149_streaming_enrich" ->

@@ -595,6 +595,97 @@ object TextAnalysis {
        |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  /** q171 — BM25 ranking, the retrieval family's third shape (q165
+    * flat tf·rarity, q167 positional phrase): adds BM25's two
+    * signature behaviors — TF SATURATION (a term's 10th occurrence
+    * adds less than its 1st: tf·(k1+1)/(tf+k1·…)) and LENGTH
+    * NORMALIZATION (matches in short docs outrank the same matches in
+    * long docs: the k1 denominator scales with dl/avgdl).
+    *
+    * Cross-engine exactness (the repo's floor-quantization discipline):
+    * idf stays the q165 integer rarity weight (BM25's ln(idf) would put
+    * libm — whose last-ulp behavior differs between engines — in the
+    * score; the integer weight preserves idf ORDERING, which is what
+    * the ranking consumes). The saturation factor uses k1 = 1.25 and
+    * b = 0.75 — both exactly representable in binary64 — and avgdl
+    * enters as one CAST/CAST division of exact BIGINTs, so every step
+    * of `w · (tf·2.25) / (tf + 1.25·(0.25 + 0.75·(dl/avg)))` is a
+    * single correctly-rounded IEEE op on identical operands in Spark
+    * and DuckDB; each term's contribution is floor()'d to BIGINT
+    * BEFORE the cross-term sum, making the total order-free exact.
+    *
+    * Scale shape: same inverted-index pattern as q165 — term-pruned
+    * postings with the doc length carried from the SAME scan (at
+    * 100 TB, (term, doc_id, tf, dl) IS the stored postings layout),
+    * broadcast weights/avgdl, doc-grain agg, top-k TakeOrdered.
+    */
+  def bm25Search(spark: SparkSession, sfDir: String,
+      terms: Seq[String] = Seq("scan", "join", "hash"),
+      k: Int = 20): DataFrame = {
+    val docs = Tables.withMinParallelism(Tables.documents(spark, sfDir),
+      spark.sparkContext.defaultParallelism)
+    val toks = docs.select(col("doc_id"),
+      expr("split(lower(trim(text)), '\\\\s+')").as("tks"))
+    val postings = toks
+      .select(col("doc_id"), size(col("tks")).as("dl"),
+        explode(col("tks")).as("t"))
+      .filter(col("t").isInCollection(terms))
+      .groupBy("doc_id", "t")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfq = postings.groupBy("t").agg(count(lit(1)).as("df_t"))
+    val n1 = broadcast(toks.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("tks")).cast("long")).as("total_dl")))
+    val weights = broadcast(dfq.crossJoin(n1)
+      .select(col("t"), expr("n_docs * 1000000 div df_t").as("w"),
+        expr("CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)").as("avg")))
+    postings.join(weights, "t")
+      .select(col("doc_id"), expr(
+        """CAST(floor(CAST(w AS DOUBLE) * (CAST(tf AS DOUBLE) * 2.25D) /
+          |  (CAST(tf AS DOUBLE) +
+          |   1.25D * (0.25D + 0.75D * (CAST(dl AS DOUBLE) / avg))))
+          |AS BIGINT)""".stripMargin).as("contrib"))
+      .groupBy("doc_id")
+      .agg(sum(col("contrib")).cast("long").as("score"),
+        count(lit(1)).as("n_hit_terms"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** DuckDB oracle for [[bm25Search]]: postings with doc length, rarity
+    * weights, the identical IEEE saturation tree, per-term floor
+    * quantization, and the scored top-k restated verbatim.
+    */
+  def bm25SearchSql(terms: Seq[String] = Seq("scan", "join", "hash"),
+      k: Int = 20): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, $tokensSql AS tks FROM documents),
+       |postings AS (
+       |  SELECT doc_id, t, COUNT(*) AS tf, MAX(dl) AS dl FROM (
+       |    SELECT doc_id, len(tks) AS dl, unnest(tks) AS t FROM tk) u
+       |  WHERE t IN ($inList) GROUP BY 1, 2),
+       |dfq AS (SELECT t, COUNT(*) AS df_t FROM postings GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n_docs,
+       |             CAST(SUM(len(tks)) AS BIGINT) AS total_dl FROM tk),
+       |w AS (SELECT t, n_docs * 1000000 // df_t AS w,
+       |             CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avg
+       |      FROM dfq CROSS JOIN n),
+       |scored AS (
+       |  SELECT p.doc_id,
+       |    -- e-notation literals: DuckDB parses bare 2.25 as DECIMAL,
+       |    -- which would reshape the IEEE expression tree
+       |    CAST(floor(CAST(w.w AS DOUBLE) * (CAST(p.tf AS DOUBLE) * 2.25e0) /
+       |      (CAST(p.tf AS DOUBLE) +
+       |       1.25e0 * (0.25e0 + 0.75e0 * (CAST(p.dl AS DOUBLE) / w.avg))))
+       |    AS BIGINT) AS contrib
+       |  FROM postings p JOIN w ON p.t = w.t)
+       |SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS score,
+       |  CAST(COUNT(*) AS BIGINT) AS n_hit_terms
+       |FROM scored
+       |GROUP BY doc_id
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   /** q167 — PHRASE search over a POSITIONAL inverted index (the q165
     * retrieval family's second shape): tokens are exploded with their
     * in-document position, pruned to the phrase's vocabulary BEFORE any

@@ -419,6 +419,95 @@ object EventStreams {
        |ORDER BY error_id, click_id""".stripMargin
   }
 
+  /** q170 — stream-stream FULL OUTER interval join, completing the
+    * triad (q133 inner, q163 left outer): BOTH unmatched sides surface
+    * as state-eviction emissions. Unmatched errors behave exactly as
+    * q163 (null iff NO chunk replica matched, horizon error_ts + window
+    * below the final global watermark). Unmatched clicks are the new
+    * semantic: a click can match any error with error_ts in
+    * (click_ts - window, click_ts], so its state stops waiting — and
+    * its (null, click) row emits — once the watermark passes click_ts
+    * itself. A click has exactly ONE chunk replica, so null-error rows
+    * need no replica fold; they are truth directly. Unmatched sides
+    * render as -1 (NULL output columns compare None-vs-NaN differently
+    * across the driver's two readers).
+    */
+  def errorClickFullOuterAvailableNow(spark: SparkSession,
+      sfDir: String, windowMinutes: Int = 5): DataFrame = {
+    val name = "graft_stream_fouter_" + runCounter.incrementAndGet()
+    withStatePartitions(spark, 8) {
+      val ev = readEventStream(spark, sfDir, glob = Some("events.parquet"))
+      val q = errorClickPairsStream(ev, windowMinutes,
+          joinType = "full_outer")
+        .select(col("error_id"), col("click_id"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val sink = spark.table(name)
+    val matched = sink
+      .filter(col("error_id").isNotNull && col("click_id").isNotNull)
+      .select("error_id", "click_id")
+    // error grain: null iff NO replica matched (the q163 fold)
+    val unmatchedErr = sink.filter(col("error_id").isNotNull)
+      .groupBy("error_id")
+      .agg(max(col("click_id")).as("any_click"))
+      .filter(col("any_click").isNull)
+      .select(col("error_id"), lit(-1L).as("click_id"))
+    // click grain: one replica per click — sink truth, no fold
+    val unmatchedClk = sink.filter(col("error_id").isNull)
+      .select(lit(-1L).as("error_id"), col("click_id"))
+    matched.unionByName(unmatchedErr).unionByName(unmatchedClk)
+      .orderBy("error_id", "click_id")
+  }
+
+  /** Oracle for [[errorClickFullOuterAvailableNow]]: the batch FULL
+    * OUTER restated as matched ∪ withheld-filtered unmatched sides.
+    * Global watermark = min over both sides (ms-truncated max event
+    * time minus the 10-minute delay, the q163 facts); unmatched errors
+    * use the q163 horizon (error_ts + window below watermark),
+    * unmatched clicks emit once the watermark passes click_ts (no
+    * future error at or above the watermark can satisfy
+    * error_ts <= click_ts).
+    */
+  def errorClickFullOuterAvailableNowSql(windowMinutes: Int = 5): String = {
+    val winUs = windowMinutes * 60L * 1000000
+    val delayMs = 10L * 60 * 1000
+    s"""WITH mx AS (
+       |  SELECT (least(
+       |    max(CASE WHEN event_type = 'error'
+       |        THEN epoch_us(CAST(ts AS TIMESTAMP)) END),
+       |    max(CASE WHEN event_type = 'click'
+       |        THEN epoch_us(CAST(ts AS TIMESTAMP)) END)) // 1000
+       |    - $delayMs) * 1000 AS wm_us
+       |  FROM events),
+       |errors AS (
+       |  SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+       |  FROM events WHERE event_type = 'error'),
+       |clicks AS (
+       |  SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+       |  FROM events WHERE event_type = 'click'),
+       |matched AS (
+       |  SELECT e.event_id AS error_id, e.us AS error_us,
+       |         c.event_id AS click_id, c.us AS click_us
+       |  FROM errors e JOIN clicks c
+       |    ON c.us >= e.us AND c.us < e.us + $winUs)
+       |SELECT error_id, click_id FROM matched
+       |UNION ALL
+       |SELECT e.event_id AS error_id, -1 AS click_id
+       |FROM errors e, mx
+       |WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.error_id = e.event_id)
+       |  AND e.us + $winUs < wm_us
+       |UNION ALL
+       |SELECT -1 AS error_id, c.event_id AS click_id
+       |FROM clicks c, mx
+       |WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.click_id = c.event_id)
+       |  AND c.us < wm_us
+       |ORDER BY error_id, click_id""".stripMargin
+  }
+
   /** Wire a streaming DataFrame from parquet (file-source streaming —
     * how a production deployment would tail an events directory).
     */

@@ -682,6 +682,43 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("bm25: tf saturation and length normalization behave as BM25 must") {
+    import spark.implicits._
+    // write a tiny corpus to parquet so bm25Search's Tables path reads it
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_").toString
+    val filler = "filler words pad the document out "
+    Seq(
+      // same single 'scan' in a SHORT vs a LONG doc: short must outrank
+      (1L, "scan " + filler, "fixture"),
+      (2L, "scan " + filler * 20, "fixture"),
+      // tf 1 vs 2 vs 10 at equal length: gains must SHRINK per added tf
+      (3L, ("scan " * 1) + (filler * 4), "fixture"),
+      (4L, ("scan " * 2) + (filler * 4).split(' ').drop(1).mkString(" ") + " ", "fixture"),
+      (5L, ("scan " * 10) + (filler * 3).split(' ').take(15).mkString(" "), "fixture"),
+      (6L, filler * 3, "fixture"))
+      .toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.TextAnalysis.bm25Search(spark, dir,
+        terms = Seq("scan"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // unmatched doc never scores
+    assert(!got.contains(6L), "doc with no query term must not appear")
+    // length normalization: identical tf, shorter doc scores higher
+    assert(got(1L) > got(2L), s"short doc must outrank long: $got")
+    // tf saturation: marginal gain of tf 2->10 per occurrence is far
+    // below the 1->2 gain (docs 3/4/5 are built ~equal-length)
+    val g12 = got(4L) - got(3L)
+    val g2_10 = (got(5L) - got(4L)) / 8.0
+    assert(g12 > 0 && g2_10 < g12,
+      s"tf gain must saturate: 1->2 gain $g12, per-step 2->10 gain $g2_10")
+    // saturation bound: score(tf=10) < (k1+1)=2.25x score(tf=1) shape —
+    // with equal dl the factor tf*2.25/(tf+k1*norm) is capped at 2.25
+    assert(got(5L).toDouble / got(3L) < 2.25 * 1.1,
+      s"tf=10 vs tf=1 ratio must stay under the k1+1 asymptote: $got")
+  }
+
   test("video container: seek-table sampling inflates ONLY sampled frames") {
     import spark.implicits._
     val texts = Seq(
