@@ -42,6 +42,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "dim join degraded to SMJ")
   }
 
+  test("q171 bm25: weights broadcast, top-k is TakeOrdered, no global sort") {
+    val p = plan(graft.operators.TextAnalysis.bm25Search(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"posting->weight join must broadcast the tiny weight side:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k should plan as TakeOrderedAndProject, got:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "weight join degraded to SMJ — weights are per-query-term tiny")
+  }
+
   test("broadcast hints are size-gated: disabling the threshold disables the hint") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
