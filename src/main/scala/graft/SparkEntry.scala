@@ -430,6 +430,15 @@ object SparkEntry {
     // q165 postings shape; integer idf weights, floor-quantized
     // per-term contributions (order-free exact cross-engine sum)
     "q171_bm25_search" -> ((s, d) => TextAnalysis.bm25Search(s, d)),
+    // Spark 4 transformWithState (arbitrary-state v2): per-user
+    // lifetime profile in TWO typed state variables (ValueState agg +
+    // MapState per-type counts), RocksDB-backed, Update-mode drain
+    "q172_transform_with_state" -> ((s, d) =>
+      graft.streaming.EventStreams.userLifetimeAvailableNow(s, d)),
+    // sorted export: exact equi-width buckets -> per-bucket dirs with
+    // within-file key order (the min/max data-skipping layout); the
+    // manifest round-trips through the written files
+    "q173_sorted_export" -> ((s, d) => Layout.sortedExportManifest(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -489,6 +498,9 @@ object SparkEntry {
     "q170_streaming_full_outer" ->
       graft.streaming.EventStreams.errorClickFullOuterAvailableNowSql(),
     "q171_bm25_search" -> TextAnalysis.bm25SearchSql(),
+    "q172_transform_with_state" ->
+      graft.streaming.EventStreams.userLifetimeAvailableNowSql,
+    "q173_sorted_export" -> Layout.sortedExportManifestSql(),
     // folding the update log must reproduce the q26 batch aggregate
     "q148_streaming_update" -> Events.hourlyByTypeSql,
     "q149_streaming_enrich" ->

@@ -58,4 +58,85 @@ object Layout {
        |ORDER BY z, o_orderkey
        |LIMIT $topK""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // q173 — SORTED EXPORT: the ordered-parquet layout a 100 TB producer
+  // writes so downstream scans get min/max data skipping on the sort
+  // key. Spark's repartitionByRange samples its boundaries (fast but
+  // nondeterministic → not oracle-able); this operator uses exact
+  // integer EQUI-WIDTH buckets instead — bucket = least(B-1,
+  // (k-min)·B div (max-min+1)) — so the layout is a pure function of
+  // the data and every per-file manifest fact (row count, key bounds,
+  // payload checksum) is restatable in ANSI SQL. Each bucket lands in
+  // its own partition directory with rows sorted by key WITHIN the
+  // file (sortWithinPartitions, pinned physically by LayoutSpec):
+  // a reader's key predicate prunes directories AND row groups.
+  // ------------------------------------------------------------------
+
+  /** Write lineitem as a bucket-partitioned, within-file-sorted parquet
+    * export; returns the export directory. Rebuilt per call (delete +
+    * rewrite) so a testdata regen can never serve stale files.
+    */
+  def writeSortedExport(spark: SparkSession, sfDir: String,
+      buckets: Int = 16): String = {
+    val dir = new java.io.File("/tmp/graft_sorted",
+      Tables.pathKey(sfDir)).toString
+    graft.etl.Catalog.deletePath(spark, dir)
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_quantity"))
+    val bounds = broadcast(li.agg(min(col("l_partkey")).as("mn"),
+      max(col("l_partkey")).as("mx")))
+    li.crossJoin(bounds)
+      .withColumn("bucket", least(lit(buckets - 1),
+        expr(s"(l_partkey - mn) * $buckets div (mx - mn + 1)")))
+      .drop("mn", "mx")
+      .repartition(buckets, col("bucket"))
+      .sortWithinPartitions("bucket", "l_partkey", "l_orderkey",
+        "l_linenumber")
+      .write.partitionBy("bucket").parquet(dir)
+    dir
+  }
+
+  /** Registered q173: write the sorted export, read it BACK, and emit
+    * the per-bucket manifest — row count, key bounds, exact quantity
+    * checksum (cents BIGINT). Equality with the source-side oracle
+    * proves the layout hop preserved every row and routed each to the
+    * right bucket (the q118/q164 sink-fidelity discipline); the
+    * within-file sort order itself is pinned physically in LayoutSpec.
+    */
+  def sortedExportManifest(spark: SparkSession, sfDir: String,
+      buckets: Int = 16): DataFrame = {
+    val dir = writeSortedExport(spark, sfDir, buckets)
+    spark.read.parquet(dir)
+      .groupBy(col("bucket").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("min_key"),
+        max(col("l_partkey")).as("max_key"),
+        // l_quantity is DOUBLE: floor() before the integer cast —
+        // Spark's double->long cast truncates where DuckDB's rounds
+        sum(floor(col("l_quantity") * 100).cast("long")).cast("long")
+          .as("qty_cents"))
+      .orderBy("bucket")
+  }
+
+  def sortedExportManifestSql(buckets: Int = 16): String =
+    s"""WITH b AS (
+       |  SELECT least($buckets - 1,
+       |           (l_partkey - (SELECT min(l_partkey) FROM lineitem))
+       |             * $buckets
+       |             // ((SELECT max(l_partkey) FROM lineitem)
+       |                - (SELECT min(l_partkey) FROM lineitem) + 1))
+       |           AS bucket,
+       |         l_partkey, l_quantity
+       |  FROM lineitem)
+       |SELECT CAST(bucket AS BIGINT) AS bucket,
+       |  COUNT(*) AS n_rows,
+       |  CAST(MIN(l_partkey) AS BIGINT) AS min_key,
+       |  CAST(MAX(l_partkey) AS BIGINT) AS max_key,
+       |  CAST(SUM(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+       |    AS qty_cents
+       |FROM b
+       |GROUP BY bucket
+       |ORDER BY bucket""".stripMargin
 }

@@ -28,6 +28,65 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 case class SessionState(start: Long, end: Long, n: Long, total: Double)
 
+/** q172 state record (top-level for the same Janino reason as
+  * [[SessionState]]): exact lifetime aggregate — event count and the
+  * value sum as floor(value·1e9) BIGINT units (order-free exact; the
+  * Similarity.trainedCodebooks discipline).
+  */
+case class LifetimeAgg(n: Long, valueNanos: Long)
+
+/** q172 — the Spark 4 `transformWithState` arbitrary-state API
+  * (successor to mapGroupsWithState: typed MULTIPLE state variables
+  * per key, timers, TTL, RocksDB-backed): a per-user lifetime profile
+  * kept in TWO state variables — a [[LifetimeAgg]] ValueState (exact
+  * counts + nanos-quantized value sum) and a MapState[String, Long] of
+  * per-event-type counts (unbounded-vocabulary state the single-value
+  * GroupState API cannot express without serializing a whole map per
+  * update; here each type's counter is an independent state-store
+  * cell, which is the point of the new API at scale). Emits the
+  * updated profile per key per batch (Update-mode semantics).
+  */
+class LifetimeProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, EventStreams.Event, EventStreams.UserLifetime] {
+  import org.apache.spark.sql.streaming.{TTLConfig, ValueState, MapState}
+  @transient private var agg: ValueState[LifetimeAgg] = _
+  @transient private var byType: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    agg = getHandle.getValueState[LifetimeAgg]("agg",
+      org.apache.spark.sql.Encoders.product[LifetimeAgg], TTLConfig.NONE)
+    byType = getHandle.getMapState[String, Long]("byType",
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(user: Long,
+      rows: Iterator[EventStreams.Event],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[EventStreams.UserLifetime] = {
+    var a = if (agg.exists()) agg.get() else LifetimeAgg(0L, 0L)
+    rows.foreach { e =>
+      // floor(value·1e9): one correctly-rounded double product + floor,
+      // bit-identical in Spark/Scala/DuckDB — BIGINT sums are order-free
+      a = LifetimeAgg(a.n + 1, a.valueNanos + math.floor(e.value * 1e9).toLong)
+      val t = e.event_type
+      byType.updateValue(t,
+        (if (byType.containsKey(t)) byType.getValue(t) else 0L) + 1L)
+    }
+    agg.update(a)
+    // deterministic top type: max count, lexicographic tiebreak
+    var nTypes = 0L
+    var topT = ""; var topN = -1L
+    byType.iterator().foreach { case (t, n) =>
+      nTypes += 1
+      if (n > topN || (n == topN && t < topT)) { topT = t; topN = n }
+    }
+    Iterator.single(EventStreams.UserLifetime(
+      user, a.n, a.valueNanos, nTypes, topT, topN))
+  }
+}
+
 object EventStreams {
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
@@ -35,6 +94,10 @@ object EventStreams {
 
   case class SessionOut(user_id: Long, session_start: Timestamp,
     session_end: Timestamp, n_events: Long, sum_value: Double)
+
+  /** q172 output: per-user lifetime profile from [[LifetimeProcessor]]. */
+  case class UserLifetime(user_id: Long, n_events: Long, value_nanos: Long,
+    n_types: Long, top_type: String, top_type_n: Long)
 
   /** Timestamp -> epoch micros (Timestamp.getTime is ms-precision; the
     * nanos field carries the full fraction — batch operators compare at
@@ -507,6 +570,91 @@ object EventStreams {
        |  AND c.us < wm_us
        |ORDER BY error_id, click_id""".stripMargin
   }
+
+  /** q172 — [[LifetimeProcessor]] (the Spark 4 transformWithState API)
+    * made driver-visible: groupByKey(user) → transformWithState with
+    * two typed state variables, Update mode, RocksDB state store (the
+    * only provider the new API supports — swapped in for this query
+    * and restored after), AvailableNow drain. The bounded replay is
+    * one data batch, so each user emits exactly one final profile and
+    * the drained sink equals the batch aggregate — counts and the
+    * nanos-quantized value sum are order-free exact, the top type is
+    * (count desc, type asc)-deterministic, so the oracle is plain SQL.
+    */
+  def userLifetimeAvailableNow(spark: SparkSession, sfDir: String,
+      nFiles: Int = 1): DataFrame = {
+    import spark.implicits._
+    val name = "graft_stream_tws_" + runCounter.incrementAndGet()
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.get(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val nDataBatches = try {
+      withStatePartitions(spark, 8) {
+        val ev = (if (nFiles <= 1)
+            readEventStream(spark, sfDir, glob = Some("events.parquet"))
+          else readEventStream(spark,
+            stageChronologicalEvents(spark, sfDir, nFiles),
+            maxFilesPerTrigger = Some(1)))
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[Event]
+        val q = ev.groupByKey(_.user_id)
+          .transformWithState(new LifetimeProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            OutputMode.Update())
+          .writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Update)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        q.recentProgress.count(_.numInputRows > 0)
+      }
+    } finally spark.conf.set(provKey, prevProv)
+    if (nFiles > 1) {
+      require(nDataBatches >= 2,
+        s"multi-batch replay ran as $nDataBatches data batch(es)")
+      val sink = spark.table(name)
+      // state persistence proof: a user seen in >1 batch re-emits with
+      // an ACCUMULATED profile — without cross-batch state every
+      // emission would restart at its own batch's counts
+      require(sink.groupBy("user_id").count().filter(col("count") > 1)
+        .limit(1).count() == 1,
+        "no user emitted more than once — cross-batch state not exercised")
+      // fold the update log: n_events is strictly monotone per user
+      // (every re-emission processed >=1 new row), so max-n_events is
+      // the final profile
+      sink.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+            .orderBy(desc("n_events"))))
+        .filter(col("rk") === 1).drop("rk")
+        .orderBy("user_id")
+    } else spark.table(name).orderBy("user_id")
+  }
+
+  /** Oracle for [[userLifetimeAvailableNow]]: the per-user lifetime
+    * profile in SQL — count, Σ floor(value·1e9) (the processor's exact
+    * quantized sum), distinct-type count, and the (count desc, type
+    * asc) top type.
+    */
+  val userLifetimeAvailableNowSql: String =
+    """WITH byt AS (
+      |  SELECT user_id, event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |top AS (
+      |  SELECT user_id, event_type AS top_type, n AS top_type_n,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY n DESC, event_type ASC) AS rk
+      |  FROM byt),
+      |agg AS (
+      |  SELECT user_id, COUNT(*) AS n_events,
+      |    CAST(SUM(CAST(floor(value * 1e9) AS BIGINT)) AS BIGINT)
+      |      AS value_nanos,
+      |    COUNT(DISTINCT event_type) AS n_types
+      |  FROM events GROUP BY 1)
+      |SELECT a.user_id, a.n_events, a.value_nanos, a.n_types,
+      |       t.top_type, t.top_type_n
+      |FROM agg a JOIN top t ON a.user_id = t.user_id AND t.rk = 1
+      |ORDER BY a.user_id""".stripMargin
 
   /** Wire a streaming DataFrame from parquet (file-source streaming —
     * how a production deployment would tail an events directory).

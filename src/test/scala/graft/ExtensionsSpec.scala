@@ -682,6 +682,34 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("sorted export: files are physically key-ordered and bucket-disjoint") {
+    val dir = operators.Layout.writeSortedExport(spark, sf0001)
+    val subdirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+    assert(subdirs.nonEmpty, "no bucket directories written")
+    // within-file physical order: each bucket's parquet rows come back
+    // in ascending key order (parquet preserves row order)
+    val ranges = subdirs.map { sd =>
+      val bucket = sd.getName.stripPrefix("bucket=").toInt
+      val keys = spark.read.parquet(sd.toString)
+        .select("l_partkey").collect().map(_.getLong(0))
+      assert(keys.nonEmpty, s"bucket $bucket is empty on disk")
+      keys.sliding(2).foreach { w =>
+        if (w.length == 2) assert(w(0) <= w(1),
+          s"bucket $bucket not sorted: ${w(0)} then ${w(1)}")
+      }
+      bucket -> (keys.head, keys.last)
+    }.sortBy(_._1)
+    // bucket key ranges must be DISJOINT and ascending (the property
+    // that makes a key predicate prune whole directories)
+    ranges.sliding(2).foreach {
+      case Array((b1, (_, max1)), (b2, (min2, _))) =>
+        assert(max1 < min2,
+          s"bucket $b1 max $max1 overlaps bucket $b2 min $min2")
+      case _ =>
+    }
+  }
+
   test("bm25: tf saturation and length normalization behave as BM25 must") {
     import spark.implicits._
     // write a tiny corpus to parquet so bm25Search's Tables path reads it

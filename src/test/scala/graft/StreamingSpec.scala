@@ -258,6 +258,19 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("q172 transformWithState: RocksDB state persists across micro-batches") {
+    // the 4-file chronological replay self-asserts >=2 data batches AND
+    // >=1 user re-emitting (accumulated state), then folds the Update
+    // log to final profiles — which must equal the single-batch run
+    // cell-exactly (counts/nanos sums are order-free exact)
+    val multi = EventStreams.userLifetimeAvailableNow(spark, sf0001, nFiles = 4)
+      .collect().toSeq
+    val single = EventStreams.userLifetimeAvailableNow(spark, sf0001)
+      .collect().toSeq
+    assert(multi === single)
+    assert(multi.nonEmpty)
+  }
+
   test("session_window streaming runs and covers every user") {
     val stream = MemoryStream[Event](spark, 3)
     stream.addData(eventData)
