@@ -439,6 +439,11 @@ object SparkEntry {
     // within-file key order (the min/max data-skipping layout); the
     // manifest round-trips through the written files
     "q173_sorted_export" -> ((s, d) => Layout.sortedExportManifest(s, d)),
+    // transformWithState TIMERS + ListState: event-time inactivity
+    // digest — one re-armed timer per user, trailing-3 id list state,
+    // emit+clear on expiry (the v2 API's other half vs q172)
+    "q174_tws_timers" -> ((s, d) =>
+      graft.streaming.EventStreams.inactivityDigestAvailableNow(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -501,6 +506,8 @@ object SparkEntry {
     "q172_transform_with_state" ->
       graft.streaming.EventStreams.userLifetimeAvailableNowSql,
     "q173_sorted_export" -> Layout.sortedExportManifestSql(),
+    "q174_tws_timers" ->
+      graft.streaming.EventStreams.inactivityDigestAvailableNowSql(),
     // folding the update log must reproduce the q26 batch aggregate
     "q148_streaming_update" -> Events.hourlyByTypeSql,
     "q149_streaming_enrich" ->

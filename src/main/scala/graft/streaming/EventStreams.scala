@@ -35,6 +35,76 @@ case class SessionState(start: Long, end: Long, n: Long, total: Double)
   */
 case class LifetimeAgg(n: Long, valueNanos: Long)
 
+/** q174 state record (top-level for the Janino reason): running event
+  * count + last event time in µs for the one active inactivity timer.
+  */
+case class DigestState(n: Long, lastUs: Long)
+
+/** q174 — transformWithState TIMERS + ListState (q172 covers the
+  * multi-variable ValueState/MapState half of the API; this covers the
+  * other half): an inactivity digest. Per user, a ListState keeps the
+  * last 3 event ids (bounded — trimmed on every update, the "recent
+  * items" state shape), a ValueState tracks count + last-seen time,
+  * and ONE event-time timer is re-armed at last_seen + gap on every
+  * batch (previous timers deleted — the timer-management discipline
+  * the API requires, since timers are not keyed by name). When the
+  * watermark passes the timer ([[handleExpiredTimer]]), the user's
+  * digest is emitted and the state CLEARED — the quiet-user eviction
+  * q131 does with GroupStateTimeout, re-expressed in the v2 API where
+  * timers and state are independent primitives.
+  */
+class InactivityDigestProcessor(gapMinutes: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, EventStreams.Event, EventStreams.InactivityDigest] {
+  import org.apache.spark.sql.streaming.{TTLConfig, ValueState, ListState}
+  @transient private var agg: ValueState[DigestState] = _
+  @transient private var recent: ListState[Long] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    agg = getHandle.getValueState[DigestState]("agg",
+      org.apache.spark.sql.Encoders.product[DigestState], TTLConfig.NONE)
+    recent = getHandle.getListState[Long]("recent",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(user: Long,
+      rows: Iterator[EventStreams.Event],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[EventStreams.InactivityDigest] = {
+    var st = if (agg.exists()) agg.get() else DigestState(0L, Long.MinValue)
+    // micro-batch slices are unordered; fold this group's slice in
+    // (ts, event_id) order so the trailing-ids list is deterministic
+    val sorted = rows.toArray
+      .sortBy(e => (EventStreams.micros(e.ts), e.event_id))
+    sorted.foreach { e =>
+      st = DigestState(st.n + 1,
+        math.max(st.lastUs, EventStreams.micros(e.ts)))
+      recent.appendValue(e.event_id)
+    }
+    agg.update(st)
+    // bound the list state: keep only the trailing 3 ids
+    val ids = recent.get().toArray
+    if (ids.length > 3) recent.put(ids.takeRight(3))
+    // re-arm the single inactivity timer (delete any previous one)
+    getHandle.listTimers().foreach(t =>
+      getHandle.deleteTimer(t.asInstanceOf[Long]))
+    getHandle.registerTimer(st.lastUs / 1000L + gapMinutes * 60L * 1000L)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(user: Long,
+      timerValues: org.apache.spark.sql.streaming.TimerValues,
+      expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+      : Iterator[EventStreams.InactivityDigest] = {
+    val st = agg.get()
+    val ids = recent.get().toArray.takeRight(3)
+    agg.clear(); recent.clear()
+    Iterator.single(EventStreams.InactivityDigest(
+      user, st.n, ids.mkString("-")))
+  }
+}
+
 /** q172 — the Spark 4 `transformWithState` arbitrary-state API
   * (successor to mapGroupsWithState: typed MULTIPLE state variables
   * per key, timers, TTL, RocksDB-backed): a per-user lifetime profile
@@ -99,11 +169,18 @@ object EventStreams {
   case class UserLifetime(user_id: Long, n_events: Long, value_nanos: Long,
     n_types: Long, top_type: String, top_type_n: Long)
 
+  /** q174 output: the timer-fired inactivity digest — total events and
+    * the trailing 3 event ids joined with '-' (array outputs crash the
+    * driver's readers; the joined string hashes identically).
+    */
+  case class InactivityDigest(user_id: Long, n_events: Long,
+    last_ids: String)
+
   /** Timestamp -> epoch micros (Timestamp.getTime is ms-precision; the
     * nanos field carries the full fraction — batch operators compare at
     * microsecond precision, so the stateful path must too).
     */
-  private def micros(t: Timestamp): Long =
+  private[streaming] def micros(t: Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
   private def toTimestamp(us: Long): Timestamp = {
@@ -629,6 +706,76 @@ object EventStreams {
         .filter(col("rk") === 1).drop("rk")
         .orderBy("user_id")
     } else spark.table(name).orderBy("user_id")
+  }
+
+  /** q174 — [[InactivityDigestProcessor]] made driver-visible: timers
+    * need TimeMode.EventTime and a watermark on the input; the bounded
+    * replay processes all rows in one data batch (each user's single
+    * timer armed at last_event_ms + gap), then the no-data finalization
+    * batch advances the watermark and fires every timer strictly below
+    * it — users inside the final horizon stay armed and silent, exactly
+    * as a live deployment withholds them (the q131 cutoff discipline,
+    * re-derived for the v2 API).
+    */
+  def inactivityDigestAvailableNow(spark: SparkSession, sfDir: String,
+      gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val name = "graft_stream_tws_timer_" + runCounter.incrementAndGet()
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.get(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      withStatePartitions(spark, 8) {
+        val ev = readEventStream(spark, sfDir, glob = Some("events.parquet"))
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .withWatermark("ts", "10 minutes")
+          .as[Event]
+        val q = ev.groupByKey(_.user_id)
+          .transformWithState(new InactivityDigestProcessor(gapMinutes),
+            org.apache.spark.sql.streaming.TimeMode.EventTime(),
+            OutputMode.Update())
+          .writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Update)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    } finally spark.conf.set(provKey, prevProv)
+    spark.table(name).orderBy("user_id")
+  }
+
+  /** Oracle for [[inactivityDigestAvailableNow]]: per user — total
+    * events, trailing 3 event ids in (ts, event_id) order — kept only
+    * when the timer (last event time at ms grain + gap) fell strictly
+    * below the final watermark (ms-truncated max event time minus the
+    * 10-minute delay).
+    */
+  def inactivityDigestAvailableNowSql(gapMinutes: Int = 30): String = {
+    val gapMs = gapMinutes * 60L * 1000
+    val delayMs = 10L * 60 * 1000
+    s"""WITH ev AS (
+       |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id
+       |  FROM events),
+       |mx AS (SELECT max(epoch_us(ts)) AS max_us FROM ev),
+       |ranked AS (
+       |  SELECT user_id, event_id,
+       |    row_number() OVER (PARTITION BY user_id
+       |                       ORDER BY ts DESC, event_id DESC) AS rk
+       |  FROM ev),
+       |digest AS (
+       |  SELECT r.user_id,
+       |    string_agg(CAST(r.event_id AS VARCHAR), '-'
+       |               ORDER BY r.rk DESC) AS last_ids
+       |  FROM ranked r WHERE r.rk <= 3 GROUP BY r.user_id),
+       |agg AS (
+       |  SELECT user_id, COUNT(*) AS n_events,
+       |         max(epoch_us(ts)) AS last_us
+       |  FROM ev GROUP BY user_id)
+       |SELECT a.user_id, a.n_events, d.last_ids
+       |FROM agg a JOIN digest d ON a.user_id = d.user_id, mx
+       |WHERE a.last_us // 1000 + $gapMs < max_us // 1000 - $delayMs
+       |ORDER BY a.user_id""".stripMargin
   }
 
   /** Oracle for [[userLifetimeAvailableNow]]: the per-user lifetime

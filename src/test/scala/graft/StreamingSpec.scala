@@ -271,6 +271,85 @@ class StreamingSpec extends SparkSpec {
     assert(multi.nonEmpty)
   }
 
+  test("q174 timers fire mid-stream and CLEAR state: a returning user restarts at zero") {
+    import spark.implicits._
+    // controlled 2-batch fixture: user 7 has 3 early events, goes quiet
+    // past the 30-min gap (+10-min delay), then returns with 2 more; a
+    // pacer user keeps the watermark advancing in both batches
+    val base = 1700000000000000L // µs
+    val min = 60L * 1000000
+    def write(dir: String, name: String,
+        rows: Seq[(Long, Long, Long)]): Unit = {
+      // the file-stream source lists FILES, not parquet directories:
+      // write to a scratch dir and hoist the single part file up
+      val tmp = s"$dir/_tmp_$name"
+      rows.toDF("event_id", "us", "user_id")
+        .selectExpr("event_id", "timestamp_micros(us) AS ts", "user_id",
+          "'click' AS event_type", "CAST(1.0 AS DOUBLE) AS value",
+          "'{}' AS props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(dir, name).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(tmp))
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tws_timer_").toString
+    // the watermark lags one batch (computed from the PREVIOUS batch's
+    // max event time), so pacer-only batches separate the timer fire
+    // from the user's return:
+    //   b0: user 7's burst (timer armed at 2min + 30min = 32min)
+    //   b1: pacer 120min  (wm during b1 still -8min — nothing fires)
+    //   b2: pacer 125min  (wm now 110min > 32min -> timer FIRES, clears)
+    //   b3: user 7 returns + pacer 175min (fresh state, timer 161min;
+    //       finalization wm 165min > 161min -> second digest)
+    write(dir, "b0.parquet", Seq(
+      (1L, base, 7L), (2L, base + min, 7L), (3L, base + 2 * min, 7L),
+      (100L, base, 9L)))
+    write(dir, "b1.parquet", Seq((101L, base + 120 * min, 9L)))
+    write(dir, "b2.parquet", Seq((102L, base + 125 * min, 9L)))
+    write(dir, "b3.parquet", Seq(
+      (4L, base + 130 * min, 7L), (5L, base + 131 * min, 7L),
+      (103L, base + 175 * min, 9L)))
+    val sink = "graft_tws_timer_spec"
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val ev = spark.readStream
+        .schema(graft.sources.Tables.eventsMicrosSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .withWatermark("ts", "10 minutes")
+        .as[EventStreams.Event]
+      val q = ev.groupByKey(_.user_id)
+        .transformWithState(
+          new graft.streaming.InactivityDigestProcessor(30),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(provKey, prev)
+    val digests = spark.table(sink)
+      .filter(col("user_id") === 7L)
+      .orderBy("n_events")
+      .collect().map(r => (r.getLong(1), r.getString(2)))
+    // two digests: the mid-stream timer fired with the FIRST 3 events,
+    // then the cleared state accumulated ONLY the 2 return events (a
+    // leaked state would make the second digest n=5 with old ids)
+    assert(digests.toSeq === Seq((2L, "4-5"), (3L, "1-2-3")),
+      s"expected clear-then-restart digests, got ${digests.toSeq}")
+  }
+
   test("session_window streaming runs and covers every user") {
     val stream = MemoryStream[Event](spark, 3)
     stream.addData(eventData)
