@@ -444,6 +444,11 @@ object SparkEntry {
     // emit+clear on expiry (the v2 API's other half vs q172)
     "q174_tws_timers" -> ((s, d) =>
       graft.streaming.EventStreams.inactivityDigestAvailableNow(s, d)),
+    // transformWithState INITIAL STATE: bootstrap streaming state from
+    // a batch history snapshot, stream only the live tail — profiles
+    // must equal the full-history fold (the pipeline-migration move)
+    "q175_tws_bootstrap" -> ((s, d) =>
+      graft.streaming.EventStreams.userLifetimeBootstrapAvailableNow(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -508,6 +513,8 @@ object SparkEntry {
     "q173_sorted_export" -> Layout.sortedExportManifestSql(),
     "q174_tws_timers" ->
       graft.streaming.EventStreams.inactivityDigestAvailableNowSql(),
+    "q175_tws_bootstrap" ->
+      graft.streaming.EventStreams.userLifetimeBootstrapAvailableNowSql,
     // folding the update log must reproduce the q26 batch aggregate
     "q148_streaming_update" -> Events.hourlyByTypeSql,
     "q149_streaming_enrich" ->

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -102,6 +102,69 @@ class InactivityDigestProcessor(gapMinutes: Int)
     agg.clear(); recent.clear()
     Iterator.single(EventStreams.InactivityDigest(
       user, st.n, ids.mkString("-")))
+  }
+}
+
+/** q175 initial-state record (top-level for the Janino reason): the
+  * warehouse-snapshot profile a migration bootstraps streaming state
+  * from — counts, quantized value sum, per-type count map.
+  */
+case class InitLifetime(user_id: Long, n: Long, valueNanos: Long,
+  types: Map[String, Long])
+
+/** q175 — [[org.apache.spark.sql.streaming.StatefulProcessorWithInitialState]],
+  * the remaining third of the v2 API (q172: multi-variable state, q174:
+  * timers/ListState): STATE BOOTSTRAP. [[handleInitialState]] seeds
+  * both state variables from a batch-computed snapshot BEFORE the first
+  * micro-batch, then [[handleInputRows]] folds live rows on top — the
+  * migration move a 100 TB deployment makes when cutting a pipeline
+  * over to streaming without replaying years of history. Exactness
+  * contract: bootstrap(history) + fold(live tail) must equal the
+  * full-history profile cell-exactly (same fold as [[LifetimeProcessor]]).
+  */
+class LifetimeBootstrapProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+      Long, EventStreams.Event, EventStreams.UserLifetime, InitLifetime] {
+  import org.apache.spark.sql.streaming.{TTLConfig, ValueState, MapState}
+  @transient private var agg: ValueState[LifetimeAgg] = _
+  @transient private var byType: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    agg = getHandle.getValueState[LifetimeAgg]("agg",
+      org.apache.spark.sql.Encoders.product[LifetimeAgg], TTLConfig.NONE)
+    byType = getHandle.getMapState[String, Long]("byType",
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInitialState(user: Long, s: InitLifetime,
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Unit = {
+    agg.update(LifetimeAgg(s.n, s.valueNanos))
+    s.types.foreach { case (t, n) => byType.updateValue(t, n) }
+  }
+
+  override def handleInputRows(user: Long,
+      rows: Iterator[EventStreams.Event],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[EventStreams.UserLifetime] = {
+    // identical fold to LifetimeProcessor — on top of bootstrapped state
+    var a = if (agg.exists()) agg.get() else LifetimeAgg(0L, 0L)
+    rows.foreach { e =>
+      a = LifetimeAgg(a.n + 1, a.valueNanos + math.floor(e.value * 1e9).toLong)
+      val t = e.event_type
+      byType.updateValue(t,
+        (if (byType.containsKey(t)) byType.getValue(t) else 0L) + 1L)
+    }
+    agg.update(a)
+    var nTypes = 0L
+    var topT = ""; var topN = -1L
+    byType.iterator().foreach { case (t, n) =>
+      nTypes += 1
+      if (n > topN || (n == topN && t < topT)) { topT = t; topN = n }
+    }
+    Iterator.single(EventStreams.UserLifetime(
+      user, a.n, a.valueNanos, nTypes, topT, topN))
   }
 }
 
@@ -777,6 +840,97 @@ object EventStreams {
        |WHERE a.last_us // 1000 + $gapMs < max_us // 1000 - $delayMs
        |ORDER BY a.user_id""".stripMargin
   }
+
+  /** q175 — state bootstrap made driver-visible: events are split at
+    * the deterministic chronological midpoint (min + (max−min) div 2,
+    * µs grain); the HISTORY half is aggregated in BATCH into
+    * [[InitLifetime]] snapshots, handed to
+    * [[LifetimeBootstrapProcessor]] as transformWithState initial
+    * state, and only the LIVE tail streams. Every stream-active user's
+    * drained profile must equal the FULL-history profile cell-exactly
+    * (history-only users never emit: handleInitialState cannot emit by
+    * API design, matching a migration where dormant users surface on
+    * their next live event). The oracle is the q172 profile restricted
+    * to users with an event at/after the midpoint.
+    */
+  def userLifetimeBootstrapAvailableNow(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    val name = "graft_stream_tws_boot_" + runCounter.incrementAndGet()
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val Row(mn: Long, mx: Long) = ev.agg(
+      min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val cutoff = mn + (mx - mn) / 2
+    val hist = ev.filter(unix_micros(col("ts")) < cutoff)
+    val initStates = hist
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("tn"),
+        sum(expr("CAST(floor(value * 1e9) AS LONG)")).as("tnanos"))
+      .groupBy("user_id")
+      .agg(sum(col("tn")).as("n"), sum(col("tnanos")).as("valueNanos"),
+        map_from_entries(collect_list(struct(col("event_type"), col("tn"))))
+          .as("types"))
+      .as[InitLifetime]
+      .groupByKey(_.user_id)
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.get(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      withStatePartitions(spark, 8) {
+        val live = readEventStream(spark, sfDir, glob = Some("events.parquet"))
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .filter(unix_micros(col("ts")) >= cutoff)
+          .as[Event]
+        val q = live.groupByKey(_.user_id)
+          .transformWithState(new LifetimeBootstrapProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            OutputMode.Update(), initStates)
+          .writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Update)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    } finally spark.conf.set(provKey, prevProv)
+    spark.table(name).orderBy("user_id")
+  }
+
+  /** Oracle for [[userLifetimeBootstrapAvailableNow]]: the full-history
+    * q172 profile, restricted to users active at/after the midpoint —
+    * equality proves bootstrap(history) + fold(live) == fold(all).
+    */
+  val userLifetimeBootstrapAvailableNowSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, user_id,
+      |         event_type, value
+      |  FROM events),
+      |b AS (SELECT min(us) AS mn, max(us) AS mx FROM ev),
+      |active AS (
+      |  SELECT DISTINCT user_id FROM ev, b
+      |  WHERE us >= mn + (mx - mn) // 2),
+      |byt AS (
+      |  SELECT user_id, event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |top AS (
+      |  SELECT user_id, event_type AS top_type, n AS top_type_n,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY n DESC, event_type ASC) AS rk
+      |  FROM byt),
+      |agg AS (
+      |  SELECT user_id, COUNT(*) AS n_events,
+      |    CAST(SUM(CAST(floor(value * 1e9) AS BIGINT)) AS BIGINT)
+      |      AS value_nanos,
+      |    COUNT(DISTINCT event_type) AS n_types
+      |  FROM events GROUP BY 1)
+      |SELECT a.user_id, a.n_events, a.value_nanos, a.n_types,
+      |       t.top_type, t.top_type_n
+      |FROM agg a
+      |JOIN top t ON a.user_id = t.user_id AND t.rk = 1
+      |JOIN active c ON a.user_id = c.user_id
+      |ORDER BY a.user_id""".stripMargin
 
   /** Oracle for [[userLifetimeAvailableNow]]: the per-user lifetime
     * profile in SQL — count, Σ floor(value·1e9) (the processor's exact

@@ -350,6 +350,44 @@ class StreamingSpec extends SparkSpec {
       s"expected clear-then-restart digests, got ${digests.toSeq}")
   }
 
+  test("q175 bootstrap: history seeds state; history-only users stay silent") {
+    import spark.implicits._
+    val base = 1700000000000000L
+    val min = 60L * 1000000
+    // midpoint cutoff lands at 50min: user 1 = history only (absent),
+    // user 2 = history + live (full profile must include history),
+    // user 3 = live only (no bootstrap, plain fold)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tws_boot_").toString
+    val tmp = s"$dir/_tmp"
+    Seq(
+      (10L, base, 1L, "click", 1.5),
+      (11L, base + 10 * min, 1L, "view", 2.5),
+      (20L, base + 20 * min, 2L, "click", 1.0),
+      (21L, base + 80 * min, 2L, "click", 4.0),
+      (30L, base + 90 * min, 3L, "error", 0.25),
+      (99L, base + 100 * min, 9L, "view", 0.0))
+      .toDF("event_id", "us", "user_id", "event_type", "value")
+      .selectExpr("event_id", "timestamp_micros(us) AS ts", "user_id",
+        "event_type", "CAST(value AS DOUBLE) AS value", "'{}' AS props")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(dir, "events.parquet").toPath)
+    val got = EventStreams.userLifetimeBootstrapAvailableNow(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(!got.contains(1L), "history-only user must not emit")
+    // user 2: bootstrapped history click (1.0) + live click (4.0)
+    assert(got(2L) === ((2L, 5000000000L, 1L)),
+      s"bootstrapped profile must include history: ${got.get(2L)}")
+    // user 3: live-only, no initial state — plain fold
+    assert(got(3L) === ((1L, 250000000L, 1L)), s"live-only: ${got.get(3L)}")
+  }
+
   test("session_window streaming runs and covers every user") {
     val stream = MemoryStream[Event](spark, 3)
     stream.addData(eventData)
