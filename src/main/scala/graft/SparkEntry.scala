@@ -449,6 +449,15 @@ object SparkEntry {
     // must equal the full-history fold (the pipeline-migration move)
     "q175_tws_bootstrap" -> ((s, d) =>
       graft.streaming.EventStreams.userLifetimeBootstrapAvailableNow(s, d)),
+    // schema evolution: two parquet generations (v2 adds a column),
+    // mergeSchema read unifies them; old segments surface the evolved
+    // column as the -1 sentinel
+    "q176_schema_evolution" -> ((s, d) =>
+      graft.sources.Tables.ordersEvolvedRead(s, d)),
+    // stream-static LEFT ANTI: the streaming suppression-list shape
+    // (GDPR/contamination blocklist), broadcast + stateless map-side
+    "q177_streaming_anti" -> ((s, d) =>
+      graft.streaming.EventStreams.suppressedStreamAvailableNow(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -515,6 +524,9 @@ object SparkEntry {
       graft.streaming.EventStreams.inactivityDigestAvailableNowSql(),
     "q175_tws_bootstrap" ->
       graft.streaming.EventStreams.userLifetimeBootstrapAvailableNowSql,
+    "q176_schema_evolution" -> graft.sources.Tables.ordersEvolvedReadSql,
+    "q177_streaming_anti" ->
+      graft.streaming.EventStreams.suppressedStreamAvailableNowSql,
     // folding the update log must reproduce the q26 batch aggregate
     "q148_streaming_update" -> Events.hourlyByTypeSql,
     "q149_streaming_enrich" ->

@@ -399,6 +399,72 @@ object Tables {
       |  o_orderdate, o_orderpriority
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q176 — SCHEMA EVOLUTION across parquet segments: the operational
+  // reality of a long-lived 100 TB table is that new columns appear in
+  // new segments while years of old segments lack them. The staged
+  // fixture writes the orders table as two generations — v1 without
+  // `o_clerk_flag`, v2 (later orderkeys) WITH it — and the read merges
+  // footers (`mergeSchema=true`) into one unified frame where the old
+  // segment's new column is NULL. The registered query COALESCEs the
+  // evolved column to a -1 sentinel (NULL numeric outputs compare
+  // None-vs-NaN differently across the driver's two readers) so the
+  // oracle can restate the generation rule from the source table.
+  // ------------------------------------------------------------------
+
+  /** Cutover key: orders below it are "v1 era", at/above it "v2 era". */
+  private def evolveCutover(spark: SparkSession, sfDir: String): Long = {
+    val Array(mn, mx) = orders(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.min("o_orderkey"),
+        org.apache.spark.sql.functions.max("o_orderkey"))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    mn + (mx - mn) / 2
+  }
+
+  def ordersEvolvedRead(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cut = evolveCutover(spark, sfDir)
+    val base = evolveStaged.computeIfAbsent(sfDir, _ => {
+      val p = "/tmp/graft_stage/evolve_orders_" + pathKey(sfDir)
+      val o = orders(spark, sfDir)
+      o.filter(col("o_orderkey") < cut)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$p/seg=v1")
+      o.filter(col("o_orderkey") >= cut)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          (col("o_orderkey") % 2 === 0).cast("int").as("o_clerk_flag"))
+        .write.mode("overwrite").parquet(s"$p/seg=v2")
+      p
+    })
+    spark.read.option("mergeSchema", "true").parquet(base)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"),
+        coalesce(col("o_clerk_flag").cast("long"), lit(-1L))
+          .as("clerk_flag"),
+        col("seg"))
+      .orderBy("o_orderkey")
+  }
+
+  private val evolveStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Oracle for [[ordersEvolvedRead]]: the generation rule restated —
+    * v1-era rows carry the -1 missing-column sentinel, v2-era rows the
+    * parity flag the v2 writer stamped.
+    */
+  val ordersEvolvedReadSql: String =
+    """WITH b AS (
+      |  SELECT min(o_orderkey) + (max(o_orderkey) - min(o_orderkey)) // 2
+      |    AS cut FROM orders)
+      |SELECT o_orderkey, o_custkey,
+      |  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+      |  CAST(CASE WHEN o_orderkey < cut THEN -1
+      |            WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS clerk_flag,
+      |  CASE WHEN o_orderkey < cut THEN 'v1' ELSE 'v2' END AS seg
+      |FROM orders, b
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Parquet sink, append (SURVEY.md §2 A3 — the JDBC batch append becomes
     * a partitioned parquet append; per-job atomicity via the output
     * committer replaces the reference's explicit transaction, I3).

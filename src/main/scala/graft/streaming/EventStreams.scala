@@ -571,7 +571,8 @@ object EventStreams {
         .start()
       q.awaitTermination()
     }
-    val sink = spark.table(name)
+    // materialize the driver-local sink once (see the q170 note)
+    val sink = spark.table(name).localCheckpoint()
     val matched = sink.filter(col("click_id").isNotNull)
       .select("error_id", "click_id")
     val unmatched = sink.groupBy("error_id")
@@ -649,7 +650,11 @@ object EventStreams {
         .start()
       q.awaitTermination()
     }
-    val sink = spark.table(name)
+    // the memory sink is a driver-local table: materialize it ONCE on
+    // executors (eager localCheckpoint) or each of the three derivations
+    // below re-ships the full row set in its task closures (47 MB/task
+    // at sf1); the dead blocks are reclaimed by Tables.freeTransientBlocks
+    val sink = spark.table(name).localCheckpoint()
     val matched = sink
       .filter(col("error_id").isNotNull && col("click_id").isNotNull)
       .select("error_id", "click_id")
@@ -956,6 +961,53 @@ object EventStreams {
       |       t.top_type, t.top_type_n
       |FROM agg a JOIN top t ON a.user_id = t.user_id AND t.rk = 1
       |ORDER BY a.user_id""".stripMargin
+
+  /** q177 — stream-static LEFT ANTI join: the streaming
+    * decontamination / suppression-list shape (GDPR erasure lists,
+    * benchmark-contamination blocklists, abuse bans) — every streamed
+    * event from a blocklisted user is dropped BEFORE it reaches any
+    * downstream state. The blocklist here comes from the customer
+    * master (an erasure-requesting market segment) and is broadcast,
+    * so the anti join is stateless and map-side: at 100 TB the stream
+    * side never shuffles and the only cost is the broadcast probe —
+    * the same plan a static decontamination pass gets (q84), now on
+    * the live path.
+    */
+  def suppressedStreamAvailableNow(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val name = "graft_stream_anti_" + runCounter.incrementAndGet()
+    val blocked = graft.sources.Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "AUTOMOBILE")
+      .select(col("c_custkey").as("user_id"))
+    withStatePartitions(spark, 8) {
+      val ev = readEventStream(spark, sfDir, glob = Some("events.parquet"))
+      val q = ev.join(broadcast(blocked), Seq("user_id"), "left_anti")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,10)")).cast("double")
+          .as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** Oracle for [[suppressedStreamAvailableNow]]: the batch anti join
+    * restated — only events from users outside the erasure segment
+    * survive into the rollup.
+    */
+  val suppressedStreamAvailableNowSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE user_id NOT IN (
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 
   /** Wire a streaming DataFrame from parquet (file-source streaming —
     * how a production deployment would tail an events directory).
