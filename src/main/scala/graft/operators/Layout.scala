@@ -120,6 +120,29 @@ object Layout {
       .orderBy("bucket")
   }
 
+  /** The CONSUMER path of the sorted export: a key-range read. The
+    * bucket is a derived column, so a raw `l_partkey BETWEEN lo AND hi`
+    * predicate alone cannot prune partition directories — the reader
+    * must translate the key range into its bucket range first (the
+    * exact equi-width formula makes that a pure computation, no data
+    * scan). With the `bucket IN (...)` predicate attached, Spark's
+    * partition pruning skips every other directory at planning time
+    * and the parquet min/max row-group stats (rows are key-sorted
+    * within files) prune the rest. PlanSpec pins the directory-level
+    * pruning.
+    */
+  def readSortedExportRange(spark: SparkSession, dir: String,
+      lo: Long, hi: Long, mn: Long, mx: Long,
+      buckets: Int = 16): DataFrame = {
+    def bucketOf(k: Long): Long =
+      math.min(buckets - 1L, (k - mn) * buckets / (mx - mn + 1))
+    val bLo = bucketOf(math.max(lo, mn))
+    val bHi = bucketOf(math.min(hi, mx))
+    spark.read.parquet(dir)
+      .filter(col("bucket").isin((bLo.toInt to bHi.toInt): _*) &&
+        col("l_partkey").between(lo, hi))
+  }
+
   def sortedExportManifestSql(buckets: Int = 16): String =
     s"""WITH b AS (
        |  SELECT least($buckets - 1,

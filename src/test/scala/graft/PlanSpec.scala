@@ -52,6 +52,33 @@ class PlanSpec extends SparkSpec {
       "weight join degraded to SMJ — weights are per-query-term tiny")
   }
 
+  test("q173 consumer: key-range read prunes bucket directories at planning time") {
+    import org.apache.spark.sql.functions._
+    val dir = graft.operators.Layout.writeSortedExport(spark, sf0001)
+    val li = graft.sources.Tables.lineitem(spark, sf0001)
+    val Array(mn, mx) = li.agg(min("l_partkey"), max("l_partkey"))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    // a narrow key range in the middle of the domain
+    val lo = mn + (mx - mn) * 2 / 16
+    val hi = mn + (mx - mn) * 3 / 16
+    val pruned = graft.operators.Layout
+      .readSortedExportRange(spark, dir, lo, hi, mn, mx)
+    // correctness: pruned read == full filter
+    val expect = li.filter(col("l_partkey").between(lo, hi)).count()
+    assert(pruned.count() === expect, "pruned range read lost rows")
+    assert(expect > 0, "degenerate fixture: empty range")
+    // pruning: the executed scan must read a strict subset of the
+    // bucket files (planning-time partition pruning, not a post-filter)
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(input_file_name()).distinct().count()
+    val allFiles = scannedFiles(spark.read.parquet(dir))
+    val prunedFiles = scannedFiles(pruned)
+    assert(prunedFiles < allFiles,
+      s"no directory pruning: $prunedFiles of $allFiles files scanned")
+    assert(prunedFiles <= 2,
+      s"a 1/16-wide range must touch at most 2 buckets, got $prunedFiles")
+  }
+
   test("broadcast hints are size-gated: disabling the threshold disables the hint") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
