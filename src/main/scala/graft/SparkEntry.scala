@@ -458,6 +458,10 @@ object SparkEntry {
     // (GDPR/contamination blocklist), broadcast + stateless map-side
     "q177_streaming_anti" -> ((s, d) =>
       graft.streaming.EventStreams.suppressedStreamAvailableNow(s, d)),
+    // mergeable KMV distinct cells: bottom-K md5 hashes per shard,
+    // merged == direct as an EXACT oracle equality (the sketch-shard
+    // family's fully-checkable distinct sketch)
+    "q178_kmv_cells" -> ((s, d) => StatQa.kmvShardCells(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -527,6 +531,7 @@ object SparkEntry {
     "q176_schema_evolution" -> graft.sources.Tables.ordersEvolvedReadSql,
     "q177_streaming_anti" ->
       graft.streaming.EventStreams.suppressedStreamAvailableNowSql,
+    "q178_kmv_cells" -> StatQa.kmvShardCellsSql(),
     // folding the update log must reproduce the q26 batch aggregate
     "q148_streaming_update" -> Events.hourlyByTypeSql,
     "q149_streaming_enrich" ->

@@ -476,6 +476,91 @@ object StatQa {
        |GROUP BY q.user_id, q.exact_cnt
        |ORDER BY exact_cnt DESC, user_id""".stripMargin
 
+  /** q178 — mergeable K-MINIMUM-VALUES distinct sketch cells: the
+    * fourth member of the sketch-shard family (q137 HLL, q150
+    * histograms, q161 CMS), and the one that makes the MERGE PROPERTY
+    * itself oracle-checkable. Each shard (day) keeps the K smallest
+    * 60-bit md5 hashes of the keys it saw — a (shard, h) cell table.
+    * KMV's algebra: bottom-K of the union of per-shard bottom-Ks IS
+    * the global bottom-K (a shard with fewer than K distincts keeps
+    * them all), so merged == direct is an EXACT equality, not a
+    * tolerance — unlike HLL (q137 asserts it spec-side; here the
+    * DuckDB oracle restates both sides). The distinct estimate is the
+    * classic (k−1)·2⁶⁰ / h_k from the merged cells, one identical
+    * correctly-rounded IEEE multiply+divide per engine, next to the
+    * exact distinct count.
+    *
+    * Scale shape: cells are ≤ shards×K rows sketched once at write
+    * time; merge-on-read touches only cells, never the facts; at
+    * 100 TB the distinct dashboard reads the cell table forever. KMV
+    * vs HLL: ~8× more bytes per sketch at equal error, but portable
+    * exact semantics (any engine with md5 reproduces it bit-for-bit).
+    */
+  def kmvShardCells(spark: SparkSession, sfDir: String,
+      k: Int = 256): DataFrame = {
+    val hashExpr =
+      "CAST(conv(substring(md5(CAST(CAST(user_id AS STRING) AS BINARY))" +
+        ", 1, 15), 16, 10) AS BIGINT)"
+    val ev = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("shard"), expr(hashExpr).as("h"))
+      .distinct()
+    // the PERSISTABLE cells: per-shard bottom-K hashes
+    val cells = ev
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("shard").orderBy("h")))
+      .filter(col("rk") <= k)
+      .select("shard", "h")
+    val mergedK = cells.select("h").distinct().orderBy("h").limit(k)
+    val directK = ev.select("h").distinct().orderBy("h").limit(k)
+    val mergedAgg = broadcast(mergedK.agg(
+      count(lit(1)).as("k_used"), max(col("h")).as("merged_kth")))
+    val directAgg = broadcast(directK.agg(max(col("h")).as("direct_kth")))
+    val cellsAgg = broadcast(cells.agg(count(lit(1)).as("n_cells")))
+    val exactAgg = broadcast(Tables.events(spark, sfDir)
+      .agg(countDistinct(col("user_id")).as("exact_distinct")))
+    mergedAgg.crossJoin(directAgg).crossJoin(cellsAgg).crossJoin(exactAgg)
+      .select(col("n_cells"), col("k_used"),
+        col("merged_kth"), col("direct_kth"),
+        expr("""CAST(k_used - 1 AS DOUBLE)
+                | * CAST(1152921504606846976 AS DOUBLE)
+                | / CAST(merged_kth AS DOUBLE)""".stripMargin)
+          .as("distinct_est"),
+        col("exact_distinct"))
+  }
+
+  /** DuckDB oracle for [[kmvShardCells]]: identical hashes, cells,
+    * merge, direct bottom-K and estimate arithmetic — merged_kth ==
+    * direct_kth in the output IS the merge-property proof.
+    */
+  def kmvShardCellsSql(k: Int = 256): String =
+    s"""WITH ev AS (
+       |  SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS shard,
+       |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+       |      AS BIGINT) AS h
+       |  FROM events),
+       |cells AS (
+       |  SELECT shard, h FROM (
+       |    SELECT shard, h,
+       |      row_number() OVER (PARTITION BY shard ORDER BY h) AS rk
+       |    FROM ev) r
+       |  WHERE rk <= $k),
+       |mergedk AS (
+       |  SELECT h FROM (SELECT DISTINCT h FROM cells) u
+       |  ORDER BY h LIMIT $k),
+       |directk AS (
+       |  SELECT h FROM (SELECT DISTINCT h FROM ev) u
+       |  ORDER BY h LIMIT $k)
+       |SELECT
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cells) AS n_cells,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM mergedk) AS k_used,
+       |  (SELECT CAST(MAX(h) AS BIGINT) FROM mergedk) AS merged_kth,
+       |  (SELECT CAST(MAX(h) AS BIGINT) FROM directk) AS direct_kth,
+       |  CAST((SELECT COUNT(*) FROM mergedk) - 1 AS DOUBLE)
+       |    * CAST(1152921504606846976 AS DOUBLE)
+       |    / CAST((SELECT MAX(h) FROM mergedk) AS DOUBLE) AS distinct_est,
+       |  (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+       |    AS exact_distinct""".stripMargin
+
   /** q152 — distribution DRIFT between two halves of the event
     * stream, the screen every training-data pipeline runs before
     * admitting a new batch: per event type, the `value` distribution

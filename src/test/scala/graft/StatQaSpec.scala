@@ -91,4 +91,25 @@ class StatQaSpec extends SparkSpec {
         s"collision-free CMS not exact: $r")
     }
   }
+
+  test("q178 KMV: merge is exact; the estimate lands within 3 sigma") {
+    val r = StatQa.kmvShardCells(spark, sf0001).collect().head
+    // the merge property: bottom-K of the per-shard bottom-Ks IS the
+    // global bottom-K — exact equality, not a tolerance
+    assert(r.getAs[Long]("merged_kth") === r.getAs[Long]("direct_kth"))
+    val kUsed = r.getAs[Long]("k_used")
+    val est = r.getAs[Double]("distinct_est")
+    val exact = r.getAs[Long]("exact_distinct").toDouble
+    assert(kUsed > 0 && est > 0)
+    // KMV rsd ~ 1/sqrt(k-2); with k_used == n (sketch holds every
+    // hash) the estimate is still within the same band
+    val tol = 3.0 / math.sqrt(math.max(kUsed - 2, 1).toDouble)
+    assert(math.abs(est / exact - 1.0) < tol,
+      s"KMV estimate $est vs exact $exact outside 3-sigma ($tol)")
+    // a smaller k must enter the true sketch regime (k_used == k < n)
+    val small = StatQa.kmvShardCells(spark, sf0001, k = 8)
+      .collect().head
+    assert(small.getAs[Long]("k_used") === 8L)
+    assert(small.getAs[Long]("merged_kth") === small.getAs[Long]("direct_kth"))
+  }
 }
