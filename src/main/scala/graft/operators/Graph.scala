@@ -189,8 +189,14 @@ object Graph {
          |  LEFT JOIN c$i c ON c.node = n.node
          |  CROSS JOIN nn CROSS JOIN dm$i)""".stripMargin
     }.mkString(",\n")
-    s"""WITH items AS (
+    s"""WITH di AS (
        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |items AS (
+       |  SELECT o, p FROM (
+       |    SELECT o, p,
+       |      ROW_NUMBER() OVER (PARTITION BY o ORDER BY p) AS rn
+       |    FROM di)
+       |  WHERE rn <= 64),
        |pairs AS MATERIALIZED (
        |  SELECT a.p AS pa, b.p AS pb
        |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
@@ -316,16 +322,24 @@ object Graph {
     * lexicographic CASEs. MATERIALIZED on pairs/oriented — both are
     * referenced more than once and DuckDB inlines CTEs by default.
     *
-    * CAP ASSUMPTION (shared with the q94 basketPairsSql oracle): the
-    * Spark side inherits basketPairCounts' `maxItems = 64` basket cap;
-    * this SQL has no corresponding cap, so the two agree only while no
-    * order holds more than 64 distinct parts — true at every TPC-H
-    * scale factor (max basket ~7 lines). A corpus that could exceed it
-    * would need `HAVING COUNT(DISTINCT p) <= 64` folded into `items`.
+    * CAP (shared with the q94 basketPairsSql oracle): the Spark side
+    * inherits basketPairCounts' `maxItems = 64` basket cap (first 64 of
+    * each order's SORTED distinct item set), so the oracle restates the
+    * IDENTICAL rule as a per-order ROW_NUMBER ≤ 64 over the sorted
+    * distinct items — a no-op at every TPC-H scale factor (max basket
+    * ~7 lines) that keeps the two sides in exact lockstep even if a
+    * testdata regeneration produced wider baskets, instead of silently
+    * relying on an undocumented data property.
     */
   def triangleCountsSql(minPairs: Int = 2): String =
-    s"""WITH items AS (
+    s"""WITH di AS (
        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |items AS (
+       |  SELECT o, p FROM (
+       |    SELECT o, p,
+       |      ROW_NUMBER() OVER (PARTITION BY o ORDER BY p) AS rn
+       |    FROM di)
+       |  WHERE rn <= 64),
        |pairs AS MATERIALIZED (
        |  SELECT a.p AS pa, b.p AS pb
        |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
@@ -378,8 +392,14 @@ object Graph {
          |  CROSS JOIN nn
          |  GROUP BY e.dst, nn.n)""".stripMargin
     }.mkString(",\n")
-    s"""WITH items AS (
+    s"""WITH di AS (
        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |items AS (
+       |  SELECT o, p FROM (
+       |    SELECT o, p,
+       |      ROW_NUMBER() OVER (PARTITION BY o ORDER BY p) AS rn
+       |    FROM di)
+       |  WHERE rn <= 64),
        |pairs AS (
        |  SELECT a.p AS pa, b.p AS pb
        |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p

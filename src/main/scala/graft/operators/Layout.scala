@@ -134,8 +134,14 @@ object Layout {
   def readSortedExportRange(spark: SparkSession, dir: String,
       lo: Long, hi: Long, mn: Long, mx: Long,
       buckets: Int = 16): DataFrame = {
+    // A request entirely outside [mn, mx] is an empty read by
+    // definition — return it as one instead of letting the bucket
+    // arithmetic go negative (hi < mn would otherwise produce a
+    // nonsensical bucket window that only the key filter rescues).
+    if (hi < mn || lo > mx || lo > hi)
+      return spark.read.parquet(dir).filter(lit(false))
     def bucketOf(k: Long): Long =
-      math.min(buckets - 1L, (k - mn) * buckets / (mx - mn + 1))
+      math.max(0L, math.min(buckets - 1L, (k - mn) * buckets / (mx - mn + 1)))
     val bLo = bucketOf(math.max(lo, mn))
     val bHi = bucketOf(math.min(hi, mx))
     spark.read.parquet(dir)

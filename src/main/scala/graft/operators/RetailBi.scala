@@ -207,12 +207,25 @@ object RetailBi {
       .orderBy("part_a", "part_b")
   }
 
+  /** Oracle cap parity (ADVICE r9): the Spark side's `maxItems = 64`
+    * basket cap (first 64 of each order's sorted distinct items feeds
+    * PAIR generation; item counts and the order count stay uncapped)
+    * is restated verbatim — `capped` is a ROW_NUMBER ≤ 64 slice of the
+    * sorted distinct items, used ONLY by the pairs CTE. No-op at
+    * current data (max basket ~7), exact at any data.
+    */
   def basketPairsSql(minPairs: Int = 2): String =
     s"""WITH items AS (
        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |capped AS (
+       |  SELECT o, p FROM (
+       |    SELECT o, p,
+       |      ROW_NUMBER() OVER (PARTITION BY o ORDER BY p) AS rn
+       |    FROM items)
+       |  WHERE rn <= 64),
        |pairs AS (
        |  SELECT a.p AS part_a, b.p AS part_b, COUNT(*) AS n_pair
-       |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+       |  FROM capped a JOIN capped b ON a.o = b.o AND a.p < b.p
        |  GROUP BY a.p, b.p
        |  HAVING COUNT(*) >= $minPairs),
        |ic AS (SELECT p, COUNT(*) AS n_item FROM items GROUP BY p),

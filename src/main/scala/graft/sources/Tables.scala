@@ -311,22 +311,51 @@ object Tables {
       schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
-  private val jsonlStaged =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Source-mtime-keyed staged fixture: rebuild when the source file's
+    * mtime changed (the documented mid-round testdata-regen hazard),
+    * when the on-disk key marker is missing/stale, or when any required
+    * output path is gone (a marker alone is not proof the data survived
+    * a /tmp cleaner) — the pqCodesIndex / stageChronologicalEvents
+    * freshness idiom, shared by the staged roundtrip fixtures
+    * (q48/q118/q164/q176). Freshness is re-checked on every call (three
+    * file stats), so no per-JVM memo can serve a stale segment.
+    */
+  def freshStagedDir(dir: String, srcFile: java.io.File, extraKey: String,
+      requiredRelative: Seq[String])(build: String => Unit): String = {
+    val root = new java.io.File(dir)
+    val marker = new java.io.File(root, "_graft_stage_key")
+    val srcMtime = try srcFile.lastModified catch { case _: Exception => 0L }
+    val key = s"$srcMtime#$extraKey"
+    val fresh = srcMtime > 0L && marker.exists && {
+      try new String(java.nio.file.Files.readAllBytes(marker.toPath),
+        "UTF-8") == key
+      catch { case _: Exception => false }
+    } && requiredRelative.forall(r => new java.io.File(root, r).exists)
+    if (!fresh) {
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      root.mkdirs()
+      build(dir)
+      java.nio.file.Files.write(marker.toPath, key.getBytes("UTF-8"))
+    }
+    dir
+  }
+
+  private def srcParquet(sfDir: String, table: String): java.io.File =
+    new java.io.File(sfDir, table + ".parquet")
 
   /** q48 — JSONL roundtrip fidelity: stage `documents` as JSONL (once
-    * per dataset, memoized — the staging analog of a one-time export),
-    * read it back with the declared schema, and fingerprint the text.
-    * The oracle reads the original parquet directly, so equal md5s prove
-    * the JSON encode/decode preserved every document byte-exactly.
+    * per dataset, mtime-keyed — the staging analog of a one-time
+    * export), read it back with the declared schema, and fingerprint
+    * the text. The oracle reads the original parquet directly, so equal
+    * md5s prove the JSON encode/decode preserved every document
+    * byte-exactly.
     */
   def documentsJsonlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = jsonlStaged.computeIfAbsent(sfDir, _ => {
-      val p = "/tmp/graft_stage/jsonl_docs_" +
-        Integer.toHexString(sfDir.hashCode)
+    val path = freshStagedDir(
+      "/tmp/graft_stage/jsonl_docs_" + pathKey(sfDir),
+      srcParquet(sfDir, "documents"), "jsonl", Seq("_SUCCESS")) { p =>
       writeJsonl(documents(spark, sfDir), p)
-      p
-    })
+    }
     readJsonl(spark, path, documentsSchema)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         md5(col("text").cast("binary")).as("text_md5"))
@@ -336,9 +365,6 @@ object Tables {
   val documentsJsonlRoundtripSql: String =
     """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
       |FROM documents ORDER BY doc_id""".stripMargin
-
-  private val sinkStaged =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** q118 — staged-sink roundtrip fidelity for the remaining sinks
     * (SURVEY.md §2 A2 CSV sink, A3 parquet append, A4 replace):
@@ -350,19 +376,20 @@ object Tables {
     * preserved every cell: doubles survive the CSV hop via Java's
     * shortest-roundtrip formatting, and the timestamp is presented at
     * DATE grain on both sides (the q97 date contract). Staging is
-    * memoized per dataset like the q48 JSONL stage.
+    * mtime-keyed per dataset like the q48 JSONL stage.
     */
   def ordersSinkRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = sinkStaged.computeIfAbsent(sfDir, _ => {
-      val p = "/tmp/graft_stage/sink_orders_" + pathKey(sfDir)
+    val base = freshStagedDir(
+      "/tmp/graft_stage/sink_orders_" + pathKey(sfDir),
+      srcParquet(sfDir, "orders"), "sink",
+      Seq("pq/_SUCCESS", "csv/_SUCCESS")) { p =>
       val o = orders(spark, sfDir)
       overwriteParquet(o.filter(col("o_orderkey") % 2 === 0), p + "/pq")
       appendParquet(o.filter(col("o_orderkey") % 2 === 1), p + "/pq")
       val back = spark.read.schema(ordersSchema).parquet(p + "/pq")
       writeCsv(back.withColumn("o_orderdate", to_date(col("o_orderdate"))),
         p + "/csv")
-      p
-    })
+    }
     val csvSchema = StructType(ordersSchema.fields.map {
       case f if f.name == "o_orderdate" => f.copy(dataType = DateType)
       case f => f
@@ -380,19 +407,16 @@ object Tables {
     * JSONL q48, JDBC, this). DuckDB cannot read ORC, so the oracle
     * reads the ORIGINAL table — equality proves the ORC hop preserved
     * every cell (the q118 discipline: the sink is judged by what comes
-    * back). Declared-schema read, per-JVM staged once.
+    * back). Declared-schema read, staged once per source mtime.
     */
   def ordersOrcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = orcStaged.computeIfAbsent(sfDir, _ => {
-      val p = "/tmp/graft_stage/orc_orders_" + pathKey(sfDir)
+    val base = freshStagedDir(
+      "/tmp/graft_stage/orc_orders_" + pathKey(sfDir),
+      srcParquet(sfDir, "orders"), "orc", Seq("_SUCCESS")) { p =>
       orders(spark, sfDir).write.mode("overwrite").orc(p)
-      p
-    })
+    }
     spark.read.schema(ordersSchema).orc(base).orderBy("o_orderkey")
   }
-
-  private val orcStaged =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   val ordersOrcRoundtripSql: String =
     """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
@@ -424,8 +448,10 @@ object Tables {
   def ordersEvolvedRead(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val cut = evolveCutover(spark, sfDir)
-    val base = evolveStaged.computeIfAbsent(sfDir, _ => {
-      val p = "/tmp/graft_stage/evolve_orders_" + pathKey(sfDir)
+    val base = freshStagedDir(
+      "/tmp/graft_stage/evolve_orders_" + pathKey(sfDir),
+      srcParquet(sfDir, "orders"), s"evolve#$cut",
+      Seq("seg=v1/_SUCCESS", "seg=v2/_SUCCESS")) { p =>
       val o = orders(spark, sfDir)
       o.filter(col("o_orderkey") < cut)
         .select("o_orderkey", "o_custkey", "o_totalprice")
@@ -434,8 +460,7 @@ object Tables {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           (col("o_orderkey") % 2 === 0).cast("int").as("o_clerk_flag"))
         .write.mode("overwrite").parquet(s"$p/seg=v2")
-      p
-    })
+    }
     spark.read.option("mergeSchema", "true").parquet(base)
       .select(col("o_orderkey"), col("o_custkey"),
         col("o_totalprice").cast("double").as("o_totalprice"),
@@ -444,9 +469,6 @@ object Tables {
         col("seg"))
       .orderBy("o_orderkey")
   }
-
-  private val evolveStaged =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Oracle for [[ordersEvolvedRead]]: the generation rule restated —
     * v1-era rows carry the -1 missing-column sentinel, v2-era rows the

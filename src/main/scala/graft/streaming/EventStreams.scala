@@ -810,7 +810,16 @@ object EventStreams {
         q.awaitTermination()
       }
     } finally spark.conf.set(provKey, prevProv)
-    spark.table(name).orderBy("user_id")
+    val out = spark.table(name).orderBy("user_id")
+    // Vacuous-oracle guard (ADVICE r9, the q177-draft trap CLAUDE.md
+    // records): the oracle keeps only users whose timer fell strictly
+    // below the final watermark — a testdata span/gap change could make
+    // that set EMPTY and green-light a drain that fired nothing. Fail
+    // loudly instead.
+    require(out.limit(1).count() == 1,
+      "inactivity digest drained 0 rows — no timer fired below the " +
+        "final watermark; the oracle comparison would be vacuous")
+    out
   }
 
   /** Oracle for [[inactivityDigestAvailableNow]]: per user — total
@@ -1570,13 +1579,20 @@ object EventStreams {
               sum(col("value").cast("decimal(28,10)")).as("sum_dec"))
             .write.mode("overwrite") // idempotent per-batch dir (q154)
             .parquet(new java.io.File(outBase, s"b$batchId").getPath)
-          // bump AFTER the first batch committed: later batches see v2
-          if (batchId == 0L) {
+          // bump AFTER the first batch committed: later batches see v2.
+          // The bump is guarded by an on-disk marker so a RE-EXECUTED
+          // batch 0 (failure between output write and batch commit —
+          // foreachBatch is at-least-once) cannot double-suffix the
+          // segments to '_v2_v2': side effects inside foreachBatch must
+          // be idempotent, not just the output dirs.
+          val bumped = new java.io.File(dimDir, "_graft_dim_bumped")
+          if (batchId == 0L && !bumped.exists) {
             val v2 = s.read.parquet(dimDir)
               .withColumn("segment", concat(col("segment"), lit("_v2")))
               .localCheckpoint(true) // sever lineage from the files
                                      // about to be overwritten
             v2.write.mode("overwrite").parquet(dimDir)
+            bumped.createNewFile()
           }
           ()
         }
