@@ -462,6 +462,17 @@ object SparkEntry {
     // merged == direct as an EXACT oracle equality (the sketch-shard
     // family's fully-checkable distinct sketch)
     "q178_kmv_cells" -> ((s, d) => StatQa.kmvShardCells(s, d)),
+    // Spark 4 VARIANT: parse-once binary JSON, typed variant_get paths,
+    // try_variant_get missing-path NULL semantics pinned
+    "q179_variant_props" -> ((s, d) => Events.variantPathRollup(s, d)),
+    // stream-stream LEFT SEMI interval join: completes the join-type
+    // matrix (inner/left/full/anti/semi); chunk replicas folded at
+    // error grain
+    "q180_streaming_semi" -> ((s, d) =>
+      graft.streaming.EventStreams.errorClickSemiAvailableNow(s, d)),
+    // per-group OLS fit from one map-side-combining moments aggregate;
+    // engine-exact via cents quantization + hi/lo double crossing
+    "q181_group_ols" -> ((s, d) => StatQa.groupOls(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -532,6 +543,10 @@ object SparkEntry {
     "q177_streaming_anti" ->
       graft.streaming.EventStreams.suppressedStreamAvailableNowSql,
     "q178_kmv_cells" -> StatQa.kmvShardCellsSql(),
+    "q179_variant_props" -> Events.variantPathRollupSql,
+    "q180_streaming_semi" ->
+      graft.streaming.EventStreams.errorClickSemiAvailableNowSql(),
+    "q181_group_ols" -> StatQa.groupOlsSql,
     // folding the update log must reproduce the q26 batch aggregate
     "q148_streaming_update" -> Events.hourlyByTypeSql,
     "q149_streaming_enrich" ->

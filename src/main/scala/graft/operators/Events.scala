@@ -717,4 +717,54 @@ object Events {
       |JOIN sizes sa ON sa.event_type = i.type_a
       |JOIN sizes sb ON sb.event_type = i.type_b
       |ORDER BY i.type_a, i.type_b""".stripMargin
+
+  /** q179 — the VARIANT semi-structured path (Spark 4's binary JSON
+    * encoding, the lakehouse answer to repeated string re-parsing):
+    * each event's payload is assembled into one nested JSON envelope
+    * (`{"meta":{"type","day"},"payload":{"k"}}` — from_json shreds the
+    * props string so the payload nests as a real object), parsed ONCE
+    * per row to VARIANT, and every downstream access is a typed
+    * `variant_get` path over the binary encoding — no second parse.
+    * That per-row parse-once/extract-many contract is why VARIANT
+    * scans beat `get_json_object` chains (q32's idiom) when a query
+    * touches several paths: at 100 TB the string parser is the hot
+    * loop. A missing path (`$$.payload.q`) goes through
+    * `try_variant_get` and must come back NULL, not error — pinned by
+    * the n_missing_q column (equal to n_events: the path never exists).
+    *
+    * Oracle: the same rollup restated from the raw relational columns
+    * (the envelope is built from them, so DuckDB needs no VARIANT).
+    */
+  def variantPathRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val envelope = to_json(struct(
+      struct(col("event_type").as("type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day")).as("meta"),
+      from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+        .as("payload")))
+    Tables.events(spark, sfDir)
+      .select(parse_json(envelope).as("v"))
+      .select(
+        variant_get(col("v"), "$.meta.type", "string").as("v_type"),
+        variant_get(col("v"), "$.meta.day", "string").as("day"),
+        variant_get(col("v"), "$.payload.k", "int").as("k"),
+        try_variant_get(col("v"), "$.payload.q", "int").as("q"))
+      .groupBy("v_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k").cast("long")).as("sum_k"),
+        max(col("day")).as("max_day"),
+        sum(when(col("q").isNull, 1L).otherwise(0L)).as("n_missing_q"))
+      .orderBy("v_type")
+  }
+
+  val variantPathRollupSql: String =
+    """SELECT event_type AS v_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT))
+      |    AS BIGINT) AS sum_k,
+      |  CAST(MAX(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS VARCHAR)
+      |    AS max_day,
+      |  CAST(COUNT(*) AS BIGINT) AS n_missing_q
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY v_type""".stripMargin
 }

@@ -674,4 +674,91 @@ object StatQa {
        |  CAST(d.linf_ppm AS BIGINT) AS linf_ppm
        |FROM counts c JOIN drift d ON c.event_type = d.event_type
        |ORDER BY c.event_type""".stripMargin
+
+  /** q181 — per-group ORDINARY LEAST SQUARES fit (slope + intercept of
+    * extendedprice on quantity per brand): the distributed grouped
+    * model fit a feature-engineering pipeline runs thousands of times
+    * (one regression per segment/brand/cohort), expressed as ONE
+    * map-side-combining aggregate — never a per-group collect, never a
+    * driver loop. The sufficient statistics (n, Σx, Σy, Σxy, Σx²) are
+    * associative sums, so the fit costs exactly one fact-scan exchange
+    * at brand grain regardless of group count; at 100 TB the shape is
+    * identical (the moments shuffle is |brands| rows).
+    *
+    * Engine-exact arithmetic (the q69/q171 discipline): inputs are
+    * floor-quantized to cents BIGINTs per row (double·100 then floor —
+    * both engines correctly round the multiply and agree on floor), so
+    * every moment is an exact integer; the closed-form numerator /
+    * denominator (n·Σxy − Σx·Σy, n·Σx² − Σx²) are exact DECIMAL(38,0) /
+    * HUGEINT integers that can exceed 2^53, so they cross to double via
+    * [[Features.decToDouble]]'s hi/lo split on ABSOLUTE values (the
+    * split requires nonnegative inputs; the sign is reapplied as a
+    * ±1.0 double multiply — exact). slope/intercept are then short
+    * identical IEEE trees in both engines.
+    */
+  def groupOls(spark: SparkSession, sfDir: String): DataFrame = {
+    val quantized = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"),
+        floor(col("l_quantity") * 100).cast("long").as("qx"),
+        floor(col("l_extendedprice") * 100).cast("long").as("qy"))
+    val brands = Tables.part(spark, sfDir)
+      .select(col("p_partkey").as("l_partkey"), col("p_brand").as("brand"))
+    val moments = quantized
+      .join(Joins.broadcastIfSmall(brands), Seq("l_partkey"))
+      .groupBy("brand")
+      .agg(count(lit(1)).as("n"),
+        sum(col("qx").cast("decimal(38,0)")).as("sx"),
+        sum(col("qy").cast("decimal(38,0)")).as("sy"),
+        sum((col("qx") * col("qy")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("qx") * col("qx")).cast("decimal(38,0)")).as("sxx"))
+    val n = col("n").cast("decimal(38,0)")
+    val num = n * col("sxy") - col("sx") * col("sy")
+    val den = n * col("sxx") - col("sx") * col("sx")
+    val sign = when(num < 0, lit(-1.0)).otherwise(lit(1.0))
+    val slope = sign *
+      (Features.decToDouble(abs(num), 0) / Features.decToDouble(den, 0))
+    // intercept in price units: moments are in cents·cents space, but
+    // slope is scale-free (both axes ×100 cancel); the mean-point
+    // identity is evaluated in cents then presented in dollars
+    val intercept = ((Features.decToDouble(col("sy"), 0) -
+      slope * Features.decToDouble(col("sx"), 0)) /
+      col("n").cast("double")) / lit(100.0)
+    moments.select(col("brand"), col("n").cast("long").as("n"),
+        slope.as("slope"), intercept.as("intercept"))
+      .orderBy("brand")
+  }
+
+  /** Oracle for [[groupOls]]: the same sufficient statistics on exact
+    * HUGEINTs, the same hi/lo double crossing, the same IEEE tree —
+    * double literals in e-notation so DuckDB does not reshape the tree
+    * with decimal arithmetic (the q171 lesson).
+    */
+  val groupOlsSql: String = {
+    val numE = "(n * sxy - sx * sy)"
+    val denE = "(n * sxx - sx * sx)"
+    s"""WITH q AS (
+       |  SELECT p_brand AS brand,
+       |    CAST(floor(l_quantity * 100) AS BIGINT) AS qx,
+       |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS qy
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |a AS (
+       |  SELECT brand, CAST(COUNT(*) AS HUGEINT) AS n,
+       |    SUM(CAST(qx AS HUGEINT)) AS sx,
+       |    SUM(CAST(qy AS HUGEINT)) AS sy,
+       |    SUM(CAST(qx AS HUGEINT) * qy) AS sxy,
+       |    SUM(CAST(qx AS HUGEINT) * qx) AS sxx
+       |  FROM q GROUP BY brand),
+       |m AS (
+       |  SELECT brand, n, sx, sy,
+       |    (CASE WHEN $numE < 0 THEN -1.0e0 ELSE 1.0e0 END *
+       |      (${Features.decToDoubleSql(s"abs($numE)", 0)} /
+       |       ${Features.decToDoubleSql(denE, 0)})) AS slope
+       |  FROM a)
+       |SELECT brand, CAST(n AS BIGINT) AS n, slope,
+       |  (((${Features.decToDoubleSql("sy", 0)} -
+       |     slope * ${Features.decToDoubleSql("sx", 0)}) /
+       |    CAST(n AS DOUBLE)) / 100.0e0) AS intercept
+       |FROM m
+       |ORDER BY brand""".stripMargin
+  }
 }

@@ -716,6 +716,51 @@ object EventStreams {
        |ORDER BY error_id, click_id""".stripMargin
   }
 
+  /** q180 — stream-stream LEFT SEMI interval join, completing the
+    * join-type matrix (q133 inner, q163 left outer, q170 full outer,
+    * q177 anti): "which errors were followed by a click within the
+    * window" WITHOUT materializing the pairs — the alerting/funnel
+    * predicate shape. Semi rows emit on first match (inner-like, no
+    * watermark cutoff in a bounded replay), and Spark marks the left
+    * state row matched so it emits at most once PER STATE ROW — but the
+    * chunked equi-key keeps up to two chunk replicas of each error in
+    * state, so an error whose window spans a chunk boundary can emit
+    * once per replica. The drain folds that replication artifact with
+    * one distinct at error grain (the q163 replica-fold discipline:
+    * join-key engineering must be repaired at the same grain it
+    * multiplied).
+    */
+  def errorClickSemiAvailableNow(spark: SparkSession,
+      sfDir: String, windowMinutes: Int = 5): DataFrame = {
+    val name = "graft_stream_semi_" + runCounter.incrementAndGet()
+    withStatePartitions(spark, 8) {
+      val ev = readEventStream(spark, sfDir, glob = Some("events.parquet"))
+      val q = errorClickPairsStream(ev, windowMinutes,
+          joinType = "left_semi")
+        .select(col("error_id"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name).distinct().orderBy("error_id")
+  }
+
+  /** Oracle for [[errorClickSemiAvailableNow]]: the batch EXISTS
+    * predicate — every error with at least one click in its window.
+    */
+  def errorClickSemiAvailableNowSql(windowMinutes: Int = 5): String =
+    s"""SELECT e.event_id AS error_id
+       |FROM events e
+       |WHERE e.event_type = 'error' AND EXISTS (
+       |  SELECT 1 FROM events c
+       |  WHERE c.event_type = 'click'
+       |    AND CAST(c.ts AS TIMESTAMP) >= CAST(e.ts AS TIMESTAMP)
+       |    AND CAST(c.ts AS TIMESTAMP) <
+       |        CAST(e.ts AS TIMESTAMP) + INTERVAL $windowMinutes MINUTE)
+       |ORDER BY error_id""".stripMargin
+
   /** q172 — [[LifetimeProcessor]] (the Spark 4 transformWithState API)
     * made driver-visible: groupByKey(user) → transformWithState with
     * two typed state variables, Update mode, RocksDB state store (the
