@@ -473,6 +473,13 @@ object SparkEntry {
     // per-group OLS fit from one map-side-combining moments aggregate;
     // engine-exact via cents quantization + hi/lo double crossing
     "q181_group_ols" -> ((s, d) => StatQa.groupOls(s, d)),
+    // scene-change detection over the fully-decoded frame stream:
+    // real inflate+CRC per frame, LAG threshold, per-media rollup
+    "q182_scene_changes" -> ((s, d) => Multimodal.sceneChanges(s, d)),
+    // rolling 7-day distinct from the persisted daily KMV cells:
+    // merge-on-read per day; cell_kth == direct_kth per window is the
+    // oracle-checked merge property
+    "q183_rolling_distinct" -> ((s, d) => StatQa.rollingDistinctCells(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -547,6 +554,8 @@ object SparkEntry {
     "q180_streaming_semi" ->
       graft.streaming.EventStreams.errorClickSemiAvailableNowSql(),
     "q181_group_ols" -> StatQa.groupOlsSql,
+    "q182_scene_changes" -> Multimodal.sceneChangesSql(),
+    "q183_rolling_distinct" -> StatQa.rollingDistinctCellsSql(),
     // folding the update log must reproduce the q26 batch aggregate
     "q148_streaming_update" -> Events.hourlyByTypeSql,
     "q149_streaming_enrich" ->

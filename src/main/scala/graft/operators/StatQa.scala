@@ -561,6 +561,123 @@ object StatQa {
        |  (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
        |    AS exact_distinct""".stripMargin
 
+  /** q183 — ROLLING-WINDOW distinct users from the persisted daily KMV
+    * cells: the production dashboard query the q178 cell table exists
+    * FOR. "Distinct users in the trailing 7 days, for every day" is the
+    * query that cannot be pre-aggregated with plain counts (distinct is
+    * not summable across days) and cannot afford a raw re-scan per day
+    * at 100 TB — but KMV cells make it merge-on-read: each day merges
+    * the ≤ 7·K cell rows of its trailing window (bottom-K of the union
+    * of per-day bottom-Ks IS the window's true bottom-K), touching only
+    * the cell table. The output carries BOTH the cell-merged k-th hash
+    * and the direct-from-raw k-th hash per day — their columnwise
+    * equality is the merge property proven per window by the oracle,
+    * not just once globally (q178). Windows with fewer than K distinct
+    * keys report the exact count (bottom-K holds every key it saw).
+    *
+    * Scale shape: the day spine is |days| rows (broadcast); the cell
+    * merge fans out ≤ windowDays·K rows per day. The direct twin — a
+    * raw-grain rolling distinct, the thing production would NEVER run —
+    * is computed here only as the self-check and stays a broadcast
+    * range join + one distinct exchange.
+    */
+  def rollingDistinctCells(spark: SparkSession, sfDir: String,
+      k: Int = 256, windowDays: Int = 7): DataFrame = {
+    val hashExpr =
+      "CAST(conv(substring(md5(CAST(CAST(user_id AS STRING) AS BINARY))" +
+        ", 1, 15), 16, 10) AS BIGINT)"
+    val ev = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("shard"), expr(hashExpr).as("h"))
+      .distinct()
+    val cells = ev
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("shard").orderBy("h")))
+      .filter(col("rk") <= k)
+      .select("shard", "h")
+    val days = broadcast(ev.select(col("shard").as("day")).distinct())
+    def windowed(src: DataFrame): DataFrame = days
+      .join(src, col("shard").between(
+        date_sub(col("day"), windowDays - 1), col("day")))
+      .select("day", "h").distinct()
+    val wByDay = Window.partitionBy("day").orderBy("h")
+    val fromCells = windowed(cells)
+      .withColumn("rk", row_number().over(wByDay))
+      .groupBy("day")
+      .agg(sum((col("rk") <= k).cast("long")).as("k_used"),
+        max(when(col("rk") <= k, col("h"))).as("cell_kth"),
+        count(lit(1)).as("n_cell_keys"))
+    val direct = windowed(ev)
+      .withColumn("rk", row_number().over(wByDay))
+      .groupBy("day")
+      .agg(max(when(col("rk") <= k, col("h"))).as("direct_kth"),
+        count(lit(1)).as("exact_distinct"))
+    fromCells.join(direct, Seq("day"))
+      .select(col("day"), col("k_used"),
+        col("cell_kth"), col("direct_kth"),
+        when(col("k_used") < k, col("k_used").cast("double"))
+          .otherwise(expr("""CAST(k_used - 1 AS DOUBLE)
+            | * CAST(1152921504606846976 AS DOUBLE)
+            | / CAST(cell_kth AS DOUBLE)""".stripMargin))
+          .as("distinct_est"),
+        col("exact_distinct"))
+      .orderBy("day")
+  }
+
+  /** Oracle for [[rollingDistinctCells]]: identical daily cells, window
+    * merge, bottom-K and estimate arithmetic — cell_kth == direct_kth
+    * on every row IS the per-window merge-property proof.
+    */
+  def rollingDistinctCellsSql(k: Int = 256, windowDays: Int = 7): String =
+    s"""WITH ev AS (
+       |  SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS shard,
+       |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+       |      AS BIGINT) AS h
+       |  FROM events),
+       |cells AS (
+       |  SELECT shard, h FROM (
+       |    SELECT shard, h,
+       |      row_number() OVER (PARTITION BY shard ORDER BY h) AS rk
+       |    FROM ev) r
+       |  WHERE rk <= $k),
+       |days AS (SELECT DISTINCT shard AS day FROM ev),
+       |wcell AS (
+       |  SELECT DISTINCT d.day, c.h
+       |  FROM days d JOIN cells c
+       |    ON c.shard BETWEEN d.day - ${windowDays - 1} AND d.day),
+       |rc AS (
+       |  SELECT day, h,
+       |    row_number() OVER (PARTITION BY day ORDER BY h) AS rk
+       |  FROM wcell),
+       |kc AS (
+       |  SELECT day,
+       |    CAST(SUM(CASE WHEN rk <= $k THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS k_used,
+       |    MAX(CASE WHEN rk <= $k THEN h END) AS cell_kth
+       |  FROM rc GROUP BY day),
+       |wdir AS (
+       |  SELECT DISTINCT d.day, e.h
+       |  FROM days d JOIN ev e
+       |    ON e.shard BETWEEN d.day - ${windowDays - 1} AND d.day),
+       |rd AS (
+       |  SELECT day, h,
+       |    row_number() OVER (PARTITION BY day ORDER BY h) AS rk
+       |  FROM wdir),
+       |kd AS (
+       |  SELECT day,
+       |    MAX(CASE WHEN rk <= $k THEN h END) AS direct_kth,
+       |    CAST(COUNT(*) AS BIGINT) AS exact_distinct
+       |  FROM rd GROUP BY day)
+       |SELECT kc.day, kc.k_used,
+       |  CAST(kc.cell_kth AS BIGINT) AS cell_kth,
+       |  CAST(kd.direct_kth AS BIGINT) AS direct_kth,
+       |  CASE WHEN kc.k_used < $k THEN CAST(kc.k_used AS DOUBLE)
+       |       ELSE CAST(kc.k_used - 1 AS DOUBLE)
+       |         * CAST(1152921504606846976 AS DOUBLE)
+       |         / CAST(kc.cell_kth AS DOUBLE) END AS distinct_est,
+       |  kd.exact_distinct
+       |FROM kc JOIN kd ON kc.day = kd.day
+       |ORDER BY kc.day""".stripMargin
+
   /** q152 — distribution DRIFT between two halves of the event
     * stream, the screen every training-data pipeline runs before
     * admitting a new batch: per event type, the `value` distribution
