@@ -480,6 +480,13 @@ object SparkEntry {
     // merge-on-read per day; cell_kth == direct_kth per window is the
     // oracle-checked merge property
     "q183_rolling_distinct" -> ((s, d) => StatQa.rollingDistinctCells(s, d)),
+    // hybrid retrieval: BM25 + dense cosine rank lists fused by
+    // reciprocal-rank fusion (1/(60+rank)), full-outer rank join
+    "q184_hybrid_rrf" -> ((s, d) => Similarity.hybridRrfSearch(s, d)),
+    // EXACT all-pairs set-similarity join via prefix filtering — the
+    // no-recall-loss dedup tier above LSH banding; candidates pruned
+    // ~1000x by the rarest-prefix index (lemma proven in DedupSpec)
+    "q185_allpairs_jaccard" -> ((s, d) => Dedup.allPairsJaccard(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -556,6 +563,8 @@ object SparkEntry {
     "q181_group_ols" -> StatQa.groupOlsSql,
     "q182_scene_changes" -> Multimodal.sceneChangesSql(),
     "q183_rolling_distinct" -> StatQa.rollingDistinctCellsSql(),
+    "q184_hybrid_rrf" -> Similarity.hybridRrfSearchSql(),
+    "q185_allpairs_jaccard" -> Dedup.allPairsJaccardSql(),
     // folding the update log must reproduce the q26 batch aggregate
     "q148_streaming_update" -> Events.hourlyByTypeSql,
     "q149_streaming_enrich" ->

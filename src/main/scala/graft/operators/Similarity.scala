@@ -1825,4 +1825,113 @@ object Similarity {
        |FROM stats s JOIN maj m ON s.cluster = m.cluster
        |ORDER BY s.cluster""".stripMargin
   }
+
+  /** q184 — HYBRID retrieval with RECIPROCAL RANK FUSION: the standard
+    * production search stack (lexical BM25 + dense vector ranking fused
+    * by RRF, `score = Σ 1/(C + rank)` with C = 60) expressed as two
+    * independent top-N rankers and one FULL OUTER rank join — neither
+    * ranker sees the other's scores, which is exactly why RRF is the
+    * default fusion: scales of BM25 integers and cosines never mix, only
+    * ranks do. Docs present in one list only keep that single term (the
+    * other contributes 0), which also absorbs the corpora asymmetry —
+    * at sf0.1 only 2 of 5 docs carry an embedding, the realistic
+    * "vector index covers the hot subset" deployment.
+    *
+    * Engine-exactness: each RRF term is one correctly-rounded double
+    * divide (1.0 / (60.0 + rank)), the fusion is a single a + b with a
+    * fixed tree, and ties break on doc_id — so the oracle hash-matches
+    * bit-for-bit. The vector ranks reuse the q23 fold-based cosine;
+    * missing ranks render as -1 (NULL output columns compare None-vs-NaN
+    * differently across the driver's two readers).
+    *
+    * Scale shape: BM25 is the q171 term-pruned postings plan; the
+    * vector list is one broadcast-query scan (or any ANN tier from the
+    * q24/q34/q144 ladder — rank lists are interchangeable above the
+    * fusion); the fusion itself joins two ≤N-row frames.
+    */
+  def hybridRrfSearch(spark: SparkSession, sfDir: String,
+      terms: Seq[String] = Seq("scan", "join", "hash"),
+      queryVec: Long = 0, n: Int = 50, k: Int = 20): DataFrame = {
+    val wText = Window.orderBy(desc("score"), asc("doc_id"))
+    val text = TextAnalysis.bm25Search(spark, sfDir, terms, n)
+      .withColumn("text_rank", row_number().over(wText).cast("long"))
+      .select(col("doc_id"), col("text_rank"))
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") === queryVec)
+      .select(col("embedding").as("q_emb"))
+    val wVec = Window.orderBy(desc("cosine"), asc("vec_id"))
+    val vec = emb.filter(col("vec_id") =!= queryVec)
+      .crossJoin(broadcast(q))
+      .withColumn("cosine",
+        graft.functions.cosine_sim(col("q_emb"), col("embedding")))
+      .withColumn("vec_rank", row_number().over(wVec).cast("long"))
+      .filter(col("vec_rank") <= n)
+      .select(col("vec_id").as("doc_id"), col("vec_rank"))
+    val tTerm = when(col("text_rank").isNull, lit(0.0))
+      .otherwise(lit(1.0) / (lit(60.0) + col("text_rank").cast("double")))
+    val vTerm = when(col("vec_rank").isNull, lit(0.0))
+      .otherwise(lit(1.0) / (lit(60.0) + col("vec_rank").cast("double")))
+    text.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("text_rank"), lit(-1L)).as("text_rank"),
+        coalesce(col("vec_rank"), lit(-1L)).as("vec_rank"),
+        (tTerm + vTerm).as("rrf"))
+      .orderBy(desc("rrf"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** Oracle for [[hybridRrfSearch]]: both rank lists restated (the q171
+    * BM25 tree verbatim, the q23 fold cosine), the same outer fusion and
+    * RRF arithmetic — e-notation literals so DuckDB keeps the IEEE tree.
+    */
+  def hybridRrfSearchSql(terms: Seq[String] = Seq("scan", "join", "hash"),
+      queryVec: Long = 0, n: Int = 50, k: Int = 20): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tks
+       |  FROM documents),
+       |postings AS (
+       |  SELECT doc_id, t, COUNT(*) AS tf, MAX(dl) AS dl FROM (
+       |    SELECT doc_id, len(tks) AS dl, unnest(tks) AS t FROM tk) u
+       |  WHERE t IN ($inList) GROUP BY 1, 2),
+       |dfq AS (SELECT t, COUNT(*) AS df_t FROM postings GROUP BY 1),
+       |nn AS (SELECT COUNT(*) AS n_docs,
+       |              CAST(SUM(len(tks)) AS BIGINT) AS total_dl FROM tk),
+       |w AS (SELECT t, n_docs * 1000000 // df_t AS w,
+       |             CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avg
+       |      FROM dfq CROSS JOIN nn),
+       |scored AS (
+       |  SELECT p.doc_id,
+       |    CAST(floor(CAST(w.w AS DOUBLE) * (CAST(p.tf AS DOUBLE) * 2.25e0) /
+       |      (CAST(p.tf AS DOUBLE) +
+       |       1.25e0 * (0.25e0 + 0.75e0 * (CAST(p.dl AS DOUBLE) / w.avg))))
+       |    AS BIGINT) AS contrib
+       |  FROM postings p JOIN w ON p.t = w.t),
+       |bm AS (
+       |  SELECT doc_id, SUM(contrib) AS score FROM scored GROUP BY doc_id
+       |  ORDER BY score DESC, doc_id LIMIT $n),
+       |trank AS (
+       |  SELECT doc_id, CAST(row_number() OVER (
+       |    ORDER BY score DESC, doc_id) AS BIGINT) AS text_rank FROM bm),
+       |qv AS (SELECT embedding AS q_emb FROM embeddings
+       |       WHERE vec_id = $queryVec),
+       |vs AS (
+       |  SELECT e.vec_id AS doc_id,
+       |    ${cosineExprDuck("q_emb", "e.embedding")} AS cosine
+       |  FROM embeddings e, qv WHERE e.vec_id <> $queryVec),
+       |vrank AS (
+       |  SELECT doc_id, CAST(row_number() OVER (
+       |    ORDER BY cosine DESC, doc_id) AS BIGINT) AS vec_rank
+       |  FROM vs QUALIFY vec_rank <= $n)
+       |SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
+       |  COALESCE(t.text_rank, -1) AS text_rank,
+       |  COALESCE(v.vec_rank, -1) AS vec_rank,
+       |  (CASE WHEN t.text_rank IS NULL THEN 0.0e0
+       |        ELSE 1.0e0 / (6.0e1 + CAST(t.text_rank AS DOUBLE)) END
+       |   + CASE WHEN v.vec_rank IS NULL THEN 0.0e0
+       |          ELSE 1.0e0 / (6.0e1 + CAST(v.vec_rank AS DOUBLE)) END)
+       |    AS rrf
+       |FROM trank t FULL OUTER JOIN vrank v ON t.doc_id = v.doc_id
+       |ORDER BY rrf DESC, doc_id LIMIT $k""".stripMargin
+  }
 }

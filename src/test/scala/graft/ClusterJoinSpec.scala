@@ -98,4 +98,45 @@ class ClusterJoinSpec extends SparkSpec {
     assert(filterPos >= 0 && joinPos >= 0 && filterPos > joinPos,
       "bloom pre-filter should appear beneath (after, in tree print) the semi join")
   }
+
+  test("allPairsJaccard prefix filter is EXACT: equals the unpruned all-pairs join") {
+    // The prefix-filtering lemma (q185): indexing only each doc's
+    // |x| - ceil(tau*|x|) + 1 rarest shingles must lose NO qualifying
+    // pair. Brute-force twin: candidates = pairs sharing ANY shingle
+    // (complete by definition - a pair sharing none has J = 0 < tau),
+    // then the identical verification. Affordable only at sf0.001,
+    // which is exactly why the lemma is proven here and not in the
+    // oracle (which restates the pruned plan).
+    val (tauNum, tauDen) = (3, 5)
+    val tk = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        explode(array_distinct(expr(Dedup.shinglesExprSpark))).as("t"))
+      .localCheckpoint(true)
+    val sizes = tk.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val candAll = tk.select(col("doc_id").as("doc_a"), col("t"))
+      .join(tk.select(col("doc_id").as("doc_b"), col("t")), Seq("t"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val brute = candAll
+      .join(tk.select(col("doc_id").as("doc_a"), col("t")), Seq("doc_a"))
+      .join(tk.select(col("doc_id").as("doc_b"), col("t")), Seq("doc_b", "t"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("o"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")),
+        Seq("doc_b"))
+      .filter(col("o") * (tauNum + tauDen) >=
+        lit(tauNum) * (col("sz_a") + col("sz_b")))
+      .select("doc_a", "doc_b", "o")
+    val pruned = Dedup.allPairsJaccard(spark, sf0001, tauNum, tauDen)
+      .select("doc_a", "doc_b", "o")
+    assert(pruned.count() > 0, "no qualifying pairs - vacuous")
+    assert(pruned.exceptAll(brute).isEmpty && brute.exceptAll(pruned).isEmpty,
+      "prefix-filtered result differs from the unpruned all-pairs join")
+    // and the pruning is real: far fewer candidates than any-shared-shingle
+    val nAll = candAll.count()
+    assert(nAll > pruned.count() * 10,
+      s"brute candidate space ($nAll) should dwarf the qualifying set " +
+        s"(${pruned.count()}) or the fixture is degenerate")
+  }
 }
