@@ -487,6 +487,12 @@ object SparkEntry {
     // no-recall-loss dedup tier above LSH banding; candidates pruned
     // ~1000x by the rarest-prefix index (lemma proven in DedupSpec)
     "q185_allpairs_jaccard" -> ((s, d) => Dedup.allPairsJaccard(s, d)),
+    // (context, next-token) training-sequence construction over user
+    // timelines: 3 LAGs + histogram, no self-joins
+    "q186_context_windows" -> ((s, d) => Events.contextWindows(s, d)),
+    // bucketed co-located join as a CORRECTNESS row: write-side shuffle
+    // amortization, zero-Exchange SMJ REQUIRED on the physical plan
+    "q187_bucket_join" -> ((s, d) => Layout.bucketedJoinRollup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -565,6 +571,8 @@ object SparkEntry {
     "q183_rolling_distinct" -> StatQa.rollingDistinctCellsSql(),
     "q184_hybrid_rrf" -> Similarity.hybridRrfSearchSql(),
     "q185_allpairs_jaccard" -> Dedup.allPairsJaccardSql(),
+    "q186_context_windows" -> Events.contextWindowsSql(),
+    "q187_bucket_join" -> Layout.bucketedJoinRollupSql,
     // folding the update log must reproduce the q26 batch aggregate
     "q148_streaming_update" -> Events.hourlyByTypeSql,
     "q149_streaming_enrich" ->

@@ -757,6 +757,53 @@ object Events {
       .orderBy("v_type")
   }
 
+  /** q186 — TRAINING-SEQUENCE context construction: for every event
+    * with at least three predecessors in its user's timeline, the
+    * ordered context "t₋₃>t₋₂>t₋₁" plus the current type as the label —
+    * the (context, next-token) pair construction every sequence-model
+    * training pipeline runs over behavioral logs — then the compact
+    * frequency table (support + distinct users) of the top patterns.
+    * One per-user window (ts, event_id ordered — the duplicate-ts
+    * tiebreak), three LAGs, one agg; no self-joins, no collects. At
+    * 100 TB the window shuffles once at user grain and the histogram
+    * exchange carries ≤ |types|³⁺¹ rows.
+    */
+  def contextWindows(spark: SparkSession, sfDir: String,
+      k: Int = 100): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("t1", lag(col("event_type"), 1).over(w))
+      .withColumn("t2", lag(col("event_type"), 2).over(w))
+      .withColumn("t3", lag(col("event_type"), 3).over(w))
+      .filter(col("t3").isNotNull)
+      .select(concat_ws(">", col("t3"), col("t2"), col("t1")).as("ctx"),
+        col("event_type").as("label"), col("user_id"))
+      .groupBy("ctx", "label")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(desc("n"), asc("ctx"), asc("label"))
+      .limit(k)
+  }
+
+  def contextWindowsSql(k: Int = 100): String =
+    s"""WITH o AS (
+       |  SELECT user_id, event_type,
+       |    lag(event_type, 1) OVER w AS t1,
+       |    lag(event_type, 2) OVER w AS t2,
+       |    lag(event_type, 3) OVER w AS t3
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id
+       |               ORDER BY CAST(ts AS TIMESTAMP), event_id))
+       |SELECT t3 || '>' || t2 || '>' || t1 AS ctx,
+       |  event_type AS label,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+       |FROM o WHERE t3 IS NOT NULL
+       |GROUP BY 1, 2
+       |ORDER BY n DESC, ctx, label
+       |LIMIT $k""".stripMargin
+
   val variantPathRollupSql: String =
     """SELECT event_type AS v_type, COUNT(*) AS n_events,
       |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT))

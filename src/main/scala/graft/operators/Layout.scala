@@ -149,6 +149,69 @@ object Layout {
         col("l_partkey").between(lo, hi))
   }
 
+  /** q187 — the BUCKETED CO-LOCATED JOIN as a driver-checked query
+    * (SURVEY.md §2 J4's join half; until now pinned only in PlanSpec):
+    * both join sides are written `bucketBy(16, k).sortBy(k)` — the
+    * shuffle paid ONCE at write time — and the recurring fact⋈orders
+    * join then plans as a zero-Exchange sort-merge join over matching
+    * buckets, which the query REQUIRES on its own physical plan (with
+    * the broadcast gate forced off so the planner cannot dodge the
+    * claim by broadcasting the small side at test scale). At 100 TB
+    * this is the difference between re-shuffling 100 TB nightly and
+    * reading pre-bucketed parquet: the one unavoidable exchange in a
+    * recurring star build, amortized to zero.
+    *
+    * The rollup output is integer-exact cents, restated by the oracle
+    * from the raw tables — proving the bucketed write+join preserved
+    * every row, not just planned prettily.
+    */
+  def bucketedJoinRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.{Bucketing, Tables}
+    val key = Tables.pathKey(sfDir)
+    val lt = s"graft_b_li_$key"
+    val ot = s"graft_b_ord_$key"
+    Seq(lt, ot).foreach { t =>
+      graft.etl.Catalog.dropTable(spark, t)
+      graft.etl.Catalog.deletePath(spark,
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
+    }
+    Bucketing.writeBucketed(Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("k"), col("l_returnflag"),
+        col("l_quantity")), lt, "k", 16)
+    Bucketing.writeBucketed(Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("k"), col("o_totalprice")), ot, "k", 16)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val joined = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = Bucketing.coLocatedJoin(spark, lt, ot, "k")
+      val p = j.queryExecution.sparkPlan.toString
+      require(!p.contains("Exchange"),
+        s"bucketed join planned a shuffle - co-location broken:\n$p")
+      j
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      prevThreshold)
+    joined.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("l_quantity") * 100).cast("long")).cast("long")
+          .as("qty_cents"),
+        sum(floor(col("o_totalprice") * 100).cast("long")).cast("long")
+          .as("price_cents"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Oracle for [[bucketedJoinRollup]]: the plain join from the raw
+    * tables — equality proves bucketed write + co-located join fidelity.
+    */
+  val bucketedJoinRollupSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |    AS qty_cents,
+      |  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS price_cents
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1
+      |ORDER BY l_returnflag""".stripMargin
+
   def sortedExportManifestSql(buckets: Int = 16): String =
     s"""WITH b AS (
        |  SELECT least($buckets - 1,
