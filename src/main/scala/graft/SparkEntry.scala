@@ -493,6 +493,12 @@ object SparkEntry {
     // bucketed co-located join as a CORRECTNESS row: write-side shuffle
     // amortization, zero-Exchange SMJ REQUIRED on the physical plan
     "q187_bucket_join" -> ((s, d) => Layout.bucketedJoinRollup(s, d)),
+    // half-life-decayed engagement: engine-exact recency weighting via
+    // BIGINT right-shifts (no pow, order-free integer sums)
+    "q188_decayed_engagement" -> ((s, d) => Events.decayedEngagement(s, d)),
+    // explicit GROUPING SETS: the non-hierarchical multi-grain report
+    // (detail + brand marginal + grand total) in one Expand+agg
+    "q189_grouping_sets" -> ((s, d) => Insights.revenueGroupingSets(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -573,6 +579,8 @@ object SparkEntry {
     "q185_allpairs_jaccard" -> Dedup.allPairsJaccardSql(),
     "q186_context_windows" -> Events.contextWindowsSql(),
     "q187_bucket_join" -> Layout.bucketedJoinRollupSql,
+    "q188_decayed_engagement" -> Events.decayedEngagementSql(),
+    "q189_grouping_sets" -> Insights.revenueGroupingSetsSql,
     // folding the update log must reproduce the q26 batch aggregate
     "q148_streaming_update" -> Events.hourlyByTypeSql,
     "q149_streaming_enrich" ->

@@ -124,6 +124,42 @@ case class WordShinglesExpr(child: Expression)
   }
 }
 
+/** DISTINCT 60-bit md5 hashes of the word 3-shingles (array<long>,
+  * ascending): the fused tokens→shingles→hash→dedup kernel for
+  * set-similarity operators (q185). One expression evaluation replaces
+  * a shingle-array explode, a per-shingle md5 Column tree, and a
+  * (doc, hash)-grain distinct exchange — the per-doc dedup happens in a
+  * HashSet inside the loop, so the scan emits already-unique hashes.
+  * Values identical to hashing [[WordShinglesExpr]]'s elements with
+  * TextAnalysis.md5Hash60 (and therefore to the DuckDB oracle's
+  * `('0x'||substr(md5(s),1,15))::BIGINT`).
+  */
+case class ShingleHashesExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def withNewChildInternal(c: Expression): ShingleHashesExpr =
+    copy(child = c)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val md = MessageDigest.getInstance("MD5")
+    val sh = HashUtil.shingles3(
+      HashUtil.tokens(input.asInstanceOf[UTF8String].toString))
+    val seen = new java.util.HashSet[Long](sh.length * 2)
+    val out = new Array[Long](sh.length)
+    var n = 0
+    var i = 0
+    while (i < sh.length) {
+      val h = HashUtil.md5Hash60(md, sh(i))
+      if (seen.add(h)) { out(n) = h; n += 1 }
+      i += 1
+    }
+    val trimmed = java.util.Arrays.copyOf(out, n)
+    java.util.Arrays.sort(trimmed)
+    new GenericArrayData(trimmed)
+  }
+}
+
 /** 60-bit SimHash over whitespace tokens; values identical to
   * Dedup.simhash / its DuckDB oracle (per-bit +-1 voting on each
   * token-hash, bit set iff vote > 0).

@@ -22,6 +22,10 @@ package object functions {
   def simhash60(c: Column): Column =
     toColumn(SimHash60Expr(toExpression(c)))
 
+  /** Distinct md5-60 hashes of the word 3-shingles (array<long>, asc). */
+  def shingle_hashes(c: Column): Column =
+    toColumn(ShingleHashesExpr(toExpression(c)))
+
   /** Min-8-gram rolling fingerprint of a text column. */
   def mingram_fp(c: Column): Column =
     toColumn(MinGramFpExpr(toExpression(c)))

@@ -831,41 +831,62 @@ object Dedup {
     *
     * Scale shape: the candidate exchange carries (doc_a, doc_b) ids
     * only, keyed by prefix shingles — rare by construction, so no
-    * "the"-sized posting explodes the join; verification re-joins the
-    * candidates to the shingle table at (doc, shingle) grain — the
-    * standard verify pass. The shingle frame is eagerly checkpointed
-    * once (it feeds sizes, df, prefix, and both verify legs).
+    * "the"-sized posting explodes the join; verification joins the
+    * candidates to per-doc SORTED HASH ARRAYS at doc grain (one row
+    * per doc, not per shingle — a near-dup-heavy corpus makes the
+    * candidate set large, and a (doc, shingle)-grain verify join would
+    * re-explode every pair by its set size) and counts the overlap
+    * with one codegen'd array_intersect per pair. Shingles travel as
+    * portable 60-bit md5 hashes via the NATIVE [[graft.functions]]
+    * expression (20-30× over the SQL HOF tree — the round-6 lesson):
+    * every exchange, window, and join carries 8-byte keys, and both
+    * engines hash identically so a (~n²/2⁶¹) collision cannot split
+    * them. The shingle frame is eagerly checkpointed once (it feeds
+    * sizes, df, prefix, and the array fold).
     */
   def allPairsJaccard(spark: SparkSession, sfDir: String,
       tauNum: Int = 3, tauDen: Int = 5): DataFrame = {
     val docs = Tables.withMinParallelism(Tables.documents(spark, sfDir),
       spark.sparkContext.defaultParallelism)
-    val tk = docs.select(col("doc_id"),
-        explode(array_distinct(expr(shinglesExprSpark))).as("t"))
+    // ONE fused kernel per doc (ShingleHashesExpr): tokens → shingles →
+    // md5-60 → per-doc dedup + sort, all inside the scan — no string
+    // explode, no per-shingle Column tree, no distinct exchange. The
+    // checkpointed frame is one ARRAY row per doc; the posting view is
+    // a free explode of it.
+    val base = docs.select(col("doc_id"),
+        graft.functions.shingle_hashes(col("text")).as("hs"))
       .localCheckpoint(true)
-    val sizes = tk.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val sets = base.select(col("doc_id"), col("hs"),
+      size(col("hs")).cast("long").as("sz"))
+    val tk = base.select(col("doc_id"), explode(col("hs")).as("t"))
     val dft = tk.groupBy("t").agg(count(lit(1)).as("df_t"))
     val pref = tk.join(dft, Seq("t"))
       .withColumn("pos", row_number().over(
         Window.partitionBy("doc_id").orderBy("df_t", "t")))
-      .join(sizes, Seq("doc_id"))
+      .join(sets.select("doc_id", "sz"), Seq("doc_id"))
       .filter(col("pos") <=
         expr(s"sz - ((sz * $tauNum + ${tauDen - 1}) div $tauDen) + 1"))
-      .select(col("doc_id"), col("t"))
-    val cand = pref.select(col("doc_id").as("doc_a"), col("t"))
-      .join(pref.select(col("doc_id").as("doc_b"), col("t")), Seq("t"))
-      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_id"), col("t"), col("sz"))
+    // LENGTH FILTER (the AllPairs/PPJoin companion bound): J >= tau
+    // forces tau·|A| <= |B| <= |A|/tau, applied DURING pair generation
+    // so size-mismatched pairs never reach the dedup exchange (~35% of
+    // raw candidates on this corpus). Result-invariant: it only drops
+    // pairs the verification would reject.
+    val cand = pref.select(col("doc_id").as("doc_a"), col("t"),
+        col("sz").as("za"))
+      .join(pref.select(col("doc_id").as("doc_b"), col("t"),
+        col("sz").as("zb")), Seq("t"))
+      .filter(col("doc_a") < col("doc_b") &&
+        col("za") * tauNum <= col("zb") * tauDen &&
+        col("zb") * tauNum <= col("za") * tauDen)
       .select("doc_a", "doc_b").distinct()
-    val inter = cand
-      .join(tk.select(col("doc_id").as("doc_a"), col("t")), Seq("doc_a"))
-      .join(tk.select(col("doc_id").as("doc_b"), col("t")), Seq("doc_b", "t"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("o"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")),
-        Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")),
-        Seq("doc_b"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
+        col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
+        col("sz").as("sz_b")), Seq("doc_b"))
+      .withColumn("o", size(array_intersect(col("ha"), col("hb")))
+        .cast("long"))
       .filter(col("o") * (tauNum + tauDen) >=
         lit(tauNum) * (col("sz_a") + col("sz_b")))
       .select(col("doc_a"), col("doc_b"), col("o"),
@@ -882,8 +903,10 @@ object Dedup {
     */
   def allPairsJaccardSql(tauNum: Int = 3, tauDen: Int = 5): String =
     s"""WITH tk AS (
-       |  SELECT doc_id, unnest(list_distinct($shinglesExprDuck)) AS t
-       |  FROM documents),
+       |  SELECT DISTINCT doc_id,
+       |    CAST(('0x' || substr(md5(ts), 1, 15)) AS BIGINT) AS t
+       |  FROM (SELECT doc_id, unnest(list_distinct($shinglesExprDuck)) AS ts
+       |        FROM documents)),
        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tk GROUP BY 1),
        |df AS (SELECT t, COUNT(*) AS df_t FROM tk GROUP BY 1),
        |pref AS (

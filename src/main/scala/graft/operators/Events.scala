@@ -757,6 +757,58 @@ object Events {
       .orderBy("v_type")
   }
 
+  /** q188 — RECENCY-DECAYED engagement score (half-life decay): the
+    * feature-engineering primitive behind "recent activity counts
+    * more" user-value features, made ENGINE-EXACT by quantizing the
+    * decay to half-life steps and evaluating each step as a BIGINT
+    * right-shift: contribution = floor(value·100) >> min(age/halfLife,
+    * 62). Division by 2^k on a nonnegative integer is a bit shift in
+    * both engines, every per-event contribution is an exact integer,
+    * and the per-user sum is order-free — no pow(), no transcendental,
+    * no float accumulation (the documented trade: decay moves in
+    * half-life-sized steps, which is what a feature store would
+    * precompute anyway). The 62 clamp bounds the shift for arbitrarily
+    * old events instead of overflowing the shift width.
+    *
+    * Scale shape: one narrow scan, one broadcast 1-row max-date, one
+    * user-grain agg with map-side partials, top-k TakeOrdered.
+    */
+  def decayedEngagement(spark: SparkSession, sfDir: String,
+      halfLifeDays: Int = 7, k: Int = 100): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        col("value"))
+    val mx = broadcast(ev.agg(max(col("d")).as("max_d")))
+    ev.crossJoin(mx)
+      .select(col("user_id"),
+        expr(s"""shiftright(CAST(floor(value * 100) AS BIGINT),
+                |  least(CAST(datediff(max_d, d) / $halfLifeDays AS INT),
+                |        62))""".stripMargin).as("contrib"))
+      .groupBy("user_id")
+      .agg(sum(col("contrib")).cast("long").as("decayed_cents"),
+        count(lit(1)).as("n_events"))
+      .orderBy(desc("decayed_cents"), asc("user_id"))
+      .limit(k)
+  }
+
+  def decayedEngagementSql(halfLifeDays: Int = 7, k: Int = 100): String =
+    s"""WITH mx AS (
+       |  SELECT MAX(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS max_d
+       |  FROM events),
+       |c AS (
+       |  SELECT user_id,
+       |    CAST(floor(value * 100) AS BIGINT) >>
+       |      LEAST(date_diff('day', CAST(CAST(ts AS TIMESTAMP) AS DATE),
+       |                      max_d) // $halfLifeDays, 62) AS contrib
+       |  FROM events, mx)
+       |SELECT user_id,
+       |  CAST(SUM(contrib) AS BIGINT) AS decayed_cents,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events
+       |FROM c
+       |GROUP BY user_id
+       |ORDER BY decayed_cents DESC, user_id
+       |LIMIT $k""".stripMargin
+
   /** q186 — TRAINING-SEQUENCE context construction: for every event
     * with at least three predecessors in its user's timeline, the
     * ordered context "t₋₃>t₋₂>t₋₁" plus the current type as the label —

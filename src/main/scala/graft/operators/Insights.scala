@@ -942,6 +942,49 @@ object Insights {
        |GROUP BY ROLLUP (r_name, p_brand)
        |ORDER BY grouping_level, region, brand""".stripMargin
 
+  /** q189 — explicit GROUPING SETS (the non-hierarchical member of the
+    * multi-grain family next to q44's ROLLUP and q85's CUBE): detail
+    * (region × brand), the BRAND-ONLY marginal — the one a rollup
+    * cannot produce, since it is not a prefix of the hierarchy — and
+    * the grand total, in ONE aggregate. Spark plans a single Expand
+    * (one fact scan replicated per set) + one hash aggregate; at
+    * 100 TB that is one shuffle for all three reports instead of
+    * three scans. grouping_id disambiguates rows exactly as both
+    * engines define it (bitmask over the grouping columns).
+    */
+  def revenueGroupingSets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(Joins.broadcastIfSmall(
+          Tables.part(spark, sfDir).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Joins.broadcastIfSmall(storeRegion(spark, sfDir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupingSets(
+        Seq(Seq(col("r_name"), col("p_brand")), Seq(col("p_brand")), Seq()),
+        col("r_name"), col("p_brand"))
+      .agg(sum(revenueDec).cast("double").as("revenue"),
+        count(lit(1)).as("n_sales"),
+        grouping_id().cast("int").as("grouping_level"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("p_brand"), lit("ALL")).as("brand"),
+        col("revenue"), col("n_sales"), col("grouping_level"))
+      .orderBy("grouping_level", "region", "brand")
+
+  val revenueGroupingSetsSql: String =
+    s"""SELECT COALESCE(r_name, 'ALL') AS region,
+       |       COALESCE(p_brand, 'ALL') AS brand,
+       |       CAST(SUM($revenueSql) AS DOUBLE) AS revenue,
+       |       COUNT(*) AS n_sales,
+       |       CAST(GROUPING(r_name, p_brand) AS INT) AS grouping_level
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY GROUPING SETS ((r_name, p_brand), (p_brand), ())
+       |ORDER BY grouping_level, region, brand""".stripMargin
+
   /** Line items of high-value orders via [[Joins.bloomSemiJoin]]: the
     * bloom built over the qualifying orderkeys prunes the lineitem scan
     * map-side before the semi-join shuffle. The result is exactly the
