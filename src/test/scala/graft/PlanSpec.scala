@@ -427,6 +427,47 @@ class PlanSpec extends SparkSpec {
         "between-queries contract; see Tables.freeTransientBlocks)")
   }
 
+  test("AQE splits a skewed shuffle join at runtime (OptimizeSkewedJoin)") {
+    // The runtime half of the skew story (Salting.scala is the a-priori
+    // half): one hot key carries ~90% of the left side, AQE's skew-join
+    // rule must SPLIT that reducer into subpartitions at runtime, each
+    // joined against a replicated copy of the matching right rows —
+    // no code change, no salt. Thresholds are lowered so local-mode
+    // partition sizes qualify; the assertions are (a) the finalized
+    // plan actually took the skew path, (b) the result is exactly the
+    // unsplit join's (splitting must never change semantics).
+    import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+    val overrides = Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = overrides.keys.map(k =>
+      k -> spark.conf.getOption(k)).toMap
+    try {
+      overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+      val n = 400000L
+      // 90% of rows on key 0, the rest uniform over 1..4000
+      val left = spark.range(n).select(
+        when(col("id") % 10 =!= 0, lit(0L))
+          .otherwise(col("id") % 4000 + 1).as("k"),
+        col("id").as("v"))
+      val right = spark.range(4001).select(
+        col("id").as("k"), (col("id") * 7).as("w"))
+      val joined = left.join(right, Seq("k"))
+        .agg(count(lit(1)).as("n"), sum(col("v") + col("w")).as("s"))
+      val row = joined.collect().head
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"AQE did not take the skew-join path:\n$plan")
+      assert(row.getLong(0) === n,
+        "every left row has exactly one match - the split changed the result")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("config layering: env beats props beats defaults; validation rejects junk") {
     val c1 = graft.etl.GraftConfig.load(env = Map.empty)
     assert(c1.writeBatchSize === 5000)
