@@ -499,6 +499,12 @@ object SparkEntry {
     // explicit GROUPING SETS: the non-hierarchical multi-grain report
     // (detail + brand marginal + grand total) in one Expand+agg
     "q189_grouping_sets" -> ((s, d) => Insights.revenueGroupingSets(s, d)),
+    // interval x interval OVERLAP join: sessions vs derived campaign
+    // windows, exact integer overlap microseconds
+    "q190_interval_overlap" -> ((s, d) => Events.campaignOverlap(s, d)),
+    // linear multi-touch attribution: purchase cents split equally
+    // (floor div) across the window's prior touches, per channel
+    "q191_multitouch" -> ((s, d) => Events.multiTouchAttribution(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -581,6 +587,8 @@ object SparkEntry {
     "q187_bucket_join" -> Layout.bucketedJoinRollupSql,
     "q188_decayed_engagement" -> Events.decayedEngagementSql(),
     "q189_grouping_sets" -> Insights.revenueGroupingSetsSql,
+    "q190_interval_overlap" -> Events.campaignOverlapSql(),
+    "q191_multitouch" -> Events.multiTouchAttributionSql(),
     // folding the update log must reproduce the q26 batch aggregate
     "q148_streaming_update" -> Events.hourlyByTypeSql,
     "q149_streaming_enrich" ->

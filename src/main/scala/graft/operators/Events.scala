@@ -142,6 +142,167 @@ object Events {
        |ORDER BY user_id, session_seq""".stripMargin
   }
 
+  /** q190 — INTERVAL-OVERLAP join (interval × interval, the shape q50's
+    * point-in-window range join cannot express): user sessions overlap
+    * derived campaign windows, reporting per campaign the overlapping
+    * sessions, distinct users, and the EXACT total overlap time —
+    * min(ends) − max(starts) in microseconds, pure integer arithmetic.
+    * Campaign windows are derived deterministically from the data's own
+    * date span (`lenDays`-day windows every `periodDays` from the first
+    * event date), so both engines construct the identical calendar.
+    *
+    * Scale shape: the campaign side is a calendar — O(span/period)
+    * rows — so the overlap join is a broadcast nested-loop against the
+    * big session frame with a pure range predicate: one pass, no
+    * shuffle beyond the session build itself. (A big×big interval
+    * overlap would chunk both sides on time like q50/q133 — the
+    * calendar case is the one that should NOT pay that exchange.)
+    */
+  def campaignOverlap(spark: SparkSession, sfDir: String,
+      gapMinutes: Int = 30, periodDays: Int = 7,
+      lenDays: Int = 3): DataFrame = {
+    val s = sessions(spark, sfDir, gapMinutes)
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("s_us"),
+        unix_micros(col("session_end")).as("e_us"))
+    val dayUs = 86400L * 1000000
+    val camps = broadcast(Tables.events(spark, sfDir)
+      .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+      .select(explode(expr(
+        s"sequence(0, CAST(datediff(d1, d0) div $periodDays AS INT))"))
+        .as("campaign_id"),
+        unix_micros(col("d0").cast("timestamp")).as("base_us"))
+      .select(col("campaign_id"),
+        (col("base_us") + col("campaign_id") * periodDays * dayUs)
+          .as("c_start"),
+        (col("base_us") + col("campaign_id") * periodDays * dayUs
+          + lenDays * dayUs).as("c_end")))
+    s.join(camps, col("s_us") < col("c_end") && col("c_start") < col("e_us"))
+      .select(col("campaign_id"), col("user_id"),
+        (least(col("e_us"), col("c_end")) -
+          greatest(col("s_us"), col("c_start"))).as("ovl_us"))
+      .groupBy("campaign_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("ovl_us")).cast("long").as("overlap_us"))
+      .orderBy("campaign_id")
+  }
+
+  def campaignOverlapSql(gapMinutes: Int = 30, periodDays: Int = 7,
+      lenDays: Int = 3): String = {
+    val gapSec = gapMinutes * 60
+    val dayUs = 86400L * 1000000
+    s"""WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id
+       |            FROM events),
+       |flagged AS (
+       |  SELECT *,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR epoch(ts) - epoch(lag(ts) OVER w) > $gapSec
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM ev
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       |  SELECT user_id,
+       |    SUM(new_session) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq,
+       |    ts
+       |  FROM flagged),
+       |si AS (
+       |  SELECT user_id, epoch_us(MIN(ts)) AS s_us, epoch_us(MAX(ts)) AS e_us
+       |  FROM sess GROUP BY user_id, session_seq),
+       |b AS (
+       |  SELECT epoch_us(CAST(MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE))
+       |                       AS TIMESTAMP)) AS base_us,
+       |    CAST(date_diff('day',
+       |           MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)),
+       |           MAX(CAST(CAST(ts AS TIMESTAMP) AS DATE)))
+       |         // $periodDays AS INT) AS n_c
+       |  FROM events),
+       |camps AS (
+       |  SELECT CAST(i AS INT) AS campaign_id,
+       |    base_us + i * ${periodDays.toLong * dayUs} AS c_start,
+       |    base_us + i * ${periodDays.toLong * dayUs}
+       |      + ${lenDays.toLong * dayUs} AS c_end
+       |  FROM b, LATERAL UNNEST(range(0, n_c + 1)) t(i))
+       |SELECT campaign_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       |  CAST(SUM(LEAST(e_us, c_end) - GREATEST(s_us, c_start)) AS BIGINT)
+       |    AS overlap_us
+       |FROM si JOIN camps ON s_us < c_end AND c_start < e_us
+       |GROUP BY campaign_id
+       |ORDER BY campaign_id""".stripMargin
+  }
+
+  /** q191 — LINEAR MULTI-TOUCH attribution: each purchase's value is
+    * credited EQUALLY to every prior non-purchase touch by the same
+    * user inside the attribution window — the marketing-analytics
+    * complement to q126's last-touch (as-of) attribution. Exactness:
+    * credits are floor(cents / n_touches) BIGINTs (integer division —
+    * the deliberate "house keeps the remainder" convention, restated
+    * identically in the oracle), summed order-free per channel.
+    *
+    * Scale shape: the purchase×touch join is an equi-join on user_id
+    * with a time-range predicate — fanout bounded per user by its own
+    * purchases × touches inside the window, never cross-user; the
+    * per-purchase touch count is one window count over the join
+    * output, and the channel rollup collapses map-side.
+    */
+  def multiTouchAttribution(spark: SparkSession, sfDir: String,
+      windowDays: Int = 7): DataFrame = {
+    val winUs = windowDays * 86400L * 1000000
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us").as("p_us"),
+        floor(col("value") * 100).cast("long").as("cents"),
+        col("event_id").as("p_id"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("us").as("t_us"),
+        col("event_type").as("channel"))
+    purchases.join(touches, Seq("user_id"))
+      .filter(col("p_us") - col("t_us") >= 0 &&
+        col("p_us") - col("t_us") <= winUs)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("p_id")))
+      .groupBy("channel")
+      .agg(sum(expr("cents div n")).cast("long").as("credited_cents"),
+        count(lit(1)).as("n_credits"),
+        countDistinct(col("p_id")).as("n_purchases"))
+      .orderBy("channel")
+  }
+
+  def multiTouchAttributionSql(windowDays: Int = 7): String = {
+    val winUs = windowDays * 86400L * 1000000
+    s"""WITH ev AS (
+       |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+       |         event_type, value, event_id
+       |  FROM events),
+       |p AS (
+       |  SELECT user_id, us AS p_us,
+       |    CAST(floor(value * 100) AS BIGINT) AS cents,
+       |    event_id AS p_id
+       |  FROM ev WHERE event_type = 'purchase'),
+       |t AS (
+       |  SELECT user_id, us AS t_us, event_type AS channel
+       |  FROM ev WHERE event_type <> 'purchase'),
+       |j AS (
+       |  SELECT p.p_id, p.cents, t.channel
+       |  FROM p JOIN t ON p.user_id = t.user_id
+       |   AND p.p_us - t.t_us BETWEEN 0 AND $winUs),
+       |c AS (
+       |  SELECT p_id, cents, channel,
+       |    COUNT(*) OVER (PARTITION BY p_id) AS n
+       |  FROM j)
+       |SELECT channel,
+       |  CAST(SUM(cents // n) AS BIGINT) AS credited_cents,
+       |  CAST(COUNT(*) AS BIGINT) AS n_credits,
+       |  CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_purchases
+       |FROM c
+       |GROUP BY channel
+       |ORDER BY channel""".stripMargin
+  }
+
   /** Per-type daily funnel-ish rollup with distinct users — exercises
     * date bucketing + countDistinct on the event stream.
     */
