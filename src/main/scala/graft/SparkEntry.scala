@@ -505,6 +505,11 @@ object SparkEntry {
     // linear multi-touch attribution: purchase cents split equally
     // (floor div) across the window's prior touches, per channel
     "q191_multitouch" -> ((s, d) => Events.multiTouchAttribution(s, d)),
+    // whole-session path histogram: struct-sorted event order, top-50
+    "q192_session_paths" -> ((s, d) => Events.sessionPaths(s, d)),
+    // order-independent per-table content fingerprints (xor + mod-2^59
+    // sum of canonical-row md5-60s) - the replication verification row
+    "q193_table_checksums" -> ((s, d) => Validation.tableChecksums(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -589,6 +594,8 @@ object SparkEntry {
     "q189_grouping_sets" -> Insights.revenueGroupingSetsSql,
     "q190_interval_overlap" -> Events.campaignOverlapSql(),
     "q191_multitouch" -> Events.multiTouchAttributionSql(),
+    "q192_session_paths" -> Events.sessionPathsSql(),
+    "q193_table_checksums" -> Validation.tableChecksumsSql,
     // folding the update log must reproduce the q26 batch aggregate
     "q148_streaming_update" -> Events.hourlyByTypeSql,
     "q149_streaming_enrich" ->

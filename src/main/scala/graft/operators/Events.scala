@@ -303,6 +303,70 @@ object Events {
        |ORDER BY channel""".stripMargin
   }
 
+  /** q192 — SESSION PATH mining: the full ordered event-type sequence
+    * of every session (q28's gap rule), folded to the top-k path
+    * histogram — the clickstream-analytics complement to q186's
+    * fixed-width contexts (variable-length whole-session paths, e.g.
+    * "view>click>purchase"). Ordering inside a session is made
+    * deterministic the exact-aggregation way: collect structs of
+    * (ts, event_id, type), sort_array (lexicographic struct order ==
+    * the session's event order with the duplicate-ts tiebreak), THEN
+    * project the types — never a bare collect_list whose order is
+    * partition-dependent.
+    *
+    * Scale shape: one user-grain window pass (session assignment), one
+    * session-grain agg whose value is bounded by session length, one
+    * path-grain histogram exchange.
+    */
+  def sessionPaths(spark: SparkSession, sfDir: String,
+      gapMinutes: Int = 30, k: Int = 50): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapSec = gapMinutes * 60
+    Tables.events(spark, sfDir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        (col("prev_ts").isNull ||
+          col("ts").cast("double") - col("prev_ts").cast("double") > gapSec)
+          .cast("int"))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+      .select(array_join(expr("transform(evs, e -> e.event_type)"), ">")
+        .as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(desc("n_sessions"), asc("path"))
+      .limit(k)
+  }
+
+  def sessionPathsSql(gapMinutes: Int = 30, k: Int = 50): String = {
+    val gapSec = gapMinutes * 60
+    s"""WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+       |                   event_type FROM events),
+       |flagged AS (
+       |  SELECT *,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR epoch(ts) - epoch(lag(ts) OVER w) > $gapSec
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM ev
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+       |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+       |  FROM flagged),
+       |paths AS (
+       |  SELECT string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+       |  FROM sess GROUP BY user_id, session_seq)
+       |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+       |FROM paths
+       |GROUP BY path
+       |ORDER BY n_sessions DESC, path
+       |LIMIT $k""".stripMargin
+  }
+
   /** Per-type daily funnel-ish rollup with distinct users — exercises
     * date bucketing + countDistinct on the event stream.
     */

@@ -260,4 +260,84 @@ object Validation {
       |       ELSE 'orders_only' END AS presence
       |FROM o FULL OUTER JOIN e ON o.day = e.day
       |ORDER BY day""".stripMargin
+
+  /** q193 — ORDER-INDEPENDENT content checksums per table: the
+    * replication/migration verification primitive ("did every row
+    * survive the copy, cell-exactly?") that row counts (q12) and daily
+    * sums (q111) cannot give. Each row is serialized CANONICALLY
+    * (integer keys as decimal strings, money floor-quantized to cents,
+    * timestamps at epoch-microsecond grain — the three renderings both
+    * engines produce byte-identically), hashed to a portable md5-60,
+    * and folded with two order-free combiners: XOR (cheap, flips on
+    * any single-row change) and an exact wide SUM taken mod 2^59
+    * (catches the paired/duplicated changes XOR cancels). Any engine
+    * with md5 reproduces the fingerprint bit-for-bit — which is the
+    * point: source and destination need not share a runtime.
+    *
+    * Scale shape: embarrassingly parallel — one narrow projection per
+    * table, map-side partial XOR/SUM, a 1-row exchange each.
+    */
+  def tableChecksums(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = (s: String) => graft.operators.TextAnalysis.md5Hash60(expr(s))
+    def one(name: String, df: DataFrame, rowExpr: String): DataFrame =
+      df.select(h(rowExpr).as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").cast("long").as("xor_h"),
+          (sum(col("h").cast("decimal(38,0)")) %
+            lit(576460752303423488L)).cast("long").as("sum_h_mod"))
+        .select(lit(name).as("table_name"), col("n_rows"),
+          col("xor_h"), col("sum_h_mod"))
+    one("orders", Tables.orders(spark, sfDir),
+      """concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+        |CAST(floor(o_totalprice * 100) AS BIGINT),
+        |unix_micros(o_orderdate), o_orderpriority)""".stripMargin)
+      .unionByName(one("lineitem", Tables.lineitem(spark, sfDir),
+        """concat_ws('|', l_orderkey, l_partkey, l_suppkey, l_linenumber,
+          |CAST(floor(l_quantity * 100) AS BIGINT),
+          |CAST(floor(l_extendedprice * 100) AS BIGINT),
+          |CAST(floor(l_discount * 100) AS BIGINT),
+          |CAST(floor(l_tax * 100) AS BIGINT),
+          |l_returnflag, l_linestatus, unix_micros(l_shipdate))""".stripMargin))
+      .unionByName(one("events", Tables.events(spark, sfDir),
+        """concat_ws('|', event_id, user_id, event_type,
+          |CAST(floor(value * 100) AS BIGINT), unix_micros(ts))""".stripMargin))
+      .orderBy("table_name")
+  }
+
+  /** Oracle for [[tableChecksums]]: the identical canonical rendering,
+    * hash, and folds — epoch_us == unix_micros, `//`-free (no division
+    * anywhere), the modulus an exact power of two (2^59) so HUGEINT
+    * and DECIMAL(38,0) agree.
+    */
+  val tableChecksumsSql: String = {
+    def row(cols: String) = s"md5(concat_ws('|', $cols))"
+    def hash(cols: String) =
+      s"CAST(('0x' || substr(${row(cols)}, 1, 15)) AS BIGINT)"
+    def one(name: String, table: String, cols: String) =
+      s"""SELECT '$name' AS table_name,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(bit_xor(${hash(cols)}) AS BIGINT) AS xor_h,
+         |  CAST(SUM(CAST(${hash(cols)} AS HUGEINT)) % 576460752303423488
+         |    AS BIGINT) AS sum_h_mod
+         |FROM $table""".stripMargin
+    Seq(
+      one("orders", "orders",
+        """o_orderkey, o_custkey, o_orderstatus,
+          |CAST(floor(o_totalprice * 100) AS BIGINT),
+          |epoch_us(CAST(o_orderdate AS TIMESTAMP)),
+          |o_orderpriority""".stripMargin),
+      one("lineitem", "lineitem",
+        """l_orderkey, l_partkey, l_suppkey, l_linenumber,
+          |CAST(floor(l_quantity * 100) AS BIGINT),
+          |CAST(floor(l_extendedprice * 100) AS BIGINT),
+          |CAST(floor(l_discount * 100) AS BIGINT),
+          |CAST(floor(l_tax * 100) AS BIGINT),
+          |l_returnflag, l_linestatus,
+          |epoch_us(CAST(l_shipdate AS TIMESTAMP))""".stripMargin),
+      one("events", "events",
+        """event_id, user_id, event_type,
+          |CAST(floor(value * 100) AS BIGINT),
+          |epoch_us(CAST(ts AS TIMESTAMP))""".stripMargin))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+  }
 }
