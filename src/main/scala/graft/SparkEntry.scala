@@ -510,6 +510,9 @@ object SparkEntry {
     // order-independent per-table content fingerprints (xor + mod-2^59
     // sum of canonical-row md5-60s) - the replication verification row
     "q193_table_checksums" -> ((s, d) => Validation.tableChecksums(s, d)),
+    // keep-best dedup: each near-dup cluster keeps its highest-quality
+    // member (q83 gate score, ties to min id) via one struct-max agg
+    "q194_keep_best" -> ((s, d) => Dedup.keepBestDedup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -596,6 +599,7 @@ object SparkEntry {
     "q191_multitouch" -> Events.multiTouchAttributionSql(),
     "q192_session_paths" -> Events.sessionPathsSql(),
     "q193_table_checksums" -> Validation.tableChecksumsSql,
+    "q194_keep_best" -> Dedup.keepBestDedupSql(),
     // folding the update log must reproduce the q26 batch aggregate
     "q148_streaming_update" -> Events.hourlyByTypeSql,
     "q149_streaming_enrich" ->

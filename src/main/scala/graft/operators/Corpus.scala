@@ -172,6 +172,50 @@ object Corpus {
       .orderBy("source")
   }
 
+  /** Per-doc quality score (0–4: how many q83 gates pass) — the
+    * ranking signal q194's keep-best dedup uses to pick a cluster's
+    * survivor. Exactly the [[qualityGates]] gate expressions at doc
+    * grain; same narrow codegen'd scan shape.
+    */
+  def docGateScores(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.withMinParallelism(Tables.documents(spark, sfDir),
+        spark.sparkContext.defaultParallelism)
+      .withColumn("tks", expr(tokensSparkSql))
+      .withColumn("n_tokens", size(col("tks")))
+      .withColumn("sum_len",
+        expr("aggregate(tks, 0L, (a, w) -> a + length(w))"))
+      .withColumn("mean_wl",
+        col("sum_len").cast("double") / greatest(col("n_tokens"), lit(1)))
+      .withColumn("n_stop", size(expr(
+        "filter(array_distinct(tks), w -> w IN ('the','a','of','and','in'))")))
+      .withColumn("alpha_frac",
+        size(expr("filter(tks, w -> w rlike '^[a-z]+$')")).cast("double") /
+          greatest(col("n_tokens"), lit(1)))
+      .select(col("doc_id"),
+        ((col("n_tokens") >= 20 && col("n_tokens") <= 60).cast("long") +
+          (col("mean_wl") >= 3.8 && col("mean_wl") <= 4.6).cast("long") +
+          (col("n_stop") >= 2).cast("long") +
+          (col("alpha_frac") >= 0.8).cast("long")).as("score"))
+
+  /** DuckDB CTE body for [[docGateScores]]: `(SELECT doc_id, score ...)`. */
+  val docGateScoresSql: String =
+    s"""SELECT doc_id,
+       |  CAST(n_tokens BETWEEN 20 AND 60 AS BIGINT)
+       |    + CAST(mean_wl BETWEEN 3.8 AND 4.6 AS BIGINT)
+       |    + CAST(n_stop >= 2 AS BIGINT)
+       |    + CAST(alpha_frac >= 0.8 AS BIGINT) AS score
+       |FROM (
+       |  SELECT doc_id,
+       |    len(tks) AS n_tokens,
+       |    CAST(list_sum(list_transform(tks, w -> length(w))) AS DOUBLE)
+       |      / greatest(len(tks), 1) AS mean_wl,
+       |    len(list_filter(list_distinct(tks),
+       |      w -> w IN ('the','a','of','and','in'))) AS n_stop,
+       |    CAST(len(list_filter(tks,
+       |      w -> regexp_matches(w, '^[a-z]+$$'))) AS DOUBLE)
+       |      / greatest(len(tks), 1) AS alpha_frac
+       |  FROM (SELECT doc_id, $tokensDuckSql AS tks FROM documents))""".stripMargin
+
   val qualityGatesSql: String =
     s"""WITH g AS (
        |  SELECT source, tks,

@@ -615,6 +615,74 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
       .replace("@PAIRS@", neardupPairsSql(threshold))
 
+  /** q194 — KEEP-BEST dedup: the curation policy layer on top of the
+    * q60 cluster resolution. Production dedup does not keep "the
+    * minimum doc_id" — it keeps the HIGHEST-QUALITY member of each
+    * near-dup cluster (longest / cleanest / best-scored copy) and
+    * discards the rest. Here each cluster's survivor is the member
+    * with the most q83 quality gates passed (0–4), ties to the lowest
+    * doc_id — one struct-max aggregate per cluster (`max(struct(score,
+    * -doc_id))`), never a per-cluster sort or collect. Output is the
+    * per-cluster decision record: survivor, its score, cluster size,
+    * and how many copies were discarded.
+    *
+    * Scale shape: cluster resolution is q60's label propagation over
+    * the EDGE list; the policy layer adds one doc-grain score scan and
+    * one cluster-grain struct-max — both map-side-combining.
+    */
+  def keepBestDedup(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.5): DataFrame =
+    dedupClusters(spark, sfDir, threshold)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .join(Corpus.docGateScores(spark, sfDir), Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(max(struct(col("score"), (-col("doc_id")).as("nid"))).as("m"),
+        max(col("cluster_size")).cast("long").as("cluster_size"))
+      .select(col("cluster_id"),
+        (-col("m.nid")).as("keep_doc_id"),
+        col("m.score").as("keep_score"),
+        col("cluster_size"),
+        (col("cluster_size") - 1).as("n_discarded"))
+      .orderBy("cluster_id")
+
+  /** Oracle for [[keepBestDedup]]: the q60 transitive-closure clusters
+    * + the q83 gate score at doc grain + the same (score, −doc_id)
+    * argmax restated as a window rank.
+    */
+  def keepBestDedupSql(threshold: Double = 0.5): String =
+    s"""WITH RECURSIVE np AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM (@PAIRS@) pairs),
+       |und AS MATERIALIZED (
+       |  SELECT doc_a AS s, doc_b AS d FROM np
+       |  UNION ALL
+       |  SELECT doc_b AS s, doc_a AS d FROM np),
+       |reach(s, d) AS (
+       |  SELECT s, d FROM und
+       |  UNION
+       |  SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s),
+       |lbl AS (
+       |  SELECT s AS node, LEAST(s, MIN(d)) AS cluster_id
+       |  FROM reach GROUP BY s),
+       |sizes AS (
+       |  SELECT cluster_id, COUNT(*) AS cluster_size
+       |  FROM lbl GROUP BY cluster_id),
+       |scores AS MATERIALIZED (@SCORES@),
+       |ranked AS (
+       |  SELECT l.cluster_id, l.node AS doc_id, sc.score, s.cluster_size,
+       |    row_number() OVER (PARTITION BY l.cluster_id
+       |                       ORDER BY sc.score DESC, l.node ASC) AS rk
+       |  FROM lbl l
+       |  JOIN scores sc ON sc.doc_id = l.node
+       |  JOIN sizes s USING (cluster_id))
+       |SELECT cluster_id, doc_id AS keep_doc_id,
+       |  CAST(score AS BIGINT) AS keep_score,
+       |  CAST(cluster_size AS BIGINT) AS cluster_size,
+       |  CAST(cluster_size - 1 AS BIGINT) AS n_discarded
+       |FROM ranked WHERE rk = 1
+       |ORDER BY cluster_id""".stripMargin
+      .replace("@PAIRS@", neardupPairsSql(threshold))
+      .replace("@SCORES@", Corpus.docGateScoresSql)
+
   /** Shared CTE prefix of the LSH-candidate oracles, row-based for the
     * same sf1-budget reason as [[minhashSignaturesSql]] (the list-lambda
     * form re-ran the shingle tree 16× per doc and timed out at sf1):
