@@ -167,12 +167,19 @@ object Layout {
     */
   def bucketedJoinRollup(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.sources.{Bucketing, Tables}
-    // table names carry the SOURCE MTIME: a testdata regen gets fresh
-    // tables, while repeat runs in one session (Bench's two passes)
-    // reuse the already-written buckets — the write-once/join-forever
-    // economics this operator exists to demonstrate
-    val mt = new java.io.File(sfDir, "lineitem.parquet").lastModified
-    val key = s"${Tables.pathKey(sfDir)}_$mt"
+    // table names carry BOTH SOURCE MTIMES: a testdata regen of either
+    // side gets fresh tables, while repeat runs in one session (Bench's
+    // two passes) reuse the already-written buckets — the
+    // write-once/join-forever economics this operator exists to
+    // demonstrate. File.lastModified returns 0 for a missing path, so a
+    // zero mtime means the staging key would silently never change —
+    // fail loudly instead (round-10 ADVICE).
+    val liMt = new java.io.File(sfDir, "lineitem.parquet").lastModified
+    val ordMt = new java.io.File(sfDir, "orders.parquet").lastModified
+    require(liMt > 0 && ordMt > 0,
+      s"bucketed staging sources missing under $sfDir " +
+        s"(lineitem mtime=$liMt, orders mtime=$ordMt)")
+    val key = s"${Tables.pathKey(sfDir)}_${liMt}_$ordMt"
     val lt = s"graft_b_li_$key"
     val ot = s"graft_b_ord_$key"
     if (!spark.catalog.tableExists(lt) || !spark.catalog.tableExists(ot)) {

@@ -1859,13 +1859,22 @@ object Similarity {
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb.filter(col("vec_id") === queryVec)
       .select(col("embedding").as("q_emb"))
+    // Distributed top-n FIRST (TakeOrderedAndProject, the q01 idiom),
+    // THEN rank the <=n-row frame: ranking 1..n of the global
+    // (cosine DESC, vec_id ASC) order is identical to row_number over
+    // the full corpus filtered to <=n, but the window never sees more
+    // than n rows and the float arrays are projected away before the
+    // exchange. (Round-10 verdict: the old global un-partitioned window
+    // funneled the whole embeddings scan through one task.)
     val wVec = Window.orderBy(desc("cosine"), asc("vec_id"))
     val vec = emb.filter(col("vec_id") =!= queryVec)
       .crossJoin(broadcast(q))
-      .withColumn("cosine",
-        graft.functions.cosine_sim(col("q_emb"), col("embedding")))
+      .select(col("vec_id"),
+        graft.functions.cosine_sim(col("q_emb"), col("embedding"))
+          .as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(n)
       .withColumn("vec_rank", row_number().over(wVec).cast("long"))
-      .filter(col("vec_rank") <= n)
       .select(col("vec_id").as("doc_id"), col("vec_rank"))
     val tTerm = when(col("text_rank").isNull, lit(0.0))
       .otherwise(lit(1.0) / (lit(60.0) + col("text_rank").cast("double")))

@@ -1625,15 +1625,20 @@ object EventStreams {
             .write.mode("overwrite") // idempotent per-batch dir (q154)
             .parquet(new java.io.File(outBase, s"b$batchId").getPath)
           // bump AFTER the first batch committed: later batches see v2.
-          // The bump is guarded by an on-disk marker so a RE-EXECUTED
-          // batch 0 (failure between output write and batch commit —
-          // foreachBatch is at-least-once) cannot double-suffix the
-          // segments to '_v2_v2': side effects inside foreachBatch must
-          // be idempotent, not just the output dirs.
+          // The bump is guarded TWICE: an on-disk marker (fast path) AND
+          // a data-level conditional — a segment already ending in
+          // '_v2' is passed through unchanged — so a RE-EXECUTED batch 0
+          // (failure anywhere between the v2 overwrite and marker
+          // creation; foreachBatch is at-least-once) re-runs the bump as
+          // a no-op rewrite instead of double-suffixing to '_v2_v2'.
+          // The marker alone left that window open (round-10 ADVICE):
+          // only self-detection from the data closes it.
           val bumped = new java.io.File(dimDir, "_graft_dim_bumped")
           if (batchId == 0L && !bumped.exists) {
             val v2 = s.read.parquet(dimDir)
-              .withColumn("segment", concat(col("segment"), lit("_v2")))
+              .withColumn("segment",
+                when(col("segment").endsWith("_v2"), col("segment"))
+                  .otherwise(concat(col("segment"), lit("_v2"))))
               .localCheckpoint(true) // sever lineage from the files
                                      // about to be overwritten
             v2.write.mode("overwrite").parquet(dimDir)

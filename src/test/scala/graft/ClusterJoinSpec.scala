@@ -139,4 +139,23 @@ class ClusterJoinSpec extends SparkSpec {
       s"brute candidate space ($nAll) should dwarf the qualifying set " +
         s"(${pruned.count()}) or the fixture is degenerate")
   }
+
+  test("q185 guard: a near-dup-dense corpus fails loudly, not quadratically") {
+    // The prefix filter's candidate volume is data-dependent; a corpus
+    // of identical documents makes EVERY pair a candidate. The guard
+    // must turn that silent quadratic degradation into a loud failure
+    // carrying the measured per-doc rate (round-10 verdict ask).
+    import spark.implicits._
+    val dense = (0L until 200L)
+      .map(i => (i, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.allPairsJaccardOn(dense, 3, 5, maxCandPerDoc = 4)
+    }
+    assert(e.getMessage.contains("candidate blowup"), e.getMessage)
+    // and a sane corpus passes under the same ceiling
+    assert(Dedup.allPairsJaccardOn(
+      Tables.documents(spark, sf0001), 3, 5, maxCandPerDoc = 64)
+      .count() > 0)
+  }
 }
