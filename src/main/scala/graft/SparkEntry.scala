@@ -71,7 +71,7 @@ object SparkEntry {
     "q27_events_sliding" -> ((s, d) => Events.slidingHourly(s, d)),
     "q28_events_sessions" -> ((s, d) => Events.sessionize(s, d)),
     "q29_events_daily" -> ((s, d) => Events.dailyTypeRollup(s, d)),
-    // --- multimodal binary-column plumbing (decode step is a stub) ---
+    // --- multimodal binary columns: per-kind REAL codec decode ---
     "q30_media_features" -> ((s, d) => Multimodal.mediaFeatures(s, d)),
     "q31_media_rollup" -> ((s, d) => Multimodal.mediaKindRollup(s, d)),
     // --- round-2 additions: JSON props, blocking Jaccard, IVF ANN ---
@@ -371,7 +371,7 @@ object SparkEntry {
     // cluster-balanced diversity sample: proportional quotas with a
     // tail floor, md5-rank selection, map-side argmax assignment
     "q155_diversity_sample" -> ((s, d) => Similarity.diversitySample(s, d)),
-    // REAL image codec at the decode boundary (not the q30 stub): BMP
+    // REAL image codec at the decode boundary: BMP
     // encode -> header parse + pixel walk + structural layout inverse,
     // partition-wise with per-partition codec state
     "q156_media_decode" -> ((s, d) => Multimodal.mediaDecode(s, d)),
@@ -416,11 +416,11 @@ object SparkEntry {
     // REAL frame sampling over a REAL seekable container: per-frame
     // deflate streams behind a (offset, compLen, CRC32) directory;
     // only every 4th frame is inflated — sampled bytes, not container
-    // bytes, set the cost (the q35 stub's semantics made genuine)
+    // bytes, set the cost (q35 samples the same container at 48/3)
     "q168_video_frames" -> ((s, d) => Multimodal.videoFramesRun(s, d)),
     // REAL resize: BMP decode -> nearest-neighbor 16x16 gather ->
     // re-encode -> decode with the unmodified decoder; the oracle
-    // replays the integer gather (the resize stub's semantics made real)
+    // replays the integer gather
     "q169_media_resize" -> ((s, d) => Multimodal.mediaResize(s, d)),
     // stream-stream FULL OUTER interval join: both unmatched sides
     // surface by state eviction (completes the q133/q163 triad)

@@ -531,12 +531,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(fp.select("doc_fp").distinct().count() === 500) // all texts distinct
   }
 
-  test("multimodal: features deterministic, payload never nulls, batch shape correct") {
+  test("multimodal: per-kind REAL decode features, one row per media, deterministic") {
     val feats = operators.Multimodal.mediaFeatures(spark, sf0001)
     assert(feats.count() === 500)
-    assert(feats.filter($"width" < 64 || $"width" > 64 + 255 * 4).count() === 0)
-    assert(feats.filter($"f0" < 0 || $"f0" > 1).count() === 0)
-    // determinism: running twice gives identical frames
+    // one row per media, kind derived from the id
+    assert(feats.filter(($"media_id" % 3 === 0 && $"kind" =!= "image") ||
+      ($"media_id" % 3 === 1 && $"kind" =!= "audio") ||
+      ($"media_id" % 3 === 2 && $"kind" =!= "video")).count() === 0)
+    // decoded invariants: image units are whole 96-byte strides; audio
+    // units equal the raw sample count (= text length); fingerprints
+    // are md5 hex
+    assert(feats.filter($"kind" === "image" && $"n_units" % 96 =!= 0)
+      .count() === 0)
+    assert(feats.filter($"n_units" < 0 || $"val_sum" < 0).count() === 0)
+    assert(feats.filter(length($"content_md5") =!= 32).count() === 0)
+    // image + audio fingerprints recover the source text's md5 exactly
+    // (the codec round-trip proof, per media)
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select($"doc_id".as("media_id"), md5($"text").as("want"))
+    val bad = feats.filter($"kind" =!= "video")
+      .join(docs, Seq("media_id"))
+      .filter($"content_md5" =!= $"want").count()
+    assert(bad === 0, "a BMP/audio round-trip corrupted content")
+    // determinism: running twice gives identical rows
     val again = operators.Multimodal.mediaFeatures(spark, sf0001)
     assert(feats.exceptAll(again).count() === 0)
   }
@@ -566,17 +583,6 @@ class ExtensionsSpec extends SparkSpec {
     new graft.functions.GraftExtensions().apply(ext) // must not throw
   }
 
-  test("multimodal resize stub: deterministic payloads sized to target area") {
-    val media = operators.Multimodal.mediaFromDocuments(spark, sf0001)
-    val resized = operators.Multimodal.resizeStub(media, 128, 128)
-    assert(resized.count() === 500)
-    val lens = resized.collect().map(_.payload.length).distinct
-    assert(lens.toSeq === Seq(128 * 128 / 64))
-    val again = operators.Multimodal.resizeStub(media, 128, 128)
-      .collect().sortBy(_.media_id).map(_.payload.toSeq)
-    val first = resized.collect().sortBy(_.media_id).map(_.payload.toSeq)
-    assert(first.sameElements(again))
-  }
 
   test("bmp codec: real round-trip — header fields, pixel stats, content inverse") {
     import spark.implicits._
@@ -845,14 +851,19 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
-  test("multimodal frame sampling: every step-th pseudo-frame of videos, with offsets") {
+  test("multimodal frame sampling (q35): every 3rd container frame, 48-byte geometry") {
+    val frames = operators.Multimodal.mediaFrames(spark, sf0001)
     val media = operators.Multimodal.mediaFromDocuments(spark, sf0001)
-    val frames = operators.Multimodal.sampleFramesStub(media)
-    val nVideos = media.filter(_.kind == "video").count()
-    assert(frames.count() >= nVideos) // at least frame 0 per video
-    val bad = frames.filter(f =>
-      f.frame_idx % 4 != 0 || f.byte_offset != f.frame_idx * 64).count()
-    assert(bad === 0)
+    val nonEmptyVideos = media.filter(m => m.kind == "video" &&
+      m.payload.nonEmpty).count()
+    // frame 0 exists for every non-empty video (step sampling anchors
+    // at the first frame)
+    assert(frames.filter($"frame_idx" === 0).count() === nonEmptyVideos)
+    assert(frames.filter($"frame_idx" % 3 =!= 0 ||
+      $"byte_offset" =!= $"frame_idx" * 48).count() === 0)
+    // sampled frames are real inflated bytes: lengths in (0, 48]
+    assert(frames.filter($"frame_len" <= 0 || $"frame_len" > 48)
+      .count() === 0)
   }
 
   test("events sessionize: session bounds ordered, gaps respected") {
