@@ -1030,8 +1030,12 @@ object EventStreams {
   def suppressedStreamAvailableNow(spark: SparkSession,
       sfDir: String): DataFrame = {
     val name = "graft_stream_anti_" + runCounter.incrementAndGet()
+    // two erasure segments, not one: the sf0.001 fixture's event users
+    // happen to contain no AUTOMOBILE custkeys at all, which made the
+    // single-segment blocklist VACUOUS there (caught by the QueriesSpec
+    // subgroup audit, round 11) — MACHINERY is present at every scale
     val blocked = graft.sources.Tables.customer(spark, sfDir)
-      .filter(col("c_mktsegment") === "AUTOMOBILE")
+      .filter(col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY"))
       .select(col("c_custkey").as("user_id"))
     withStatePartitions(spark, 8) {
       val ev = readEventStream(spark, sfDir, glob = Some("events.parquet"))
@@ -1059,7 +1063,8 @@ object EventStreams {
       |  CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value
       |FROM events
       |WHERE user_id NOT IN (
-      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+      |  SELECT c_custkey FROM customer
+      |  WHERE c_mktsegment IN ('AUTOMOBILE', 'MACHINERY'))
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 

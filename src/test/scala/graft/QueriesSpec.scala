@@ -37,6 +37,44 @@ class QueriesSpec extends SparkSpec {
       s"queries without oracle beyond the whitelist: ${missing -- approxOnly}")
   }
 
+  test("outer/anti/semi folds discriminate: both populations present at sf0.001") {
+    // The every-query >0-rows contract above cannot catch a SUBGROUP
+    // going vacuous: a left-outer fold whose unmatched half is empty,
+    // or an anti join that drops nothing, still returns rows while
+    // verifying nothing (the q177-draft trap, generalized per the
+    // round-10 verdict). Each join-matrix query must exhibit BOTH of
+    // its discriminating populations on the smallest fixture.
+    import org.apache.spark.sql.functions.{col, sum}
+    val r163 = SparkEntry.queries("q163_streaming_outer_join")(spark, sf0001)
+      .collect()
+    assert(r163.exists(_.getLong(1) != -1L), "q163: no matched pairs")
+    assert(r163.exists(_.getLong(1) == -1L),
+      "q163: no watermark-proven unmatched errors - the outer half is vacuous")
+    val r170 = SparkEntry.queries("q170_streaming_full_outer")(spark, sf0001)
+      .collect()
+    assert(r170.exists(r => r.getLong(0) != -1L && r.getLong(1) != -1L),
+      "q170: no matched pairs")
+    assert(r170.exists(_.getLong(1) == -1L), "q170: no unmatched errors")
+    assert(r170.exists(_.getLong(0) == -1L), "q170: no unmatched clicks")
+    // q177 anti: the suppression list must drop SOME events, not all
+    val kept = SparkEntry.queries("q177_streaming_anti")(spark, sf0001)
+      .agg(sum(col("n_events"))).head().getLong(0)
+    val all = graft.sources.Tables.events(spark, sf0001).count()
+    assert(kept > 0 && kept < all,
+      s"q177: anti join kept $kept of $all events - a vacuous blocklist")
+    // q180 semi: some but not all errors have a click in-window
+    val semi = SparkEntry.queries("q180_streaming_semi")(spark, sf0001).count()
+    val errs = graft.sources.Tables.events(spark, sf0001)
+      .filter(col("event_type") === "error").count()
+    assert(semi > 0 && semi < errs,
+      s"q180: semi admitted $semi of $errs errors - predicate is vacuous")
+    // q190: more than one campaign interval actually overlaps sessions
+    val r190 = SparkEntry.queries("q190_interval_overlap")(spark, sf0001)
+      .collect()
+    assert(r190.length > 1 && r190.forall(_.getLong(3) > 0L),
+      "q190: overlap rows missing or zero-length overlaps")
+  }
+
   test("q01 top-5: exactly 5 rows, strictly ordered by revenue desc") {
     val rows = SparkEntry.queries("q01_top_products")(spark, sf0001)
       .select("revenue").collect().map(_.getDouble(0))
