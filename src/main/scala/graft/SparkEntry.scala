@@ -513,6 +513,10 @@ object SparkEntry {
     // keep-best dedup: each near-dup cluster keeps its highest-quality
     // member (q83 gate score, ties to min id) via one struct-max agg
     "q194_keep_best" -> ((s, d) => Dedup.keepBestDedup(s, d)),
+    // incremental ANN index maintenance: the new batch's codes appended
+    // as a _SUCCESS-committed segment (base never rewritten), search
+    // reads the segment union - results identical to q144/q158
+    "q195_ann_index_append" -> ((s, d) => Similarity.annIndexAppend(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -600,6 +604,7 @@ object SparkEntry {
     "q192_session_paths" -> Events.sessionPathsSql(),
     "q193_table_checksums" -> Validation.tableChecksumsSql,
     "q194_keep_best" -> Dedup.keepBestDedupSql(),
+    "q195_ann_index_append" -> Similarity.annIndexAppendSql(),
     // folding the update log must reproduce the q26 batch aggregate
     "q148_streaming_update" -> Events.hourlyByTypeSql,
     "q149_streaming_enrich" ->

@@ -484,6 +484,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q195 segmented ANN index: append never rewrites base; union search re-encodes nothing") {
+    // first invocation builds base + appends the batch segment
+    val df1 = graft.operators.Similarity.annIndexAppend(spark, sf0001)
+    df1.collect()
+    val baseDir = new java.io.File("/tmp/graft_index",
+      "pqseg_" + graft.sources.Tables.pathKey(sf0001) + "/base")
+    val before = baseDir.listFiles().map(f =>
+      f.getName -> f.lastModified).toMap
+    // second invocation re-runs the APPEND path (fresh segment) — the
+    // base segment's files must be byte-identical untouched
+    val df2 = graft.operators.Similarity.annIndexAppend(spark, sf0001)
+    df2.collect()
+    val after = baseDir.listFiles().map(f =>
+      f.getName -> f.lastModified).toMap
+    assert(before === after, "the append rewrote base-segment files")
+    val p = plan(df2)
+    assert(!p.contains("pq_encode"),
+      s"segment search path must not re-encode any segment:\n$p")
+    assert(p.contains("base") && p.contains("seg1"),
+      s"expected FileScans of both index segments:\n$p")
+    // a post-append vector is findable: both provenances appear
+    val flags = df2.select("from_appended").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(flags === Set(0L, 1L),
+      s"appended segment never (or always) served a neighbor: $flags")
+    // segment union must equal the monolithic / live-encode search
+    val live = graft.operators.Similarity.annIvfPq(spark, sf0001)
+    val noFlag = df2.drop("from_appended")
+    assert(noFlag.exceptAll(live).count() === 0 &&
+      live.exceptAll(noFlag).count() === 0,
+      "segmented search diverged from the monolithic encoding path")
+  }
+
   test("q184 hybrid: no Window ranks an unlimited embeddings scan") {
     // round-10 verdict's one `weak`: the vector ranker used to run
     // row_number over a global window on the FULL embeddings scan. The
