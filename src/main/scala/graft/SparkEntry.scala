@@ -517,6 +517,10 @@ object SparkEntry {
     // as a _SUCCESS-committed segment (base never rewritten), search
     // reads the segment union - results identical to q144/q158
     "q195_ann_index_append" -> ((s, d) => Similarity.annIndexAppend(s, d)),
+    // the COMPOSED corpus build: gates -> near-dup -> decontamination
+    // -> diversity sample -> packing, as one telescoping ledger +
+    // packed-sequence histogram (the north-star integration DAG)
+    "q196_corpus_pipeline" -> ((s, d) => Corpus.corpusPipeline(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -605,6 +609,7 @@ object SparkEntry {
     "q193_table_checksums" -> Validation.tableChecksumsSql,
     "q194_keep_best" -> Dedup.keepBestDedupSql(),
     "q195_ann_index_append" -> Similarity.annIndexAppendSql(),
+    "q196_corpus_pipeline" -> Corpus.corpusPipelineSql(),
     // folding the update log must reproduce the q26 batch aggregate
     "q148_streaming_update" -> Events.hourlyByTypeSql,
     "q149_streaming_enrich" ->

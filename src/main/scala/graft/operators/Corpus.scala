@@ -556,4 +556,291 @@ object Corpus {
        |FROM pairs GROUP BY pair
        |ORDER BY merge_count DESC, pair
        |LIMIT $topN""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q196 — the COMPOSED corpus-build pipeline (round-10 verdict ask
+  // #4): every stage of the LLM curation chain exists and is
+  // individually green (gates q83, near-dup q15/q147, decontamination
+  // q84, diversity sample q155, sequence packing q55); this registers
+  // the one materialized DAG a training-data pipeline actually runs,
+  // with a per-stage admitted/discarded LEDGER plus the final
+  // packed-sequence histogram. Stage semantics (each deterministic and
+  // restated verbatim by the oracle):
+  //   1 gates      train docs (doc_id % 5 != 0 — the eval split is the
+  //                contamination reference, never pipeline input) with
+  //                all four q83 gates passing (score == 4).
+  //   2 near_dup   drop an admit b when SOME admit a < b shares an LSH
+  //                band and has exact 3-shingle Jaccard >= 1/2
+  //                (integer form 2·|A∩B| >= |A∪B| — no float
+  //                threshold). Candidates are band-collisions only;
+  //                the rule is single-pass (b compares against all
+  //                admits below it, not against survivors — the
+  //                chained variant is q194's cluster keep-best).
+  //   3 decontam   drop a survivor containing ANY distinct word
+  //                5-shingle that appears in the eval split (q84).
+  //   4 diversity  cluster-balanced quotas over the survivors'
+  //                embeddings (q155 semantics: argmax-cosine to the
+  //                q34 seed centroids, integer quota
+  //                max(minQuota, total·n_c div n), md5-rank picks).
+  //   5 packing    greedy 512-token bins over the sample in doc order
+  //                (q55 distributed prefix sum).
+  // Output: stage rows (stage_idx 1-5) with n_in / n_admitted /
+  // n_discarded / a stage detail (gate-score sum, dup pairs,
+  // contaminated-shingle hits, clusters sampled, packs built), then
+  // the docs-per-pack histogram as stage_idx 100+n rows. PipelineSpec
+  // asserts the ledger TELESCOPES: n_in(k) = n_admitted(k-1) and
+  // n_admitted = n_in - n_discarded on every row.
+  //
+  // Scale shape: each stage is the same plan its standalone query
+  // ships (banded candidate exchange, broadcast eval-hash set and
+  // quota table, one window at cluster grain, prefix-sum packing); the
+  // inter-stage handoff is an id-set join — admit frames are
+  // checkpointed once and carry (doc_id) only, so no stage reshuffles
+  // another's payloads. The ledger scalars are aggregate actions on
+  // those checkpointed id frames (bounded driver state: six longs).
+  // ------------------------------------------------------------------
+  def corpusPipeline(spark: SparkSession, sfDir: String,
+      nClusters: Int = 16, totalQuota: Int = 32, minQuota: Int = 2,
+      budget: Int = 512): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // ---- stage 1: quality gates over the train split ----
+    val train = docGateScores(spark, sfDir)
+      .filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .localCheckpoint(true)
+    val nTrain = train.count()
+    val gateDetail = train.agg(sum("score")).head().getLong(0)
+    val s1 = train.filter(col("score") === 4).select("doc_id")
+      .localCheckpoint(true)
+    val n1 = s1.count()
+    // ---- stage 2: near-dup drop among the admits ----
+    val sigs = Dedup.minhashSignaturesRaw(spark, sfDir)
+      .join(s1, Seq("doc_id"))
+      .repartition(col("doc_id")) // plan barrier (Dedup banding idiom)
+    val bands = Dedup.bandedFromSigs(sigs).localCheckpoint(true)
+    val cands = bands
+      .select(col("doc_id").as("doc_a"), col("band_idx"), col("band_key"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band_idx"),
+        col("band_key")), Seq("band_idx", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sh = Dedup.distinctShingles(spark, sfDir)
+    val dupPairs = cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        Seq("doc_b"))
+      .withColumn("n_inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("n_union",
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long")
+          - col("n_inter"))
+      .filter(col("n_inter") * 2 >= col("n_union"))
+      .select("doc_a", "doc_b")
+      .localCheckpoint(true)
+    val dupDetail = dupPairs.count()
+    val s2 = s1.join(dupPairs.select(col("doc_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val n2 = s2.count()
+    // ---- stage 3: eval-set decontamination (5-shingle hashes) ----
+    val hs5 = shingleHashes(spark, sfDir, 5)
+    val evalH = hs5.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select("h").distinct()
+    val contamHits = hs5.join(s2, Seq("doc_id"))
+      .select("doc_id", "h").distinct()
+      .join(Joins.broadcastIfSmall(evalH, Tables.documents(spark, sfDir)),
+        Seq("h"))
+      .localCheckpoint(true)
+    val contamDetail = contamHits.count()
+    val s3 = s2.join(contamHits.select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val n3 = s3.count()
+    // ---- stage 4: cluster-balanced diversity sample ----
+    val centroids = Similarity.ivfQuantizer(spark, sfDir, nClusters)
+      .map(_._2)
+    val assigned = Tables.embeddings(spark, sfDir)
+      .join(s3.select(col("doc_id").as("vec_id")), Seq("vec_id"))
+      .select(col("vec_id"),
+        graft.functions.argmax_cosine(col("embedding"), centroids)
+          .as("cluster"))
+    val sizes = assigned.groupBy("cluster").agg(count(lit(1)).as("n_c"))
+    val nAll = broadcast(assigned.agg(count(lit(1)).as("n")))
+    val quotas = broadcast(sizes.crossJoin(nAll).select(col("cluster"),
+      greatest(lit(minQuota.toLong),
+        expr(s"${totalQuota}L * n_c div n")).as("quota")))
+    val wCell = Window.partitionBy("cluster")
+      .orderBy(md5(col("vec_id").cast("string").cast("binary")),
+        col("vec_id"))
+    val s4 = assigned
+      .withColumn("pick_rank", row_number().over(wCell))
+      .filter(col("pick_rank") <=
+        lit(math.max(minQuota, totalQuota).toLong))
+      .join(quotas, Seq("cluster"))
+      .filter(col("pick_rank") <= col("quota"))
+      .select(col("vec_id").as("doc_id"), col("cluster"))
+      .localCheckpoint(true)
+    val n4 = s4.count()
+    val divDetail = s4.select("cluster").distinct().count()
+    // ---- stage 5: sequence packing over the sample ----
+    val toks = Tables.documents(spark, sfDir)
+      .join(s4.select("doc_id"), Seq("doc_id"))
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+    val packs = ScalableKeys
+      .withPrefixSum(toks, "doc_id", "toks", "cum_before")
+      .withColumn("pack_id", expr(s"cum_before div $budget"))
+      .groupBy("pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("toks").cast("long").as("pack_tokens"))
+      .localCheckpoint(true)
+    val nPacks = packs.count()
+    // ---- the ledger + the packed histogram ----
+    val ledger = Seq(
+      (1L, "gates", nTrain, n1, nTrain - n1, gateDetail),
+      (2L, "near_dup", n1, n2, n1 - n2, dupDetail),
+      (3L, "decontam", n2, n3, n2 - n3, contamDetail),
+      (4L, "diversity", n3, n4, n3 - n4, divDetail),
+      (5L, "packing", n4, n4, 0L, nPacks)
+    ).toDF("stage_idx", "stage", "n_in", "n_admitted", "n_discarded",
+      "detail")
+    val hist = packs.groupBy("n_docs")
+      .agg(count(lit(1)).as("n_admitted"),
+        sum("pack_tokens").cast("long").as("detail"))
+      .select((lit(100L) + col("n_docs")).as("stage_idx"),
+        lit("hist_docs_per_pack").as("stage"),
+        col("n_docs").as("n_in"),
+        col("n_admitted"),
+        lit(0L).as("n_discarded"),
+        col("detail"))
+    ledger.unionByName(hist).orderBy("stage_idx")
+  }
+
+  /** DuckDB oracle for [[corpusPipeline]]: the five stages restated as
+    * one CTE chain — the banded-LSH prefix (the q15/q147 oracle block),
+    * per-doc gate scores, the integer-Jaccard dup rule, the 5-shingle
+    * eval intersection, the q155 quota sample, the q55 prefix-sum
+    * packing — then the same ledger + histogram union.
+    */
+  def corpusPipelineSql(nClusters: Int = 16, totalQuota: Int = 32,
+      minQuota: Int = 2, budget: Int = 512): String = {
+    val cos = Similarity.cosineExprDuck("e.embedding", "s.centroid")
+    // @BANDED@ is substituted AFTER stripMargin (the Dedup oracle
+    // idiom): the banded CTE's own continuation lines begin with `||`,
+    // which a second stripMargin pass would truncate to `|`
+    s"""@BANDED@,
+       |gate AS MATERIALIZED (${docGateScoresSql}),
+       |train AS (SELECT doc_id, score FROM gate WHERE doc_id % 5 <> 0),
+       |s1 AS MATERIALIZED (SELECT doc_id FROM train WHERE score = 4),
+       |bandedq AS (SELECT b.* FROM banded b JOIN s1 USING (doc_id)),
+       |cands AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bandedq a JOIN bandedq b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh_rows GROUP BY 1),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+       |  FROM cands c
+       |  JOIN sh_rows a ON a.doc_id = c.doc_a
+       |  JOIN sh_rows b ON b.doc_id = c.doc_b AND b.s = a.s
+       |  GROUP BY 1, 2),
+       |dups AS MATERIALIZED (
+       |  SELECT i.doc_a, i.doc_b FROM inter i
+       |  JOIN sizes sa ON sa.doc_id = i.doc_a
+       |  JOIN sizes sb ON sb.doc_id = i.doc_b
+       |  WHERE 2 * i.n_inter >= sa.n + sb.n - i.n_inter),
+       |s2 AS MATERIALIZED (SELECT doc_id FROM s1
+       |  WHERE doc_id NOT IN (SELECT doc_b FROM dups)),
+       |${shingleHashesSql(5)},
+       |evh AS MATERIALIZED (
+       |  SELECT DISTINCT h FROM hs WHERE doc_id % 5 = 0),
+       |contam AS MATERIALIZED (
+       |  SELECT DISTINCT t.doc_id, t.h
+       |  FROM (SELECT DISTINCT doc_id, h FROM hs) t
+       |  JOIN s2 USING (doc_id) JOIN evh USING (h)),
+       |s3 AS MATERIALIZED (SELECT doc_id FROM s2
+       |  WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM contam)),
+       |seeds AS (
+       |  SELECT CAST(row_number() OVER (
+       |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT)
+       |           AS cluster,
+       |         embedding AS centroid
+       |  FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT $nClusters),
+       |assigned AS MATERIALIZED (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT e.vec_id, s.cluster,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY $cos DESC,
+       |                 s.cluster ASC) AS rn
+       |    FROM embeddings e JOIN s3 ON e.vec_id = s3.doc_id
+       |    CROSS JOIN seeds s)
+       |  WHERE rn = 1),
+       |sizes4 AS (SELECT cluster, COUNT(*) AS n_c FROM assigned GROUP BY 1),
+       |ntot AS (SELECT COUNT(*) AS n FROM assigned),
+       |quotas AS (
+       |  SELECT cluster,
+       |    GREATEST($minQuota, $totalQuota * n_c // ntot.n) AS quota
+       |  FROM sizes4 CROSS JOIN ntot),
+       |ranked AS (
+       |  SELECT cluster, vec_id,
+       |    row_number() OVER (PARTITION BY cluster
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS pick_rank
+       |  FROM assigned),
+       |s4 AS MATERIALIZED (
+       |  SELECT r.vec_id AS doc_id, r.cluster
+       |  FROM ranked r JOIN quotas q USING (cluster)
+       |  WHERE r.pick_rank <= q.quota),
+       |t5 AS (
+       |  SELECT d.doc_id,
+       |    CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+       |      AS toks
+       |  FROM documents d JOIN s4 USING (doc_id)),
+       |c5 AS (
+       |  SELECT doc_id, toks,
+       |    COALESCE(SUM(toks) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS cum_before
+       |  FROM t5),
+       |packs AS MATERIALIZED (
+       |  SELECT cum_before // $budget AS pack_id, COUNT(*) AS n_docs,
+       |    CAST(SUM(toks) AS BIGINT) AS pack_tokens
+       |  FROM c5 GROUP BY 1)
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS stage_idx, 'gates' AS stage,
+       |    (SELECT COUNT(*) FROM train) AS n_in,
+       |    (SELECT COUNT(*) FROM s1) AS n_admitted,
+       |    (SELECT COUNT(*) FROM train) - (SELECT COUNT(*) FROM s1)
+       |      AS n_discarded,
+       |    (SELECT CAST(SUM(score) AS BIGINT) FROM train) AS detail
+       |  UNION ALL
+       |  SELECT 2, 'near_dup', (SELECT COUNT(*) FROM s1),
+       |    (SELECT COUNT(*) FROM s2),
+       |    (SELECT COUNT(*) FROM s1) - (SELECT COUNT(*) FROM s2),
+       |    (SELECT COUNT(*) FROM dups)
+       |  UNION ALL
+       |  SELECT 3, 'decontam', (SELECT COUNT(*) FROM s2),
+       |    (SELECT COUNT(*) FROM s3),
+       |    (SELECT COUNT(*) FROM s2) - (SELECT COUNT(*) FROM s3),
+       |    (SELECT COUNT(*) FROM contam)
+       |  UNION ALL
+       |  SELECT 4, 'diversity', (SELECT COUNT(*) FROM s3),
+       |    (SELECT COUNT(*) FROM s4),
+       |    (SELECT COUNT(*) FROM s3) - (SELECT COUNT(*) FROM s4),
+       |    (SELECT COUNT(DISTINCT cluster) FROM s4)
+       |  UNION ALL
+       |  SELECT 5, 'packing', (SELECT COUNT(*) FROM s4),
+       |    (SELECT COUNT(*) FROM s4), 0,
+       |    (SELECT COUNT(*) FROM packs)
+       |  UNION ALL
+       |  SELECT CAST(100 + n_docs AS BIGINT), 'hist_docs_per_pack',
+       |    CAST(n_docs AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       |    CAST(0 AS BIGINT), CAST(SUM(pack_tokens) AS BIGINT)
+       |  FROM packs GROUP BY n_docs
+       |) ORDER BY stage_idx""".stripMargin
+      .replace("@BANDED@", Dedup.lshBandedCte)
+  }
 }

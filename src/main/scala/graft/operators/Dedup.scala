@@ -207,7 +207,7 @@ object Dedup {
   /** Distinct 3-shingle sets per doc (the exact-Jaccard verification
     * grain shared by the incremental probes).
     */
-  private def distinctShingles(spark: SparkSession, sfDir: String): DataFrame =
+  private[operators] def distinctShingles(spark: SparkSession, sfDir: String): DataFrame =
     Tables.withMinParallelism(Tables.documents(spark, sfDir),
         spark.sparkContext.defaultParallelism).select(
       col("doc_id"),
@@ -475,7 +475,7 @@ object Dedup {
     * posexplode_outer (not posexplode) avoids the generator's implicit
     * `size(bands) > 0` filter re-evaluating the bands under the scan.
     */
-  private def bandedFromSigs(sigs: DataFrame): DataFrame =
+  private[operators] def bandedFromSigs(sigs: DataFrame): DataFrame =
     sigs.select(
         col("doc_id"),
         expr(
@@ -694,7 +694,7 @@ object Dedup {
     * tails divide the same integers the list formulation divided, so
     * the doubles are bit-identical.
     */
-  private def lshBandedCte: String =
+  private[operators] def lshBandedCte: String =
     s"""WITH sh_rows AS MATERIALIZED (
        |  SELECT doc_id, unnest(list_distinct($shinglesExprDuck)) AS s
        |  FROM documents),

@@ -175,4 +175,36 @@ class CorpusSpec extends SparkSpec {
     assert(p.contains("might_contain"),
       s"expected a might_contain pre-filter on the lineitem scan:\n$p")
   }
+
+  test("q196 pipeline: ledger telescopes, histogram reconciles, stages bite at sf0.01") {
+    // sf0.01: large enough that every curation stage discriminates
+    // (sf0.001's handful of gate admits has no near-dups to drop)
+    val rows = Corpus.corpusPipeline(spark, "/root/testdata/sf0.01")
+      .collect()
+    val stages = rows.filter(_.getLong(0) <= 5L).sortBy(_.getLong(0))
+    assert(stages.length === 5)
+    // n_admitted = n_in - n_discarded on every stage row
+    stages.foreach { r =>
+      assert(r.getLong(3) === r.getLong(2) - r.getLong(4),
+        s"stage ${r.getString(1)} does not balance: $r")
+    }
+    // the chain telescopes: n_in(k) = n_admitted(k-1)
+    stages.sliding(2).foreach { case Array(prev, next) =>
+      assert(next.getLong(2) === prev.getLong(3),
+        s"handoff ${prev.getString(1)} -> ${next.getString(1)} leaks docs")
+    }
+    // every curation stage discriminates (admits AND discards)
+    stages.take(4).foreach { r =>
+      assert(r.getLong(3) > 0 && r.getLong(4) > 0,
+        s"stage ${r.getString(1)} is vacuous at sf0.01: $r")
+    }
+    // the histogram reconciles with the packing stage: pack counts sum
+    // to the stage-5 detail, and docs-per-pack times packs sums to the
+    // sampled doc count
+    val hist = rows.filter(_.getLong(0) >= 100L)
+    assert(hist.map(_.getLong(3)).sum === stages(4).getLong(5),
+      "histogram pack count != packs built")
+    assert(hist.map(r => r.getLong(2) * r.getLong(3)).sum ===
+      stages(4).getLong(3), "histogram docs != packed docs")
+  }
 }
