@@ -521,6 +521,10 @@ object SparkEntry {
     // -> diversity sample -> packing, as one telescoping ledger +
     // packed-sequence histogram (the north-star integration DAG)
     "q196_corpus_pipeline" -> ((s, d) => Corpus.corpusPipeline(s, d)),
+    // fuzzy string join (edit distance <= 1) via complete 1-deletion
+    // neighborhood blocking + levenshtein verify - entity resolution
+    // without the n^2 cross join
+    "q197_fuzzy_join" -> ((s, d) => Joins.fuzzyNameJoin(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -610,6 +614,7 @@ object SparkEntry {
     "q194_keep_best" -> Dedup.keepBestDedupSql(),
     "q195_ann_index_append" -> Similarity.annIndexAppendSql(),
     "q196_corpus_pipeline" -> Corpus.corpusPipelineSql(),
+    "q197_fuzzy_join" -> Joins.fuzzyNameJoinSql,
     // folding the update log must reproduce the q26 batch aggregate
     "q148_streaming_update" -> Events.hourlyByTypeSql,
     "q149_streaming_enrich" ->

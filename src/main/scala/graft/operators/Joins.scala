@@ -147,4 +147,128 @@ object Joins {
         toExpression(xxhash64(col(bigKey))))))
       .join(exact, Seq(bigKey), "left_semi")
   }
+
+  /** q197 — FUZZY STRING JOIN (approximate-key entity resolution, the
+    * operator family the engine lacked): match "dirty" strings to a
+    * clean reference at edit distance ≤ 1 WITHOUT the n² cross join,
+    * via 1-DELETION-NEIGHBORHOOD BLOCKING (FastSS): each string s emits
+    * the key set K(s) = {s} ∪ {s with one character deleted}, and two
+    * strings at distance ≤ 1 PROVABLY share a key (equal → s itself;
+    * deletion → the shorter string; substitution at i → both sides'
+    * del_i), so the equi-join on keys is a complete candidate generator
+    * and a levenshtein verify ≤ 1 removes the false candidates
+    * (distance-2 pairs sharing a deletion). Per string that is
+    * len(s)+1 short keys — the blocking turns an O(n²) similarity join
+    * into one key-partitioned exchange, the same economics as q15's
+    * MinHash bands for Jaccard.
+    *
+    * Fixture: the clean side is the DISTINCT name dictionary (canonical
+    * id = min partkey per name — p_name is heavily duplicated, ~64
+    * distinct names at every scale, and matching against the raw table
+    * would grow the verify join quadratically in the duplication
+    * factor; resolving against the deduplicated reference is both the
+    * realistic shape and the scalable one). The dirty side is built
+    * deterministically from every part's name by deleting one
+    * md5-picked character, so each dirty row has its source name at
+    * distance 1. Output per dirty row: the best verified dictionary
+    * match (min distance, tie → min canonical id) and the verified
+    * dictionary-entry count.
+    *
+    * Scale shape: both explodes are map-side; the exchange carries
+    * (short-string key, id) rows; the argmin is one struct-min agg at
+    * dirty-key grain — no window over the corpus, no cross join.
+    */
+  def fuzzyNameJoin(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val part = graft.sources.Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_name"))
+    val dict = part.groupBy("p_name")
+      .agg(min(col("p_partkey")).as("name_id"))
+    val deletions =
+      """transform(sequence(1, length(p_name)),
+        |  i -> concat(substring(p_name, 1, i - 1),
+        |              substring(p_name, i + 1)))""".stripMargin
+    val dirty = part.select(col("p_partkey").as("dirty_key"),
+        expr("""concat(
+          |  substring(p_name, 1, pos - 1),
+          |  substring(p_name, pos + 1)) AS dirty_name""".stripMargin
+          .replace("pos",
+            s"(pmod(${md5PosExpr("p_partkey")}, length(p_name)) + 1)")))
+    val dirtyKeys = dirty.select(col("dirty_key"), col("dirty_name"),
+      explode(expr(
+        """concat(array(dirty_name),
+          |  transform(sequence(1, length(dirty_name)),
+          |    i -> concat(substring(dirty_name, 1, i - 1),
+          |                substring(dirty_name, i + 1))))""".stripMargin))
+        .as("k"))
+    val cleanKeys = dict.select(col("name_id"), col("p_name"),
+      explode(expr(s"concat(array(p_name), $deletions)")).as("k"))
+    dirtyKeys.join(cleanKeys, Seq("k"))
+      .select("dirty_key", "dirty_name", "name_id", "p_name").distinct()
+      .withColumn("distance",
+        levenshtein(col("dirty_name"), col("p_name")).cast("long"))
+      .filter(col("distance") <= 1)
+      .groupBy("dirty_key")
+      .agg(min(struct(col("distance"), col("name_id"))).as("best"),
+        count(lit(1)).as("n_matches"))
+      .select(col("dirty_key"),
+        col("best").getField("name_id").as("matched_key"),
+        col("best").getField("distance").as("distance"),
+        col("n_matches"))
+      .orderBy("dirty_key")
+  }
+
+  /** The md5-derived deletion position (engine-portable: 60-bit md5 of
+    * a tagged key string, exactly [[TextAnalysis.md5Hash60]]).
+    */
+  private def md5PosExpr(keyCol: String): String =
+    s"CAST(conv(substring(md5(CAST(concat('fz:', CAST($keyCol AS STRING))" +
+      s" AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
+
+  /** Oracle for [[fuzzyNameJoin]]: the same deletion-neighborhood keys,
+    * candidate join, levenshtein verify, and struct-argmin restated in
+    * DuckDB (levenshtein is built in).
+    */
+  def fuzzyNameJoinSql: String = {
+    val pos = "(CAST(('0x' || substr(md5('fz:' || CAST(p_partkey AS " +
+      "VARCHAR)), 1, 15)) AS BIGINT) % length(p_name)) + 1"
+    s"""WITH dirty AS (
+       |  SELECT p_partkey AS dirty_key,
+       |    substr(p_name, 1, CAST($pos - 1 AS INT))
+       |      || substr(p_name, CAST($pos + 1 AS INT)) AS dirty_name
+       |  FROM part),
+       |dk AS (
+       |  SELECT dirty_key, dirty_name, k FROM dirty,
+       |    LATERAL UNNEST(list_prepend(dirty_name,
+       |      list_transform(range(1, length(dirty_name) + 1),
+       |        i -> substr(dirty_name, 1, CAST(i - 1 AS INT))
+       |          || substr(dirty_name, CAST(i + 1 AS INT))))) t(k)),
+       |dict AS (
+       |  SELECT p_name, MIN(p_partkey) AS name_id FROM part GROUP BY 1),
+       |ck AS (
+       |  SELECT name_id, p_name, k FROM dict,
+       |    LATERAL UNNEST(list_prepend(p_name,
+       |      list_transform(range(1, length(p_name) + 1),
+       |        i -> substr(p_name, 1, CAST(i - 1 AS INT))
+       |          || substr(p_name, CAST(i + 1 AS INT))))) t(k)),
+       |cands AS (
+       |  SELECT DISTINCT d.dirty_key, d.dirty_name, c.name_id, c.p_name
+       |  FROM dk d JOIN ck c ON c.k = d.k),
+       |scored AS (
+       |  SELECT dirty_key, name_id,
+       |    CAST(levenshtein(dirty_name, p_name) AS BIGINT) AS distance
+       |  FROM cands),
+       |ok AS (SELECT * FROM scored WHERE distance <= 1),
+       |best AS (
+       |  SELECT dirty_key, name_id AS matched_key, distance,
+       |    row_number() OVER (PARTITION BY dirty_key
+       |      ORDER BY distance, name_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY dirty_key) AS n_matches
+       |  FROM ok)
+       |SELECT dirty_key, matched_key, distance,
+       |  CAST(n_matches AS BIGINT) AS n_matches
+       |FROM best WHERE rn = 1
+       |ORDER BY dirty_key""".stripMargin
+  }
 }
