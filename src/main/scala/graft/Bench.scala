@@ -86,7 +86,11 @@ object Bench {
     // in `value` (driver comparability across rounds), but the split
     // lets the headline track analytic capability separately.
     val diagnostics = Set("q136_sketch_sweep", "q121_ann_config_sweep",
-      "q105_ann_recall")
+      "q105_ann_recall",
+      // q199 executes the q144 search TWICE (compacted vs union) to
+      // prove compaction lossless - an audit of the index lifecycle,
+      // not an analytic payload
+      "q199_ann_compact")
     // Harness family: multi-batch streaming replays whose cost is the
     // replay harness (state-store + sink-log commits × batches, kill/
     // restart cycles), not the operator — each operator is separately

@@ -525,6 +525,14 @@ object SparkEntry {
     // neighborhood blocking + levenshtein verify - entity resolution
     // without the n^2 cross join
     "q197_fuzzy_join" -> ((s, d) => Joins.fuzzyNameJoin(s, d)),
+    // hierarchical subtree rollup: per-row ancestor-chain fold + one
+    // ancestor-grain exchange (the scalable form of a recursive CTE;
+    // the oracle walks the same tree with WITH RECURSIVE)
+    "q198_hierarchy_rollup" -> ((s, d) => Graph.hierarchyRollup(s, d)),
+    // ANN index lifecycle closed: segments folded into one compacted
+    // dir (pure code copy, no re-encode) with an EXECUTED
+    // search-equality check (the q137 self-oracle idiom)
+    "q199_ann_compact" -> ((s, d) => Similarity.annIndexCompact(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -615,6 +623,8 @@ object SparkEntry {
     "q195_ann_index_append" -> Similarity.annIndexAppendSql(),
     "q196_corpus_pipeline" -> Corpus.corpusPipelineSql(),
     "q197_fuzzy_join" -> Joins.fuzzyNameJoinSql,
+    "q198_hierarchy_rollup" -> Graph.hierarchyRollupSql(),
+    "q199_ann_compact" -> Similarity.annIndexCompactSql(),
     // folding the update log must reproduce the q26 batch aggregate
     "q148_streaming_update" -> Events.hourlyByTypeSql,
     "q149_streaming_enrich" ->

@@ -417,4 +417,64 @@ object Graph {
        |SELECT node AS part, CAST(r AS BIGINT) AS rank_e12 FROM it$iters
        |ORDER BY rank_e12 DESC, part""".stripMargin
   }
+
+  /** q198 — HIERARCHICAL SUBTREE ROLLUP (the recursive-CTE query shape,
+    * which the engine lacked): parts form a synthetic 4-ary category
+    * tree (parent(k) = (k−1) div 4, root 0 — a deterministic hierarchy
+    * every key belongs to), and the query reports, for every node in
+    * the top `topNodes` ids (the first five levels of the tree), the
+    * number of revenue-bearing parts in its SUBTREE and the subtree's
+    * exact revenue cents.
+    *
+    * The scalable formulation is NOT iterative self-joins (a recursive
+    * CTE's plan — one pass per level, each a full shuffle): because the
+    * parent function is computable per row, each part emits its entire
+    * ancestor CHAIN in one `aggregate()` fold inside the scan (chain
+    * length = tree depth = log₄ n, so the explode factor is
+    * logarithmic), and ONE exchange at ancestor grain aggregates every
+    * subtree — at 100 TB that is a map-side O(n·log n) expand and a
+    * single shuffle, versus log n chained shuffles for the recursive
+    * plan. The DuckDB oracle states the SAME relation with an actual
+    * `WITH RECURSIVE` walk — matching proves the fold = the recursion.
+    */
+  def hierarchyRollup(spark: SparkSession, sfDir: String,
+      topNodes: Long = 341): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey").as("node"))
+      .agg(sum(floor(col("l_extendedprice") * 100).cast("long"))
+        .cast("long").as("cents"))
+    rev
+      .withColumn("ancestor", explode(expr(
+        """aggregate(sequence(1, 32), array(node),
+          |  (acc, i) -> CASE WHEN element_at(acc, -1) > 0L
+          |    THEN concat(acc, array((element_at(acc, -1) - 1L) div 4))
+          |    ELSE acc END)""".stripMargin)))
+      .filter(col("ancestor") < topNodes)
+      .groupBy(col("ancestor").as("node_id"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("cents")).cast("long").as("subtree_cents"))
+      .orderBy("node_id")
+  }
+
+  /** Oracle for [[hierarchyRollup]]: the genuine recursive walk — each
+    * part's (strictly decreasing, hence duplicate-free) ancestor chain
+    * unioned level by level, then the identical rollup.
+    */
+  def hierarchyRollupSql(topNodes: Long = 341): String =
+    s"""WITH RECURSIVE rev AS (
+       |  SELECT l_partkey AS node,
+       |    CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+       |      AS BIGINT) AS cents
+       |  FROM lineitem GROUP BY 1),
+       |anc AS (
+       |  SELECT node, cents, node AS ancestor FROM rev
+       |  UNION ALL
+       |  SELECT node, cents, (ancestor - 1) // 4 FROM anc
+       |  WHERE ancestor > 0)
+       |SELECT ancestor AS node_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_parts,
+       |  CAST(SUM(cents) AS BIGINT) AS subtree_cents
+       |FROM anc WHERE ancestor < $topNodes
+       |GROUP BY 1
+       |ORDER BY node_id""".stripMargin
 }

@@ -148,10 +148,13 @@ object Joins {
       .join(exact, Seq(bigKey), "left_semi")
   }
 
-  /** q197 — FUZZY STRING JOIN (approximate-key entity resolution, the
-    * operator family the engine lacked): match "dirty" strings to a
-    * clean reference at edit distance ≤ 1 WITHOUT the n² cross join,
-    * via 1-DELETION-NEIGHBORHOOD BLOCKING (FastSS): each string s emits
+  /** q197 — FUZZY STRING JOIN via pure-string blocking (q72 blocks on
+    * ATTRIBUTES (brand, size) before its levenshtein — complete only
+    * when dirty data keeps its attributes; this is the complementary
+    * operator for when the string IS the only key): match "dirty"
+    * strings to a clean reference at edit distance ≤ 1 WITHOUT the n²
+    * cross join, via 1-DELETION-NEIGHBORHOOD BLOCKING (FastSS): each
+    * string s emits
     * the key set K(s) = {s} ∪ {s with one character deleted}, and two
     * strings at distance ≤ 1 PROVABLY share a key (equal → s itself;
     * deletion → the shorter string; substitution at i → both sides'

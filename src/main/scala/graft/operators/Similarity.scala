@@ -795,6 +795,65 @@ object Similarity {
        |) t
        |ORDER BY query_id, rank""".stripMargin
 
+  /** q199 — ANN INDEX SEGMENT COMPACTION, closing the q195 lifecycle
+    * (append forever and the segment list grows; real deployments fold
+    * deltas back into the base periodically): the base + append
+    * segments are read ONCE, rewritten as a single `_SUCCESS`-committed
+    * compacted dir (a pure code-row copy — no re-encode: the plan
+    * writing the compacted dir contains no `pq_encode`, PlanSpec-
+    * pinned), and the audit row proves the fold: code-row counts per
+    * segment and after compaction (counts restated by the oracle from
+    * the mod-4 fixture split), plus a GENUINE search-equality check —
+    * the q144 search executed against the compacted index and against
+    * the segment union, compared row-for-row inside the query (the
+    * q137 merged==direct self-oracle idiom; `searches_equal` carries
+    * the symmetric exceptAll count, so a 1 is computed, never assumed).
+    */
+  def annIndexCompact(spark: SparkSession, sfDir: String, nQueries: Int = 10,
+      k: Int = 5, nClusters: Int = 16, nprobe: Int = 4, nSeeds: Int = 16,
+      m: Int = 8, shortlistK: Int = 100): DataFrame = {
+    import spark.implicits._
+    val (baseDir, segDir) =
+      pqSegmentedIndex(spark, sfDir, nSeeds, m, nClusters)
+    val union = spark.read.parquet(baseDir)
+      .unionByName(spark.read.parquet(segDir))
+    val root = new java.io.File("/tmp/graft_index",
+      "pqseg_" + Tables.pathKey(sfDir))
+    val compactDir = new java.io.File(root, "compacted")
+    org.apache.commons.io.FileUtils.deleteQuietly(compactDir)
+    union.write.parquet(compactDir.getPath) // pure copy, no pq_encode
+    val compacted = spark.read.parquet(compactDir.getPath)
+    val cb = trainedCodebooks(spark, sfDir, nSeeds, m)
+    def search(codes: DataFrame): DataFrame =
+      pqSearch(spark, sfDir, cb, nQueries, k, shortlistK,
+        coarse = Some((nClusters, nprobe)), storedCodes = Some(codes))
+    val a = search(compacted).localCheckpoint(true)
+    val b = search(union).localCheckpoint(true)
+    val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+    val nBase = spark.read.parquet(baseDir).count()
+    val nSeg = spark.read.parquet(segDir).count()
+    val nComp = compacted.count()
+    Seq((nBase, nSeg, nComp, if (diff == 0) 1L else 0L))
+      .toDF("n_codes_base", "n_codes_seg", "n_codes_compacted",
+        "searches_equal")
+  }
+
+  /** Oracle for [[annIndexCompact]]: code-row counts from the fixture
+    * split (8 code rows per vector, base = vec_id % 4 != 3) and the
+    * search-equality bit — which the Spark side COMPUTES from two
+    * executed searches; the oracle stating 1 is the assertion that
+    * compaction is lossless.
+    */
+  def annIndexCompactSql(m: Int = 8): String =
+    s"""SELECT
+       |  CAST($m * (SELECT COUNT(*) FROM embeddings WHERE vec_id % 4 <> 3)
+       |    AS BIGINT) AS n_codes_base,
+       |  CAST($m * (SELECT COUNT(*) FROM embeddings WHERE vec_id % 4 = 3)
+       |    AS BIGINT) AS n_codes_seg,
+       |  CAST($m * (SELECT COUNT(*) FROM embeddings) AS BIGINT)
+       |    AS n_codes_compacted,
+       |  CAST(1 AS BIGINT) AS searches_equal""".stripMargin
+
   /** Build (or reuse) the segmented PQ index for [[annIndexAppend]]:
     * base codes (vec_id % 4 != 3) under an mtime-keyed cached dir; the
     * incoming batch's codes (vec_id % 4 == 3) re-appended as a fresh
