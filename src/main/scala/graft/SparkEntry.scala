@@ -533,6 +533,10 @@ object SparkEntry {
     // dir (pure code copy, no re-encode) with an EXECUTED
     // search-equality check (the q137 self-oracle idiom)
     "q199_ann_compact" -> ((s, d) => Similarity.annIndexCompact(s, d)),
+    // CUPED variance-reduced A/B readout: hash arms, pre-period
+    // covariate, pooled theta, algebraic adjusted means (q181's
+    // engine-exact sufficient-statistics discipline)
+    "q200_cuped_lift" -> ((s, d) => StatQa.cupedLift(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -625,6 +629,7 @@ object SparkEntry {
     "q197_fuzzy_join" -> Joins.fuzzyNameJoinSql,
     "q198_hierarchy_rollup" -> Graph.hierarchyRollupSql(),
     "q199_ann_compact" -> Similarity.annIndexCompactSql(),
+    "q200_cuped_lift" -> StatQa.cupedLiftSql,
     // folding the update log must reproduce the q26 batch aggregate
     "q148_streaming_update" -> Events.hourlyByTypeSql,
     "q149_streaming_enrich" ->

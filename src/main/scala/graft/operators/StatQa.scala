@@ -845,6 +845,127 @@ object StatQa {
       .orderBy("brand")
   }
 
+  /** q200 — CUPED variance-reduced A/B readout (the experimentation
+    * operator family: controlled-experiment analysis with
+    * pre-experiment covariate adjustment). Users are hash-assigned to
+    * two arms (md5 of the user id — deterministic, engine-portable);
+    * the event timeline splits at its integer-µs midpoint into a
+    * PRE period (covariate x = the user's pre-period spend cents) and
+    * an EXPERIMENT period (metric y); θ = cov(x,y)/var(x) is fit on
+    * the pooled population and each arm reports its raw and
+    * CUPED-adjusted mean metric.
+    *
+    * Engine-exactness (the q181 OLS discipline): per-user x/y are
+    * BIGINT cent sums (order-free exact); all second moments are
+    * decimal(38,0)/HUGEINT sums of per-user BIGINT products; θ and the
+    * means cross to double once through [[Features.decToDouble]] and
+    * the adjusted mean uses the ALGEBRAIC identity
+    * mean_adj(arm) = mean_y(arm) − θ·(mean_x(arm) − mean_x(all)) —
+    * never per-user double adjustments summed in partition order, so
+    * the whole readout is one fixed IEEE tree over exact integers.
+    *
+    * Scale shape: one events scan → user-grain partial agg; the global
+    * moment row broadcasts; the arm rollup is 2 rows. Nothing about
+    * the plan changes at 100 TB except the user-grain exchange width.
+    */
+  def cupedLift(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    val mid = broadcast(ev.agg(
+      expr("(min(us) + max(us)) div 2").as("mid")))
+    val perUser = ev.crossJoin(mid)
+      .groupBy("user_id")
+      .agg(sum(when(col("us") <= col("mid"), col("cents"))
+          .otherwise(0L)).cast("long").as("x"),
+        sum(when(col("us") > col("mid"), col("cents"))
+          .otherwise(0L)).cast("long").as("y"))
+      .withColumn("arm", pmod(TextAnalysis.md5Hash60(
+        concat(lit("ab:"), col("user_id").cast("string"))), lit(2)))
+      .localCheckpoint(true) // feeds the pooled fit AND the arm rollup
+    val g = broadcast(perUser.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(38,0)")).as("sx"),
+      sum(col("y").cast("decimal(38,0)")).as("sy"),
+      sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+      sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx")))
+    val arms = perUser.groupBy("arm")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x").cast("decimal(38,0)")).as("sxa"),
+        sum(col("y").cast("decimal(38,0)")).as("sya"))
+    val num = col("n").cast("decimal(38,0)") * col("sxy") -
+      col("sx") * col("sy")
+    val den = col("n").cast("decimal(38,0)") * col("sxx") -
+      col("sx") * col("sx")
+    val sign = when(num < 0, lit(-1.0)).otherwise(lit(1.0))
+    val theta = sign *
+      (Features.decToDouble(abs(num), 0) / Features.decToDouble(den, 0))
+    val nD = col("n_users").cast("double")
+    val meanY = Features.decToDouble(col("sya"), 0) / nD / lit(100.0)
+    val meanXa = Features.decToDouble(col("sxa"), 0) / nD / lit(100.0)
+    val meanX = Features.decToDouble(col("sx"), 0) /
+      col("n").cast("double") / lit(100.0)
+    arms.crossJoin(g)
+      .select(col("arm"), col("n_users"),
+        meanY.as("mean_y"),
+        (meanY - theta * (meanXa - meanX)).as("mean_y_adj"),
+        theta.as("theta"))
+      .orderBy("arm")
+  }
+
+  /** Oracle for [[cupedLift]]: the same user-grain cent sums, HUGEINT
+    * moments, hi/lo double crossings, and the identical adjusted-mean
+    * IEEE tree (e-notation literals, the q171 discipline).
+    */
+  val cupedLiftSql: String = {
+    val numE = "(n * sxy - sx * sy)"
+    val denE = "(n * sxx - sx * sx)"
+    s"""WITH ev AS (
+       |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+       |    CAST(floor(value * 100) AS BIGINT) AS cents
+       |  FROM events),
+       |b AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+       |pu AS (
+       |  SELECT user_id,
+       |    CAST(SUM(CASE WHEN us <= mid THEN cents ELSE 0 END) AS BIGINT)
+       |      AS x,
+       |    CAST(SUM(CASE WHEN us > mid THEN cents ELSE 0 END) AS BIGINT)
+       |      AS y,
+       |    ${TextAnalysis.md5Hash60Sql(
+             "'ab:' || CAST(user_id AS VARCHAR)")} % 2 AS arm
+       |  FROM ev CROSS JOIN b GROUP BY user_id),
+       |g AS (
+       |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+       |    SUM(CAST(x AS HUGEINT)) AS sx,
+       |    SUM(CAST(y AS HUGEINT)) AS sy,
+       |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+       |    SUM(CAST(x AS HUGEINT) * x) AS sxx
+       |  FROM pu),
+       |a AS (
+       |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+       |    SUM(CAST(x AS HUGEINT)) AS sxa,
+       |    SUM(CAST(y AS HUGEINT)) AS sya
+       |  FROM pu GROUP BY arm),
+       |m AS (
+       |  SELECT arm, n_users, sxa, sya, n, sx,
+       |    (CASE WHEN $numE < 0 THEN -1.0e0 ELSE 1.0e0 END *
+       |      (${Features.decToDoubleSql(s"abs($numE)", 0)} /
+       |       ${Features.decToDoubleSql(denE, 0)})) AS theta
+       |  FROM a CROSS JOIN g)
+       |SELECT arm, n_users,
+       |  ((${Features.decToDoubleSql("sya", 0)} /
+       |    CAST(n_users AS DOUBLE)) / 100.0e0) AS mean_y,
+       |  (((${Features.decToDoubleSql("sya", 0)} /
+       |     CAST(n_users AS DOUBLE)) / 100.0e0) -
+       |   theta * (((${Features.decToDoubleSql("sxa", 0)} /
+       |       CAST(n_users AS DOUBLE)) / 100.0e0) -
+       |     ((${Features.decToDoubleSql("sx", 0)} /
+       |       CAST(n AS DOUBLE)) / 100.0e0))) AS mean_y_adj,
+       |  theta
+       |FROM m
+       |ORDER BY arm""".stripMargin
+  }
+
   /** Oracle for [[groupOls]]: the same sufficient statistics on exact
     * HUGEINTs, the same hi/lo double crossing, the same IEEE tree —
     * double literals in e-notation so DuckDB does not reshape the tree
