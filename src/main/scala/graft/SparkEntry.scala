@@ -537,6 +537,10 @@ object SparkEntry {
     // covariate, pooled theta, algebraic adjusted means (q181's
     // engine-exact sufficient-statistics discipline)
     "q200_cuped_lift" -> ((s, d) => StatQa.cupedLift(s, d)),
+    // Hamilton largest-remainder token-budget apportionment across
+    // sources by gate-passing token supply - the mixture-design step;
+    // all-integer, sum(final) == budget by construction
+    "q201_token_apportionment" -> ((s, d) => Sampling.tokenApportionment(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -630,6 +634,7 @@ object SparkEntry {
     "q198_hierarchy_rollup" -> Graph.hierarchyRollupSql(),
     "q199_ann_compact" -> Similarity.annIndexCompactSql(),
     "q200_cuped_lift" -> StatQa.cupedLiftSql,
+    "q201_token_apportionment" -> Sampling.tokenApportionmentSql(),
     // folding the update log must reproduce the q26 batch aggregate
     "q148_streaming_update" -> Events.hourlyByTypeSql,
     "q149_streaming_enrich" ->

@@ -40,9 +40,9 @@ object Corpus {
     s"""list_transform(range(1, greatest(len($tks) - ${n - 1}, 0) + 1),
        |  i -> array_to_string($tks[i:i+${n - 1}], ' '))""".stripMargin
 
-  private val tokensSparkSql =
+  private[operators] val tokensSparkSql =
     "filter(split(lower(trim(text)), '\\\\s+'), w -> w <> '')"
-  private val tokensDuckSql =
+  private[operators] val tokensDuckSql =
     "list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> w <> '')"
 
   /** (doc_id, shingle-hash) instances for every word `n`-gram in the

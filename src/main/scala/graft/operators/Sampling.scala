@@ -255,4 +255,101 @@ object Sampling {
        |    AS load_ppm
        |FROM g, t
        |ORDER BY shard""".stripMargin
+
+  /** q201 — TOKEN-BUDGET APPORTIONMENT across sources (the training
+    * mixture-design step after curation): a global token budget is
+    * divided among sources in proportion to their gate-passing token
+    * SUPPLY (per-source sum of whitespace tokens over docs passing all
+    * four q83 gates) using Hamilton's LARGEST-REMAINDER method — exact
+    * integer quotas floor(B·w_s / W), then the B − Σfloor leftover
+    * tokens go one each to the largest remainders (B·w_s mod W,
+    * ties → source ascending). All-integer arithmetic: the allocation
+    * is bit-identical in both engines and Σfinal == B by construction
+    * (the property the spec/oracle checks row-by-row).
+    *
+    * Scale shape: the supply is one gate-fused scan + a source-grain
+    * agg; the apportionment runs on the BOUNDED per-source frame
+    * (sources are a catalog, not data) — the global windows below rank
+    * a handful of rows, documented as such.
+    */
+  def tokenApportionment(spark: SparkSession, sfDir: String,
+      budget: Long = 100000L): DataFrame = {
+    val gated = Tables.withMinParallelism(Tables.documents(spark, sfDir),
+        spark.sparkContext.defaultParallelism)
+      .withColumn("tks", expr(Corpus.tokensSparkSql))
+      .withColumn("n_tokens", size(col("tks")))
+      .withColumn("sum_len",
+        expr("aggregate(tks, 0L, (a, w) -> a + length(w))"))
+      .withColumn("mean_wl",
+        col("sum_len").cast("double") / greatest(col("n_tokens"), lit(1)))
+      .withColumn("n_stop", size(expr(
+        "filter(array_distinct(tks), w -> w IN ('the','a','of','and','in'))")))
+      .withColumn("alpha_frac",
+        size(expr("filter(tks, w -> w rlike '^[a-z]+$')")).cast("double") /
+          greatest(col("n_tokens"), lit(1)))
+      .filter(col("n_tokens") >= 20 && col("n_tokens") <= 60 &&
+        col("mean_wl") >= 3.8 && col("mean_wl") <= 4.6 &&
+        col("n_stop") >= 2 && col("alpha_frac") >= 0.8)
+    val supply = gated.groupBy("source")
+      .agg(sum(col("n_tokens").cast("long")).as("supply_tokens"))
+    // bounded frame from here on: one row per source
+    val wAll = Window.partitionBy()
+    val wRem = Window.orderBy(desc("rem"), asc("source"))
+    supply
+      .withColumn("total_supply", sum("supply_tokens").over(wAll))
+      .withColumn("quota_tokens",
+        expr(s"$budget * supply_tokens div total_supply"))
+      .withColumn("rem", expr(s"$budget * supply_tokens % total_supply"))
+      .withColumn("leftover",
+        lit(budget) - sum("quota_tokens").over(wAll))
+      .withColumn("rem_rank", row_number().over(wRem).cast("long"))
+      .select(col("source"), col("supply_tokens"), col("quota_tokens"),
+        (col("rem_rank") <= col("leftover")).cast("long").as("extra"),
+        (col("quota_tokens") +
+          (col("rem_rank") <= col("leftover")).cast("long"))
+          .as("final_tokens"))
+      .orderBy("source")
+  }
+
+  /** Oracle for [[tokenApportionment]]: the identical gate filter,
+    * supply rollup, and largest-remainder ranking in integer SQL.
+    */
+  def tokenApportionmentSql(budget: Long = 100000L): String =
+    s"""WITH g AS (
+       |  SELECT source, len(tks) AS n_tokens,
+       |    CAST(list_sum(list_transform(tks, w -> length(w))) AS DOUBLE)
+       |      / greatest(len(tks), 1) AS mean_wl,
+       |    len(list_filter(list_distinct(tks),
+       |      w -> w IN ('the','a','of','and','in'))) AS n_stop,
+       |    CAST(len(list_filter(tks,
+       |      w -> regexp_matches(w, '^[a-z]+$$'))) AS DOUBLE)
+       |      / greatest(len(tks), 1) AS alpha_frac
+       |  FROM (SELECT source, ${Corpus.tokensDuckSql} AS tks
+       |        FROM documents)),
+       |sup AS (
+       |  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS supply_tokens
+       |  FROM g
+       |  WHERE n_tokens BETWEEN 20 AND 60
+       |    AND mean_wl BETWEEN 3.8 AND 4.6
+       |    AND n_stop >= 2 AND alpha_frac >= 0.8
+       |  GROUP BY source),
+       |q AS (
+       |  SELECT source, supply_tokens,
+       |    CAST($budget * supply_tokens //
+       |      SUM(supply_tokens) OVER () AS BIGINT) AS quota_tokens,
+       |    CAST($budget * supply_tokens %
+       |      SUM(supply_tokens) OVER () AS BIGINT) AS rem
+       |  FROM sup),
+       |r AS (
+       |  SELECT *,
+       |    CAST($budget - SUM(quota_tokens) OVER () AS BIGINT) AS leftover,
+       |    CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT)
+       |      AS rem_rank
+       |  FROM q)
+       |SELECT source, supply_tokens, quota_tokens,
+       |  CAST(rem_rank <= leftover AS BIGINT) AS extra,
+       |  quota_tokens + CAST(rem_rank <= leftover AS BIGINT)
+       |    AS final_tokens
+       |FROM r
+       |ORDER BY source""".stripMargin
 }
