@@ -541,6 +541,11 @@ object SparkEntry {
     // sources by gate-passing token supply - the mixture-design step;
     // all-integer, sum(final) == budget by construction
     "q201_token_apportionment" -> ((s, d) => Sampling.tokenApportionment(s, d)),
+    // q83's gate battery on the LIVE path: file-streamed document
+    // batches, fused map-side gates, idempotent per-batch ledgers
+    // folded to the batch answer (stateless => split-invariant)
+    "q202_streaming_gate" -> ((s, d) =>
+      graft.streaming.EventStreams.corpusGateStreamAvailableNow(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -635,6 +640,8 @@ object SparkEntry {
     "q199_ann_compact" -> Similarity.annIndexCompactSql(),
     "q200_cuped_lift" -> StatQa.cupedLiftSql,
     "q201_token_apportionment" -> Sampling.tokenApportionmentSql(),
+    "q202_streaming_gate" ->
+      graft.streaming.EventStreams.corpusGateStreamSql,
     // folding the update log must reproduce the q26 batch aggregate
     "q148_streaming_update" -> Events.hourlyByTypeSql,
     "q149_streaming_enrich" ->

@@ -40,9 +40,9 @@ object Corpus {
     s"""list_transform(range(1, greatest(len($tks) - ${n - 1}, 0) + 1),
        |  i -> array_to_string($tks[i:i+${n - 1}], ' '))""".stripMargin
 
-  private[operators] val tokensSparkSql =
+  private[graft] val tokensSparkSql =
     "filter(split(lower(trim(text)), '\\\\s+'), w -> w <> '')"
-  private[operators] val tokensDuckSql =
+  private[graft] val tokensDuckSql =
     "list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> w <> '')"
 
   /** (doc_id, shingle-hash) instances for every word `n`-gram in the
@@ -178,9 +178,16 @@ object Corpus {
     * grain; same narrow codegen'd scan shape.
     */
   def docGateScores(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.withMinParallelism(Tables.documents(spark, sfDir),
-        spark.sparkContext.defaultParallelism)
-      .withColumn("tks", expr(tokensSparkSql))
+    withGateScore(Tables.withMinParallelism(Tables.documents(spark, sfDir),
+        spark.sparkContext.defaultParallelism))
+      .select(col("doc_id"), col("score"))
+
+  /** The q83 gate battery on any frame with a `text` column: appends
+    * `n_tokens` and the 0–4 `score` (shared by the batch q83/q194/q196
+    * consumers and the q202 streaming gate — one definition, no drift).
+    */
+  private[graft] def withGateScore(df: DataFrame): DataFrame =
+    df.withColumn("tks", expr(tokensSparkSql))
       .withColumn("n_tokens", size(col("tks")))
       .withColumn("sum_len",
         expr("aggregate(tks, 0L, (a, w) -> a + length(w))"))
@@ -191,11 +198,11 @@ object Corpus {
       .withColumn("alpha_frac",
         size(expr("filter(tks, w -> w rlike '^[a-z]+$')")).cast("double") /
           greatest(col("n_tokens"), lit(1)))
-      .select(col("doc_id"),
-        ((col("n_tokens") >= 20 && col("n_tokens") <= 60).cast("long") +
+      .withColumn("score",
+        (col("n_tokens") >= 20 && col("n_tokens") <= 60).cast("long") +
           (col("mean_wl") >= 3.8 && col("mean_wl") <= 4.6).cast("long") +
           (col("n_stop") >= 2).cast("long") +
-          (col("alpha_frac") >= 0.8).cast("long")).as("score"))
+          (col("alpha_frac") >= 0.8).cast("long"))
 
   /** DuckDB CTE body for [[docGateScores]]: `(SELECT doc_id, score ...)`. */
   val docGateScoresSql: String =

@@ -1316,6 +1316,140 @@ object EventStreams {
     staging.getPath
   }
 
+  /** Stage `documents` as `nFiles` flat, id-ranged parquet files for
+    * file-stream ingest (the [[stageChronologicalEvents]] idiom on the
+    * corpus table: hoisted part files, pinned mtimes, mtime+key+files
+    * freshness).
+    */
+  def stageDocumentBatches(spark: SparkSession, sfDir: String,
+      nFiles: Int = 3): String = {
+    val staging = new java.io.File("/tmp/graft_stage",
+      "batched_docs_" + graft.sources.Tables.pathKey(sfDir))
+    val srcMtime =
+      try new java.io.File(sfDir, "documents.parquet").lastModified
+      catch { case _: Exception => 0L }
+    val marker = new java.io.File(staging, "_graft_stage_key")
+    val key = s"$srcMtime#$nFiles"
+    val fresh = srcMtime > 0L && marker.exists && {
+      try new String(java.nio.file.Files.readAllBytes(marker.toPath),
+        "UTF-8") == key
+      catch { case _: Exception => false }
+    } && (0 until nFiles).forall(i =>
+      new java.io.File(staging, f"b$i%04d.parquet").exists)
+    if (fresh) return staging.getPath
+    org.apache.commons.io.FileUtils.deleteQuietly(staging)
+    staging.mkdirs()
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val ds = docs.withColumn("_b",
+        expr(s"CAST((doc_id * $nFiles) div ${maxId + 1}L AS INT)"))
+      .localCheckpoint(true)
+    (0 until nFiles).foreach { i =>
+      val tmp = new java.io.File(staging, s"_w$i")
+      ds.filter(col("_b") === i).drop("_b")
+        .coalesce(1).write.parquet(tmp.getPath)
+      val part = tmp.listFiles.find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(staging, f"b$i%04d.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+      dest.setLastModified(1000000L * (i + 1))
+    }
+    java.nio.file.Files.write(marker.toPath, key.getBytes("UTF-8"))
+    staging.getPath
+  }
+
+  /** q202 — STREAMING CORPUS-GATE INGEST: the q83 quality battery on
+    * the LIVE path (q196 runs it as a batch stage; a production corpus
+    * arrives as files). The staged document batches replay through the
+    * file-stream source one file per trigger; each micro-batch computes
+    * the fused gate expressions map-side ([[graft.operators.Corpus
+    * .withGateScore]] — the SAME definition the batch q83/q194/q196
+    * consumers use, so stream and batch can never drift) and writes its
+    * per-source admit/discard/token ledger to an idempotent per-batch
+    * dir (the q154 sink discipline); the drain folds the ledgers. The
+    * DuckDB oracle restates the whole-corpus per-source gate counts —
+    * equality proves the batch split changed nothing (gates are
+    * stateless per row, so per-batch ledgers must sum to the batch
+    * run's answer).
+    *
+    * Scale shape: the gate is stateless and fused into each batch's
+    * scan (no state store, no watermark, no shuffle inside a batch
+    * except the bounded per-source rollup); at 100 TB this is the
+    * "curation keeps up with ingest" path — cost strictly ∝ new bytes.
+    */
+  def corpusGateStreamAvailableNow(spark: SparkSession, sfDir: String,
+      nFiles: Int = 3): DataFrame = {
+    val staging = stageDocumentBatches(spark, sfDir, nFiles)
+    val base = new java.io.File("/tmp/graft_stream_sink",
+      "corpgate_" + graft.sources.Tables.pathKey(sfDir))
+    org.apache.commons.io.FileUtils.deleteQuietly(base)
+    val outBase = new java.io.File(base, "out")
+    outBase.mkdirs()
+    val nData = withStatePartitions(spark, 8) {
+      val stream = spark.readStream
+        .schema(graft.sources.Tables.documentsSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.operators.Corpus.withGateScore(batch)
+            .groupBy(col("source"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum((col("score") === 4).cast("long")).as("n_admitted"),
+              sum(when(col("score") === 4, col("n_tokens").cast("long"))
+                .otherwise(0L)).as("admitted_tokens"))
+            .write.mode("overwrite")
+            .parquet(new java.io.File(outBase, s"b$batchId").getPath)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.recentProgress.count(_.numInputRows > 0)
+    }
+    require(nData >= 2,
+      s"corpus-gate replay ran $nData data batches - the per-batch " +
+        "ledger path was not exercised")
+    spark.read.parquet(new java.io.File(outBase, "b*").getPath)
+      .groupBy("source")
+      .agg(sum("n_docs").cast("long").as("n_docs"),
+        sum("n_admitted").cast("long").as("n_admitted"),
+        sum("admitted_tokens").cast("long").as("admitted_tokens"))
+      .orderBy("source")
+  }
+
+  /** Oracle for [[corpusGateStreamAvailableNow]]: the whole-corpus
+    * per-source gate counts (q83's gate battery restated) — stateless
+    * gates make the per-batch fold equal the batch run exactly.
+    */
+  val corpusGateStreamSql: String =
+    s"""WITH g AS (
+       |  SELECT source, len(tks) AS n_tokens,
+       |    CAST(list_sum(list_transform(tks, w -> length(w))) AS DOUBLE)
+       |      / greatest(len(tks), 1) AS mean_wl,
+       |    len(list_filter(list_distinct(tks),
+       |      w -> w IN ('the','a','of','and','in'))) AS n_stop,
+       |    CAST(len(list_filter(tks,
+       |      w -> regexp_matches(w, '^[a-z]+$$'))) AS DOUBLE)
+       |      / greatest(len(tks), 1) AS alpha_frac
+       |  FROM (SELECT source, ${graft.operators.Corpus.tokensDuckSql}
+       |          AS tks
+       |        FROM documents)),
+       |p AS (
+       |  SELECT source, n_tokens,
+       |    CAST(n_tokens BETWEEN 20 AND 60 AS INT)
+       |      + CAST(mean_wl BETWEEN 3.8 AND 4.6 AS INT)
+       |      + CAST(n_stop >= 2 AS INT)
+       |      + CAST(alpha_frac >= 0.8 AS INT) AS score
+       |  FROM g)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN score = 4 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_admitted,
+       |  CAST(SUM(CASE WHEN score = 4 THEN n_tokens ELSE 0 END) AS BIGINT)
+       |    AS admitted_tokens
+       |FROM p GROUP BY source
+       |ORDER BY source""".stripMargin
+
   /** q143 — DURABLE sink + checkpoint-recovery restart, the
     * production promise every memory-sink replay leaves unexercised:
     * the chronological multi-file replay (q134's staging) written
