@@ -52,7 +52,15 @@ object Corpus {
     */
   private def shingleHashes(spark: SparkSession, sfDir: String,
       n: Int): DataFrame =
-    Tables.withMinParallelism(Tables.documents(spark, sfDir), 16)
+    shingleHashesOf(
+      Tables.withMinParallelism(Tables.documents(spark, sfDir), 16), n)
+
+  /** [[shingleHashes]] over an explicit (possibly pre-restricted)
+    * document frame — q196 semi-joins the survivors BEFORE the shingle
+    * explode so the expensive per-row work never runs on dropped docs.
+    */
+  private[graft] def shingleHashesOf(docs: DataFrame, n: Int): DataFrame =
+    docs
       .withColumn("tks", expr(tokensSparkSql))
       .select(col("doc_id"), explode(shinglesExpr("tks", n)).as("sh"))
       .select(col("doc_id"), TextAnalysis.md5Hash60(col("sh")).as("h"))
@@ -621,8 +629,19 @@ object Corpus {
       .localCheckpoint(true)
     val n1 = s1.count()
     // ---- stage 2: near-dup drop among the admits ----
-    val sigs = Dedup.minhashSignaturesRaw(spark, sfDir)
-      .join(s1, Seq("doc_id"))
+    // SEMI-JOIN BEFORE the expensive per-row expressions: a join does
+    // not reorder below a project, so `minhashSignaturesRaw(...).join`
+    // would compute every doc's signature and then discard the
+    // non-admits — at a 1% admit rate that is 100× wasted signature
+    // work at scale. Restrict the scan first, then compute.
+    val admittedDocs = Tables.withMinParallelism(
+        Tables.documents(spark, sfDir),
+        spark.sparkContext.defaultParallelism)
+      .join(s1, Seq("doc_id"), "left_semi")
+    val sigs = admittedDocs
+      .select(col("doc_id"),
+        graft.functions.minhash_sig(col("text"), Dedup.NumHashes)
+          .as("minhash"))
       .repartition(col("doc_id")) // plan barrier (Dedup banding idiom)
     val bands = Dedup.bandedFromSigs(sigs).localCheckpoint(true)
     val cands = bands
@@ -631,7 +650,8 @@ object Corpus {
         col("band_key")), Seq("band_idx", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val sh = Dedup.distinctShingles(spark, sfDir)
+    val sh = admittedDocs.select(col("doc_id"),
+      array_distinct(graft.functions.word_shingles(col("text"))).as("sh"))
     val dupPairs = cands
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
         Seq("doc_a"))
@@ -651,10 +671,18 @@ object Corpus {
       .localCheckpoint(true)
     val n2 = s2.count()
     // ---- stage 3: eval-set decontamination (5-shingle hashes) ----
-    val hs5 = shingleHashes(spark, sfDir, 5)
-    val evalH = hs5.filter(pmod(col("doc_id"), lit(5)) === 0)
+    // each side's shingle explode runs on a pre-restricted scan: the
+    // doc_id % 5 filter pushes to the eval side's scan, and the
+    // survivor side semi-joins s2 BEFORE exploding (same reasoning as
+    // stage 2's semi-join-first)
+    val docsSpread = Tables.withMinParallelism(
+      Tables.documents(spark, sfDir),
+      spark.sparkContext.defaultParallelism)
+    val evalH = shingleHashesOf(
+        docsSpread.filter(pmod(col("doc_id"), lit(5)) === 0), 5)
       .select("h").distinct()
-    val contamHits = hs5.join(s2, Seq("doc_id"))
+    val contamHits = shingleHashesOf(
+        docsSpread.join(s2, Seq("doc_id"), "left_semi"), 5)
       .select("doc_id", "h").distinct()
       .join(Joins.broadcastIfSmall(evalH, Tables.documents(spark, sfDir)),
         Seq("h"))
