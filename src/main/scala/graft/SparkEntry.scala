@@ -546,6 +546,9 @@ object SparkEntry {
     // folded to the batch answer (stateless => split-invariant)
     "q202_streaming_gate" -> ((s, d) =>
       graft.streaming.EventStreams.corpusGateStreamAvailableNow(s, d)),
+    // mutual-kNN graph (SemDeDup clustering substrate): rank-mutual
+    // edges over strict-dial LSH candidates, never the n^2 cross join
+    "q203_mutual_knn" -> ((s, d) => Similarity.mutualKnnGraph(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -642,6 +645,7 @@ object SparkEntry {
     "q201_token_apportionment" -> Sampling.tokenApportionmentSql(),
     "q202_streaming_gate" ->
       graft.streaming.EventStreams.corpusGateStreamSql,
+    "q203_mutual_knn" -> Similarity.mutualKnnGraphSql(),
     // folding the update log must reproduce the q26 batch aggregate
     "q148_streaming_update" -> Events.hourlyByTypeSql,
     "q149_streaming_enrich" ->

@@ -268,6 +268,99 @@ object Similarity {
       .distinct()
   }
 
+  /** q203 — MUTUAL-kNN GRAPH construction (the SemDeDup / graph-
+    * clustering substrate): an edge (a, b) exists when b is in a's
+    * top-k AND a is in b's top-k — rank-mutuality, the robust
+    * neighborhood criterion threshold pairs (q25) cannot express
+    * (a dense hub can be in everyone's top-k without reciprocating).
+    * Candidates come from the q24 sign-LSH bands at the STRICT dial
+    * (2 bands × 8 bits: 256 buckets per band, so candidate volume is
+    * Θ(n²/256) of the corpus — the knob that keeps an all-vectors
+    * ranking affordable where q24's 4×4 dial, built for 10 query
+    * vectors, would collide a quarter of the corpus per bucket).
+    * Ranks are per-vector windows over each vector's OWN candidates;
+    * the mutual join then matches opposite directions on id pairs.
+    * Cosine is direction-symmetric bit-for-bit (same fold order by
+    * dimension, commutative exact products), so one edge row carries
+    * one cosine.
+    */
+  def mutualKnnGraph(spark: SparkSession, sfDir: String, k: Int = 3,
+      nBands: Int = 2, bitsPerBand: Int = 8): DataFrame = {
+    val mask = (1 << bitsPerBand) - 1
+    val emb = Tables.embeddings(spark, sfDir)
+      .withColumn("sig", graft.functions.lsh_sig(col("embedding"), planeSigns))
+    val bandExpr =
+      s"""transform(sequence(0, ${nBands - 1}),
+         |  b -> concat(CAST(b AS STRING), ':',
+         |    CAST((sig >> (b * $bitsPerBand)) & $mask AS STRING)))""".stripMargin
+    val banded = emb
+      .select(col("vec_id"), explode(expr(bandExpr)).as("band_key"))
+    val cands = banded.select(col("vec_id").as("src"), col("band_key"))
+      .join(banded.select(col("vec_id").as("dst"), col("band_key")),
+        Seq("band_key"))
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val w = Window.partitionBy("src").orderBy(desc("cosine"), asc("dst"))
+    val topk = cands
+      .join(vecs.select(col("vec_id").as("src"), col("embedding").as("e_a")),
+        Seq("src"))
+      .join(vecs.select(col("vec_id").as("dst"), col("embedding").as("e_b")),
+        Seq("dst"))
+      .withColumn("cosine",
+        graft.functions.cosine_sim(col("e_a"), col("e_b")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("src", "dst", "rank", "cosine")
+      .localCheckpoint(true) // self-joined below: rank once, join ids
+    topk.select(col("src"), col("dst"), col("rank").cast("long")
+        .as("rank_ab"), col("cosine"))
+      .join(topk.select(col("dst").as("src"), col("src").as("dst"),
+        col("rank").cast("long").as("rank_ba")), Seq("src", "dst"))
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("vec_a"), col("dst").as("vec_b"),
+        col("rank_ab"), col("rank_ba"), col("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Oracle for [[mutualKnnGraph]]: the banded candidates, per-vector
+    * ranking, and mutual self-join restated.
+    */
+  def mutualKnnGraphSql(k: Int = 3, nBands: Int = 2,
+      bitsPerBand: Int = 8): String = {
+    val mask = (1 << bitsPerBand) - 1
+    s"""WITH sigs AS (
+       |  SELECT vec_id, embedding, ${lshSigExprDuck("embedding")} AS sig
+       |  FROM embeddings),
+       |banded AS (
+       |  SELECT vec_id, embedding,
+       |    b || ':' || ((sig >> (b * $bitsPerBand)) & $mask) AS band_key
+       |  FROM sigs, (SELECT UNNEST(range(0, $nBands)) AS b)),
+       |cands AS (
+       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
+       |    a.embedding AS e_a, b.embedding AS e_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band_key = b.band_key AND a.vec_id <> b.vec_id),
+       |scored AS (
+       |  SELECT src, dst, ${cosineExprDuck("e_a", "e_b")} AS cosine
+       |  FROM cands),
+       |ranked AS (
+       |  SELECT src, dst, cosine,
+       |    row_number() OVER (PARTITION BY src
+       |      ORDER BY cosine DESC, dst ASC) AS rank
+       |  FROM scored),
+       |topk AS (SELECT * FROM ranked WHERE rank <= $k)
+       |SELECT t1.src AS vec_a, t1.dst AS vec_b,
+       |  CAST(t1.rank AS BIGINT) AS rank_ab,
+       |  CAST(t2.rank AS BIGINT) AS rank_ba,
+       |  t1.cosine
+       |FROM topk t1 JOIN topk t2
+       |  ON t1.src = t2.dst AND t1.dst = t2.src
+       |WHERE t1.src < t1.dst
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   /** Exact cosine top-k over a candidate id-pair list. */
   private def lshTopK(spark: SparkSession, sfDir: String,
       candIds: DataFrame, nQueries: Int, k: Int): DataFrame = {
