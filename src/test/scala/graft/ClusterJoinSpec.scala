@@ -140,6 +140,42 @@ class ClusterJoinSpec extends SparkSpec {
         s"(${pruned.count()}) or the fixture is degenerate")
   }
 
+  test("q197 deletion-neighborhood blocking is COMPLETE for distance <= 1") {
+    // The FastSS lemma the operator rests on: strings at edit distance
+    // <= 1 always share a key in K(s) = {s} ∪ D(s). Brute-force twin:
+    // dictionary × dirty cross join with levenshtein <= 1 (64 distinct
+    // names × 200 dirty rows at sf0.001 — affordable here, never in
+    // the operator). The blocked join must find the IDENTICAL best
+    // match per dirty row.
+    import org.apache.spark.sql.functions._
+    val part = Tables.part(spark, sf0001)
+      .select(col("p_partkey"), col("p_name"))
+    val dict = part.groupBy("p_name").agg(min("p_partkey").as("name_id"))
+    val hashPos = "(pmod(CAST(conv(substring(md5(CAST(concat('fz:', " +
+      "CAST(p_partkey AS STRING)) AS BINARY)), 1, 15), 16, 10) AS BIGINT)," +
+      " length(p_name)) + 1)"
+    val dirty = part.select(col("p_partkey").as("dirty_key"),
+      expr(s"""concat(substring(p_name, 1, $hashPos - 1),
+        substring(p_name, $hashPos + 1)) AS dirty_name"""))
+    val brute = dirty.crossJoin(
+        dict.select(col("name_id"), col("p_name").as("clean")))
+      .withColumn("distance",
+        levenshtein(col("dirty_name"), col("clean")).cast("long"))
+      .filter(col("distance") <= 1)
+      .groupBy("dirty_key")
+      .agg(min(struct(col("distance"), col("name_id"))).as("best"),
+        count(lit(1)).as("n_matches"))
+      .select(col("dirty_key"),
+        col("best").getField("name_id").as("matched_key"),
+        col("best").getField("distance").as("distance"),
+        col("n_matches"))
+    val blocked = graft.operators.Joins.fuzzyNameJoin(spark, sf0001)
+    assert(blocked.exceptAll(brute).count() === 0 &&
+      brute.exceptAll(blocked).count() === 0,
+      "deletion-blocked fuzzy join differs from the brute-force " +
+        "distance<=1 join - the blocking lost a candidate")
+  }
+
   test("q185 guard: a near-dup-dense corpus fails loudly, not quadratically") {
     // The prefix filter's candidate volume is data-dependent; a corpus
     // of identical documents makes EVERY pair a candidate. The guard

@@ -101,4 +101,35 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(tri === Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
   }
+
+  test("q198 hierarchy rollup: subtree sums telescope down the 4-ary tree") {
+    // A node's subtree revenue must equal its own direct revenue plus
+    // its four children's subtrees — the recursion invariant, checked
+    // on every internal node whose children are inside the reported
+    // id range (children of n are 4n+1..4n+4 < 341 ⟺ n < 85).
+    import org.apache.spark.sql.functions._
+    val rows = Graph.hierarchyRollup(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val own = graft.sources.Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_partkey").as("node"))
+      .agg(sum(floor(col("l_extendedprice") * 100).cast("long"))
+        .cast("long").as("cents"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var checked = 0
+    (0L until 85L).foreach { n =>
+      if (rows.contains(n)) {
+        val kids = (1L to 4L).map(i => rows.get(4 * n + i))
+        val kidCents = kids.flatten.map(_._2).sum
+        val kidParts = kids.flatten.map(_._1).sum
+        val ownCents = own.getOrElse(n, 0L)
+        val ownPart = if (own.contains(n)) 1L else 0L
+        assert(rows(n)._2 === ownCents + kidCents,
+          s"node $n subtree cents do not telescope")
+        assert(rows(n)._1 === ownPart + kidParts,
+          s"node $n subtree part count does not telescope")
+        checked += 1
+      }
+    }
+    assert(checked > 50, s"only $checked internal nodes checked - fixture degenerate")
+  }
 }
