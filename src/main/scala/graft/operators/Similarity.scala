@@ -892,9 +892,10 @@ object Similarity {
     * (append forever and the segment list grows; real deployments fold
     * deltas back into the base periodically): the base + append
     * segments are read ONCE, rewritten as a single `_SUCCESS`-committed
-    * compacted dir (a pure code-row copy — no re-encode: the plan
-    * writing the compacted dir contains no `pq_encode`, PlanSpec-
-    * pinned), and the audit row proves the fold: code-row counts per
+    * compacted dir (a pure code-row copy — structurally no re-encode:
+    * the written frame is the union of two parquet reads, no
+    * `pq_encode` anywhere in its lineage), and the audit row proves
+    * the fold: code-row counts per
     * segment and after compaction (counts restated by the oracle from
     * the mod-4 fixture split), plus a GENUINE search-equality check —
     * the q144 search executed against the compacted index and against
