@@ -159,26 +159,35 @@ object StatQa {
     */
   def dailyAnomalies(spark: SparkSession, sfDir: String,
       zCut: Double = 3.0): DataFrame = {
-    // second moment on the SCALED INTEGER (rev·10^4): a decimal square
-    // would get different result scales in Spark (precision-capped to 6)
-    // vs DuckDB (8), and both its sum and s1 overflow the 2^53
-    // exact-cast range — integer moments + Features.decToDouble keep
-    // every value and conversion engine-identical at any sf.
+    // Moments on SCALED INTEGERS + Features.decToDouble keep every
+    // value engine-identical at any sf (a decimal square would get
+    // different result scales in Spark vs DuckDB, and raw sums overflow
+    // the 2^53 exact-cast range). The sd path works on DOLLAR-FLOORED
+    // daily revenue: second moments grow as sf², and the original
+    // rev·10^4 squares crossed decToDouble's 1e28 exact-floor fence at
+    // sf3 (found by the round-11 30× sweep — the fence fired, loudly,
+    // as designed). floor() of a decimal is exact in both engines, and
+    // whole-dollar moments hold to ~3·10⁵× sf0.1 with the same fence
+    // still guarding. The defined statistic is "sd of dollar-floored
+    // daily revenue" — sub-dollar variance information is irrelevant at
+    // 7-digit daily totals; the mean keeps the full exact decimal.
     val daily = Tables.lineitem(spark, sfDir)
       .groupBy(to_date(col("l_shipdate")).as("day"))
       .agg(sum(Insights.revenueDec).as("rev_dec"))
-      .withColumn("c4", (col("rev_dec") * 10000).cast("decimal(29,0)"))
+      .withColumn("c0", floor(col("rev_dec")).cast("decimal(29,0)"))
     val all = Window.partitionBy()
     daily
       .withColumn("n", count(lit(1)).over(all))
       .withColumn("s1", sum(col("rev_dec")).over(all))
-      .withColumn("s2i", sum(col("c4") * col("c4")).over(all))
+      .withColumn("s1f", sum(col("c0")).over(all))
+      .withColumn("s2i", sum(col("c0") * col("c0")).over(all))
       .select(col("day"), col("rev_dec").cast("double").as("revenue"),
         col("n"), Features.decToDouble(col("s1"), 4).as("s1d"),
-        (Features.decToDouble(col("s2i"), 0) / lit(1.0e8)).as("s2d"))
+        Features.decToDouble(col("s1f"), 0).as("s1fd"),
+        Features.decToDouble(col("s2i"), 0).as("s2d"))
       .withColumn("mean", col("s1d") / col("n").cast("double"))
       .withColumn("sd", sqrt((col("s2d") -
-        (col("s1d") * col("s1d")) / col("n").cast("double")) /
+        (col("s1fd") * col("s1fd")) / col("n").cast("double")) /
         col("n").cast("double")))
       .withColumn("z", (col("revenue") - col("mean")) / col("sd"))
       .withColumn("is_anomaly", (abs(col("z")) > zCut).cast("int"))
@@ -193,22 +202,24 @@ object StatQa {
        |  FROM lineitem GROUP BY 1),
        |d2 AS (
        |  SELECT day, rev_dec,
-       |    CAST(rev_dec * 10000 AS HUGEINT) AS c4
+       |    CAST(floor(rev_dec) AS HUGEINT) AS c0
        |  FROM daily),
        |mm AS (
        |  SELECT day, CAST(rev_dec AS DOUBLE) AS revenue,
        |    COUNT(*) OVER () AS n,
        |    SUM(rev_dec) OVER () AS s1,
-       |    SUM(c4 * c4) OVER () AS s2i
+       |    SUM(c0) OVER () AS s1f,
+       |    SUM(c0 * c0) OVER () AS s2i
        |  FROM d2),
        |m AS (
        |  SELECT day, revenue, n,
        |    ${Features.decToDoubleSql("s1", 4)} AS s1d,
-       |    (${Features.decToDoubleSql("s2i", 0)} / 100000000.0) AS s2d
+       |    ${Features.decToDoubleSql("s1f", 0)} AS s1fd,
+       |    ${Features.decToDoubleSql("s2i", 0)} AS s2d
        |  FROM mm),
        |z AS (
        |  SELECT day, revenue, s1d / CAST(n AS DOUBLE) AS mean,
-       |    sqrt((s2d - (s1d * s1d) / CAST(n AS DOUBLE))
+       |    sqrt((s2d - (s1fd * s1fd) / CAST(n AS DOUBLE))
        |      / CAST(n AS DOUBLE)) AS sd
        |  FROM m)
        |SELECT day, revenue, mean, sd,
