@@ -1653,18 +1653,41 @@ object Similarity {
     * threshold of 0.4; production near-dup filtering would use ~0.95.
     */
   def embeddingNeardup(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.95): DataFrame = {
+      threshold: Double = 0.95, maxCandPerVec: Long = 6144): DataFrame = {
     // spread before banding: sig + the candidate join probe fuse into
     // the scan stage (single-row-group inputs = one task otherwise)
     val emb = Tables.withMinParallelism(Tables.embeddings(spark, sfDir),
         spark.sparkContext.defaultParallelism)
       .withColumn("sig", graft.functions.lsh_sig(col("embedding"), planeSigns))
+    // checkpointed ids-only band rows: reused by the volume guard and
+    // both sides of the candidate self-join (signatures computed once)
     val banded = emb.select(col("vec_id"),
       explode(expr(
         """transform(sequence(0, 3),
           |  b -> concat(CAST(b AS STRING), ':',
           |    CAST((sig >> (b * 4)) & 15 AS STRING)))""".stripMargin))
         .as("band_key"))
+      .localCheckpoint(true)
+    // CANDIDATE-VOLUME GUARD, predicted in O(n) from the bucket
+    // histogram BEFORE any pair is generated (Σ n_b·(n_b−1)/2): the
+    // 4×4-bit sign-LSH dial gives 16 buckets per band, so candidate
+    // volume is Θ(n²/16) — round 11's 30× sweep found it grinding a
+    // 464M-pair sort-merge join at sf3. Measured per-vector rates:
+    // sf0.1 ~258, sf1 ~2581 (the soak envelope), sf3 ~7736 — the 6144
+    // ceiling clears the envelope ~2.4× and refuses beyond, loudly.
+    val nVecs = Tables.embeddings(spark, sfDir).count()
+    val predicted = banded.groupBy("band_key")
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)))
+      .head().getLong(0)
+    require(predicted <= maxCandPerVec * nVecs,
+      f"embeddingNeardup candidate blowup: $predicted%d pre-distinct " +
+        f"band pairs over $nVecs%d vectors " +
+        f"(${predicted.toDouble / math.max(nVecs, 1)}%.1f/vec > " +
+        f"$maxCandPerVec%d/vec) — the 4×4-bit sign-LSH dial is past " +
+        "its envelope at this corpus size; use the IVF-clustered " +
+        "semantic dedup (q140), the strict-dial mutual-kNN bands " +
+        "(q203), or raise maxCandPerVec deliberately")
     val vecs = Tables.embeddings(spark, sfDir)
     if (Joins.fitsBroadcast(vecs)) {
       // Broadcastable corpus: score BEFORE deduplicating. Band-local

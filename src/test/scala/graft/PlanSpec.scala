@@ -141,6 +141,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q25 guard: predicted band-pair volume past the dial's envelope fails loudly") {
+    // The 4x4-bit sign-LSH dial is Θ(n²/16); the guard predicts the
+    // pair count in O(n) from the bucket histogram and refuses BEFORE
+    // generating pairs (round 11: a 464M-pair SMJ ground at sf3).
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.embeddingNeardup(spark, sf0001, 0.4,
+        maxCandPerVec = 1)
+    }
+    assert(e.getMessage.contains("candidate blowup"), e.getMessage)
+    // and the default ceiling passes at fixture scale
+    assert(graft.operators.Similarity.embeddingNeardup(spark, sf0001, 0.4)
+      .count() > 0)
+  }
+
   test("q01: scan reads only needed columns and prunes with filters") {
     val qe = Insights.topProductsByRevenue(spark, sf0001).queryExecution
     // sparkPlan, not executedPlan: AQE wraps the latter before execution
