@@ -274,22 +274,13 @@ object Sampling {
     */
   def tokenApportionment(spark: SparkSession, sfDir: String,
       budget: Long = 100000L): DataFrame = {
-    val gated = Tables.withMinParallelism(Tables.documents(spark, sfDir),
-        spark.sparkContext.defaultParallelism)
-      .withColumn("tks", expr(Corpus.tokensSparkSql))
-      .withColumn("n_tokens", size(col("tks")))
-      .withColumn("sum_len",
-        expr("aggregate(tks, 0L, (a, w) -> a + length(w))"))
-      .withColumn("mean_wl",
-        col("sum_len").cast("double") / greatest(col("n_tokens"), lit(1)))
-      .withColumn("n_stop", size(expr(
-        "filter(array_distinct(tks), w -> w IN ('the','a','of','and','in'))")))
-      .withColumn("alpha_frac",
-        size(expr("filter(tks, w -> w rlike '^[a-z]+$')")).cast("double") /
-          greatest(col("n_tokens"), lit(1)))
-      .filter(col("n_tokens") >= 20 && col("n_tokens") <= 60 &&
-        col("mean_wl") >= 3.8 && col("mean_wl") <= 4.6 &&
-        col("n_stop") >= 2 && col("alpha_frac") >= 0.8)
+    // the ONE q83 gate battery (Corpus.withGateScore, shared with
+    // q83/q194/q196/q202): all-four-gates-pass == score 4, so a future
+    // threshold tweak changes every consumer together (round-12 ADVICE)
+    val gated = Corpus.withGateScore(
+        Tables.withMinParallelism(Tables.documents(spark, sfDir),
+          spark.sparkContext.defaultParallelism))
+      .filter(col("score") === 4)
     val supply = gated.groupBy("source")
       .agg(sum(col("n_tokens").cast("long")).as("supply_tokens"))
     // bounded frame from here on: one row per source

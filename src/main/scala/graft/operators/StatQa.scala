@@ -898,8 +898,14 @@ object StatQa {
       count(lit(1)).as("n"),
       sum(col("x").cast("decimal(38,0)")).as("sx"),
       sum(col("y").cast("decimal(38,0)")).as("sy"),
-      sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
-      sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx")))
+      // multiply IN decimal(38,0), not Long-then-cast: per-user
+      // half-period cent sums above ~3.0e9 would wrap the 64-bit
+      // product while the oracle multiplies in HUGEINT (round-12
+      // ADVICE; the products themselves stay < 1e19 << 38 digits)
+      sum(col("x").cast("decimal(38,0)") *
+        col("y").cast("decimal(38,0)")).as("sxy"),
+      sum(col("x").cast("decimal(38,0)") *
+        col("x").cast("decimal(38,0)")).as("sxx")))
     val arms = perUser.groupBy("arm")
       .agg(count(lit(1)).as("n_users"),
         sum(col("x").cast("decimal(38,0)")).as("sxa"),

@@ -141,16 +141,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q25 guard: predicted band-pair volume past the dial's envelope fails loudly") {
-    // The 4x4-bit sign-LSH dial is Θ(n²/16); the guard predicts the
-    // pair count in O(n) from the bucket histogram and refuses BEFORE
-    // generating pairs (round 11: a 464M-pair SMJ ground at sf3).
+  test("q25 adaptive dial: loosest rung under the ceiling, refusal only at the 1x16 backstop") {
+    // Round 12 (round-11 `weak`): the dial is CHOSEN from the O(n)
+    // signature histogram instead of hard-coded. Dense fixture: 4096
+    // vectors, sigs 0..4095 (top 4 bits constant) — the 4x4 dial's
+    // band 3 is one 4096-vector bucket (predicted 9,953,280 pairs =
+    // 2430/vec) while 2x8 splits it (552,960 = 135/vec).
+    import graft.operators.Similarity.chooseNeardupDial
+    val dense = (0L until 4096L).map(s => (s, 1L))
+    val ((nb, bits), vol) = chooseNeardupDial(dense, 4096L, 1024L)
+    assert((nb, bits) === (2, 8))
+    assert(vol === 552960L && vol <= 1024L * 4096L)
+    // a roomier ceiling keeps the loosest (highest-recall) dial
+    assert(chooseNeardupDial(dense, 4096L, 4096L)._1 === (4, 4))
+    // exact-signature flood no banding can split: loud refusal with
+    // per-dial predictions (round 11: a 464M-pair SMJ ground at sf3)
     val e = intercept[IllegalArgumentException] {
-      graft.operators.Similarity.embeddingNeardup(spark, sf0001, 0.4,
-        maxCandPerVec = 1)
+      chooseNeardupDial(Seq((0L, 100000L)), 100000L, 6144L)
     }
     assert(e.getMessage.contains("candidate blowup"), e.getMessage)
-    // and the default ceiling passes at fixture scale
+    // and the executed query at fixture scale picks a dial and runs
     assert(graft.operators.Similarity.embeddingNeardup(spark, sf0001, 0.4)
       .count() > 0)
   }
