@@ -91,11 +91,11 @@ object SparkEntry {
     // each query's nprobe nearest cells; trained codebooks + the same
     // shortlist/re-rank tail
     "q144_ann_ivf_pq" -> ((s, d) => Similarity.annIvfPq(s, d)),
-    // streaming approx-distinct: the HLL register buffer as windowed
-    // state (constant per open window); rows-only, StreamingSpec holds
-    // the tolerance vs batch-exact counts
+    // streaming sketched-distinct: KMV bottom-k longs as windowed state
+    // (constant per open window); engine-portable md5-60 cells make the
+    // readout fully hash-checkable (round 12 — was rows-only HLL)
     "q141_streaming_distinct" -> ((s, d) =>
-      graft.streaming.EventStreams.hourlyDistinctApproxAvailableNow(s, d)),
+      graft.streaming.EventStreams.hourlyDistinctKmvAvailableNow(s, d)),
     "q35_media_frames" -> ((s, d) => Multimodal.mediaFrames(s, d)),
     // --- round-3: CSV cleaning chains over dirty fixtures (B2-B6, C1-C4) ---
     "q36_clean_sales" -> ((s, d) => CleanCsv.cleanSalesCsv(s, d)),
@@ -376,10 +376,10 @@ object SparkEntry {
     // partition-wise with per-partition codec state
     "q156_media_decode" -> ((s, d) => Multimodal.mediaDecode(s, d)),
     // the q141 sketch in its DEPLOYMENT mode: Update output + watermark
-    // EVICTION of closed windows, observed via numRowsRemoved (rows-only;
-    // StreamingSpec holds tolerance vs batch-exact + the eviction assert)
+    // EVICTION of closed windows, observed via numRowsRemoved; the fold
+    // equals the q141 finals so both share one hash-checked oracle
     "q157_streaming_evict" -> ((s, d) =>
-      graft.streaming.EventStreams.hourlyDistinctApproxUpdateReplay(s, d)),
+      graft.streaming.EventStreams.hourlyDistinctKmvUpdateReplay(s, d)),
     // slowly-changing-dim pickup: foreachBatch re-read + mid-stream
     // version bump, v1/v2 names both observed in the folded output
     "q160_stream_dim_swap" -> ((s, d) =>
@@ -646,6 +646,13 @@ object SparkEntry {
     "q202_streaming_gate" ->
       graft.streaming.EventStreams.corpusGateStreamSql,
     "q203_mutual_knn" -> Similarity.mutualKnnGraphSql(),
+    // round 12: KMV cells are engine-portable (md5-60 bottom-k), so
+    // BOTH streaming distinct queries carry the one full oracle — the
+    // q157 fold reconstructs the q141 per-window finals by design
+    "q141_streaming_distinct" ->
+      graft.streaming.EventStreams.hourlyDistinctKmvSql(),
+    "q157_streaming_evict" ->
+      graft.streaming.EventStreams.hourlyDistinctKmvSql(),
     // folding the update log must reproduce the q26 batch aggregate
     "q148_streaming_update" -> Events.hourlyByTypeSql,
     "q149_streaming_enrich" ->

@@ -1840,37 +1840,65 @@ object EventStreams {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
-  /** q141 — approximate distinct users per hourly window, STREAMING:
-    * the native HLL sketch ([[graft.functions.HllAgg]]) as the
-    * aggregate of a watermarked windowed streaming aggregation. The
-    * m-byte register buffer IS the per-(window, type) state row —
-    * constant regardless of how many users a window sees, which is the
+  /** md5-60 BIGINT hash of user_id — identical to the q178 cell hash
+    * and to the oracle's `('0x' || substr(md5(...), 1, 15))` tree, so
+    * the KMV state below is bit-portable across engines.
+    */
+  private val kmvUserHashExpr =
+    "CAST(conv(substring(md5(CAST(CAST(user_id AS STRING) AS BINARY))" +
+      ", 1, 15), 16, 10) AS BIGINT)"
+
+  /** Appends the deterministic KMV readout columns (k_used, kth_hash,
+    * distinct_est) from a bottom-k array column and DROPS the array
+    * (driver outputs must never be array-typed). The estimator tree —
+    * exact count below k, else (k−1)·2^60/h_k in doubles — is the
+    * identical correctly-rounded IEEE tree the oracle states.
+    */
+  private def withKmvScalars(df: DataFrame, k: Int): DataFrame =
+    df.withColumn("k_used", size(col("kmv")).cast("long"))
+      .withColumn("kth_hash", element_at(col("kmv"), size(col("kmv"))))
+      .withColumn("distinct_est",
+        when(col("k_used") < k, col("k_used").cast("double"))
+          .otherwise((lit((k - 1).toDouble) *
+            lit(graft.functions.KmvAgg.TwoPow60)) /
+            col("kth_hash").cast("double")))
+      .drop("kmv")
+
+  /** q141 — distinct users per hourly window, STREAMING, via the KMV
+    * bottom-k sketch ([[graft.functions.KmvAgg]]): the k-long sorted
+    * hash array IS the per-(window, type) state row — constant
+    * regardless of how many users a window sees, which is the
     * streaming form of the q45 story: an exact streaming COUNT
     * DISTINCT would have to carry every user id seen per open window
-    * in the state store; the sketch caps state PER WINDOW at the
-    * register count. (This replay runs in Complete output mode — like
-    * q124 — where the watermark never evicts window state, so the
-    * store retains every window ever seen; the per-window bound is
-    * what the sketch buys. A long-running deployment bounds the window
-    * COUNT too by running Append/Update, where the watermark evicts
-    * closed windows.) Same AvailableNow replay harness as q124; rows-only
-    * registration (sketch estimates are engine-specific — DuckDB has
-    * no xxhash64), tolerance vs the batch-exact counts in
-    * StreamingSpec.
+    * in the state store; the sketch caps state PER WINDOW at k longs.
+    * (This replay runs in Complete output mode — like q124 — where the
+    * watermark never evicts window state, so the store retains every
+    * window ever seen; the per-window bound is what the sketch buys.
+    * A long-running deployment bounds the window COUNT too by running
+    * Append/Update — that is q157.)
+    *
+    * Round 12: KMV replaces the round-7 HLL here exactly because its
+    * cells are ENGINE-PORTABLE (md5-60 bottom-k, the q178 idiom) — the
+    * whole readout (k_used, kth hash, estimate) is deterministic and
+    * DuckDB-restatable, moving this query from the rows-only whitelist
+    * to a full hash-checked oracle. HLL remains the cheaper-state
+    * choice where portability doesn't matter (q45/q136/q137).
     */
-  def hourlyDistinctApproxAvailableNow(spark: SparkSession,
-      sfDir: String, rsd: Double = 0.02): DataFrame = {
-    val name = "graft_stream_hlldist_" + runCounter.incrementAndGet()
+  def hourlyDistinctKmvAvailableNow(spark: SparkSession,
+      sfDir: String, k: Int = 256): DataFrame = {
+    val name = "graft_stream_kmvdist_" + runCounter.incrementAndGet()
     withStatePartitions(spark, 8) {
-      val q = readEventStream(spark, sfDir, glob = Some("events.parquet"))
-        .withWatermark("ts", "10 minutes")
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(
-          graft.functions.HllAgg.countDistinct(col("user_id"), rsd)
-            .as("approx_users"),
-          count(lit(1)).as("n_events"))
-        .select(col("window.start").as("window_start"),
-          col("event_type"), col("approx_users"), col("n_events"))
+      val q = withKmvScalars(
+        readEventStream(spark, sfDir, glob = Some("events.parquet"))
+          .withColumn("h", expr(kmvUserHashExpr))
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(graft.functions.KmvAgg.bottomK(col("h"), k).as("kmv"),
+            count(lit(1)).as("n_events"))
+          .select(col("window.start").as("window_start"),
+            col("event_type"), col("kmv"), col("n_events")), k)
+        .select("window_start", "event_type", "n_events", "k_used",
+          "kth_hash", "distinct_est")
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Complete)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1880,44 +1908,84 @@ object EventStreams {
     spark.table(name).orderBy("window_start", "event_type")
   }
 
-  /** q157 — the PRODUCTION shape of the streaming HLL (q141 runs
-    * Complete mode, where the watermark never evicts and "state
-    * bounded" holds per-window only): the same windowed HLL rollup in
+  /** Shared DuckDB oracle for q141/q157 (the q157 fold reconstructs
+    * exactly the q141 per-window finals — scaladoc there): per
+    * (hour window, type), the bottom-k distinct md5-60 hashes, the
+    * k-th smallest, and the (k−1)·2^60/h_k estimate (exact count
+    * below k), all integer/IEEE-exact in both engines.
+    */
+  def hourlyDistinctKmvSql(k: Int = 256): String =
+    s"""WITH ev AS (
+       |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       |    event_type,
+       |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+       |      AS BIGINT) AS h
+       |  FROM events),
+       |counts AS (
+       |  SELECT window_start, event_type, COUNT(*) AS n_events
+       |  FROM ev GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT window_start, event_type, h,
+       |    row_number() OVER (PARTITION BY window_start, event_type
+       |      ORDER BY h) AS rk
+       |  FROM (SELECT DISTINCT window_start, event_type, h FROM ev)),
+       |cells AS (
+       |  SELECT window_start, event_type,
+       |    CAST(COUNT(*) AS BIGINT) AS k_used,
+       |    CAST(MAX(h) AS BIGINT) AS kth_hash
+       |  FROM ranked WHERE rk <= $k GROUP BY 1, 2)
+       |SELECT c.window_start, c.event_type, n.n_events,
+       |  c.k_used, c.kth_hash,
+       |  CASE WHEN c.k_used < $k THEN CAST(c.k_used AS DOUBLE)
+       |    ELSE CAST(${k - 1} AS DOUBLE)
+       |      * CAST(1152921504606846976 AS DOUBLE)
+       |      / CAST(c.kth_hash AS DOUBLE) END AS distinct_est
+       |FROM cells c JOIN counts n
+       |  ON c.window_start = n.window_start
+       |  AND c.event_type = n.event_type
+       |ORDER BY c.window_start, c.event_type""".stripMargin
+
+  /** q157 — the PRODUCTION shape of the streaming KMV distinct (q141
+    * runs Complete mode, where the watermark never evicts and "state
+    * bounded" holds per-window only): the same windowed KMV rollup in
     * UPDATE mode over the chronological multi-file replay, where the
     * watermark EVICTS closed windows from the state store as it
-    * advances — so total state is bounded by (open windows × register
-    * bytes), the claim a long-running deployment actually needs. The
-    * eviction is OBSERVED, not assumed: `stateOperators.numRowsRemoved`
-    * must be > 0 across the replay (the q146 probe style), and ≥2 data
-    * batches must have run (otherwise the watermark never moved
-    * mid-stream and eviction could not trigger).
+    * advances — so total state is bounded by (open windows × k longs),
+    * the claim a long-running deployment actually needs. The eviction
+    * is OBSERVED, not assumed: `stateOperators.numRowsRemoved` must be
+    * > 0 across the replay (the q146 probe style), and ≥2 data batches
+    * must have run (otherwise the watermark never moved mid-stream and
+    * eviction could not trigger).
     *
     * Correctness of the folded log: each emitted update carries the
-    * window's CURRENT (approx_users, n_events); n_events is strictly
-    * monotone over a key's updates, so latest-per-key = max_by on it
-    * (the q148 fold). Chronological staging means every window's data
-    * fully arrives before the watermark can pass its end (a
-    * boundary-spanning window's end exceeds the earlier batch's max
-    * ts, hence its watermark), so no update is ever lost to eviction
-    * and the fold equals the single-batch q141 values per window.
-    * Rows-only registration (sketch estimates are engine-specific);
-    * StreamingSpec holds the tolerance vs batch-exact counts AND
-    * asserts the eviction count.
+    * window's CURRENT (k_used, kth_hash, distinct_est, n_events);
+    * n_events is strictly monotone over a key's updates, so
+    * latest-per-key = max_by on it (the q148 fold). Chronological
+    * staging means every window's data fully arrives before the
+    * watermark can pass its end (a boundary-spanning window's end
+    * exceeds the earlier batch's max ts, hence its watermark), so no
+    * update is ever lost to eviction and the fold equals the
+    * single-batch q141 values per window — which is why BOTH queries
+    * share [[hourlyDistinctKmvSql]] as a full hash-checked oracle
+    * (round 12; the HLL predecessor was rows-only). StreamingSpec
+    * additionally asserts streaming == batch cell-exactly.
     */
-  def hourlyDistinctApproxUpdateReplay(spark: SparkSession, sfDir: String,
-      rsd: Double = 0.02, nFiles: Int = 4): DataFrame = {
+  def hourlyDistinctKmvUpdateReplay(spark: SparkSession, sfDir: String,
+      k: Int = 256, nFiles: Int = 4): DataFrame = {
     val staging = stageChronologicalEvents(spark, sfDir, nFiles)
-    val name = "graft_stream_hllevict_" + runCounter.incrementAndGet()
+    val name = "graft_stream_kmvevict_" + runCounter.incrementAndGet()
     val (nData, removed) = withStatePartitions(spark, 8) {
-      val q = readEventStream(spark, staging, maxFilesPerTrigger = Some(1))
-        .withWatermark("ts", "10 minutes")
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(
-          graft.functions.HllAgg.countDistinct(col("user_id"), rsd)
-            .as("approx_users"),
-          count(lit(1)).as("n_events"))
-        .select(col("window.start").as("window_start"),
-          col("event_type"), col("approx_users"), col("n_events"))
+      val q = withKmvScalars(
+        readEventStream(spark, staging, maxFilesPerTrigger = Some(1))
+          .withColumn("h", expr(kmvUserHashExpr))
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(graft.functions.KmvAgg.bottomK(col("h"), k).as("kmv"),
+            count(lit(1)).as("n_events"))
+          .select(col("window.start").as("window_start"),
+            col("event_type"), col("kmv"), col("n_events")), k)
+        .select("window_start", "event_type", "n_events", "k_used",
+          "kth_hash", "distinct_est")
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Update)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1928,17 +1996,20 @@ object EventStreams {
           .map(_.numRowsRemoved).sum)
     }
     require(nData >= 2,
-      s"hll evict replay ran $nData data batches - the multi-batch " +
+      s"kmv evict replay ran $nData data batches - the multi-batch " +
         "eviction path was NOT exercised")
     require(removed > 0,
-      "hll evict replay: numRowsRemoved == 0 - the watermark evicted " +
+      "kmv evict replay: numRowsRemoved == 0 - the watermark evicted " +
         "no window state; 'state bounded by open windows' was NOT " +
         "demonstrated")
     spark.table(name)
       .groupBy(col("window_start"), col("event_type"))
       .agg(max(col("n_events")).as("n_events"),
-        expr("max_by(approx_users, n_events)").as("approx_users"))
-      .select("window_start", "event_type", "approx_users", "n_events")
+        expr("max_by(k_used, n_events)").as("k_used"),
+        expr("max_by(kth_hash, n_events)").as("kth_hash"),
+        expr("max_by(distinct_est, n_events)").as("distinct_est"))
+      .select("window_start", "event_type", "n_events", "k_used",
+        "kth_hash", "distinct_est")
       .orderBy("window_start", "event_type")
   }
 

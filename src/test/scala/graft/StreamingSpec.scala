@@ -208,54 +208,66 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
-  test("q141 streaming HLL distinct tracks batch-exact counts per window") {
-    val got = EventStreams.hourlyDistinctApproxAvailableNow(spark, sf0001)
-      .collect()
-      .map(r => (r.getTimestamp(0), r.getString(1)) ->
-        (r.getLong(2), r.getLong(3))).toMap
-    val want = Tables.events(spark, sf0001)
+  // batch restatement of the q141/q157 KMV readout: per-window bottom-k
+  // over distinct md5-60 user hashes — the same deterministic values
+  // the DuckDB oracle states (both queries are hash-green since round
+  // 12; this spec pins streaming == batch engine-internally)
+  private def kmvBatchWant(k: Int = 256): Map[(java.sql.Timestamp, String),
+      (Long, Long, Long, Double)] = {
+    val hashExpr = "CAST(conv(substring(md5(CAST(CAST(user_id AS " +
+      "STRING) AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
+    Tables.events(spark, sf0001)
+      .withColumn("h", expr(hashExpr))
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(countDistinct(col("user_id")).as("x"),
-        count(lit(1)).as("n"))
-      .select(col("window.start"), col("event_type"), col("x"), col("n"))
+      .agg(count(lit(1)).as("n"), expr(
+        s"slice(array_sort(collect_set(h)), 1, $k)").as("kmv"))
+      .select(col("window.start"), col("event_type"), col("n"),
+        size(col("kmv")).cast("long").as("k_used"),
+        element_at(col("kmv"), size(col("kmv"))).as("kth"),
+        when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) *
+            lit(graft.functions.KmvAgg.TwoPow60) /
+            col("kth").cast("double")).as("est"))
       .collect()
       .map(r => (r.getTimestamp(0), r.getString(1)) ->
-        (r.getLong(2), r.getLong(3))).toMap
-    assert(got.keySet === want.keySet, "window/type coverage differs")
-    want.foreach { case (k, (x, n)) =>
-      val (ax, an) = got(k)
-      assert(an === n, s"$k: event count $an != $n")
-      // linear-counting regime: exact up to rare register collisions
-      // (~n^2/2m per window), plus the 3*rsd band at larger n
-      val tol = math.max(2.0, 3 * 0.02 * x)
-      assert(math.abs(ax - x) <= tol, s"$k: approx $ax vs exact $x")
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+  }
+
+  private def kmvRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+      ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+
+  test("q141 streaming KMV distinct equals the batch bottom-k cell-exactly") {
+    val got = kmvRows(
+      EventStreams.hourlyDistinctKmvAvailableNow(spark, sf0001))
+    val want = kmvBatchWant()
+    assert(got === want)
+    assert(got.nonEmpty)
+    // and the estimator tracks the true distinct (vacuity guard: the
+    // readout is not accidentally counting events)
+    val exact = Tables.events(spark, sf0001)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("x"))
+      .select(col("window.start"), col("event_type"), col("x"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    exact.foreach { case (key, x) =>
+      val est = got(key)._4
+      val tol = math.max(2.0, 3 * x / math.sqrt(255.0))
+      assert(math.abs(est - x) <= tol, s"$key: est $est vs exact $x")
     }
   }
 
-  test("q157 update-mode HLL folds to batch-exact windows, eviction asserted") {
+  test("q157 update-mode KMV folds to the q141 finals, eviction asserted") {
     // the query itself require()s numRowsRemoved > 0 and >=2 data
     // batches — reaching the assertions below means eviction happened
-    val got = EventStreams.hourlyDistinctApproxUpdateReplay(spark, sf0001)
-      .collect()
-      .map(r => (r.getTimestamp(0), r.getString(1)) ->
-        (r.getLong(2), r.getLong(3))).toMap
-    val want = Tables.events(spark, sf0001)
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(countDistinct(col("user_id")).as("x"),
-        count(lit(1)).as("n"))
-      .select(col("window.start"), col("event_type"), col("x"), col("n"))
-      .collect()
-      .map(r => (r.getTimestamp(0), r.getString(1)) ->
-        (r.getLong(2), r.getLong(3))).toMap
-    assert(got.keySet === want.keySet,
-      "window/type coverage differs - an update was lost to eviction")
-    want.foreach { case (k, (x, n)) =>
-      val (ax, an) = got(k)
-      assert(an === n, s"$k: event count $an != $n (fold picked a " +
-        "non-final update)")
-      val tol = math.max(2.0, 3 * 0.02 * x)
-      assert(math.abs(ax - x) <= tol, s"$k: approx $ax vs exact $x")
-    }
+    val got = kmvRows(
+      EventStreams.hourlyDistinctKmvUpdateReplay(spark, sf0001))
+    val want = kmvBatchWant()
+    assert(got === want,
+      "folded update log != batch bottom-k (an update was lost to " +
+        "eviction or the fold picked a non-final update)")
+    assert(got.nonEmpty)
   }
 
   test("q172 transformWithState: RocksDB state persists across micro-batches") {
