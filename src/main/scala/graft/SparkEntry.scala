@@ -549,6 +549,11 @@ object SparkEntry {
     // mutual-kNN graph (SemDeDup clustering substrate): rank-mutual
     // edges over strict-dial LSH candidates, never the n^2 cross join
     "q203_mutual_knn" -> ((s, d) => Similarity.mutualKnnGraph(s, d)),
+    // --- round 12 ---
+    // the SemDeDup ENDGAME: q203 edges -> q60 components (shared
+    // propagateMinLabels) -> q194 keep-best policy, one registered query
+    "q204_semantic_endgame" -> ((s, d) =>
+      Similarity.semanticDedupEndgame(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -646,6 +651,7 @@ object SparkEntry {
     "q202_streaming_gate" ->
       graft.streaming.EventStreams.corpusGateStreamSql,
     "q203_mutual_knn" -> Similarity.mutualKnnGraphSql(),
+    "q204_semantic_endgame" -> Similarity.semanticDedupEndgameSql(),
     // round 12: KMV cells are engine-portable (md5-60 bottom-k), so
     // BOTH streaming distinct queries carry the one full oracle — the
     // q157 fold reconstructs the q141 per-window finals by design

@@ -212,6 +212,25 @@ object Corpus {
           (col("n_stop") >= 2).cast("long") +
           (col("alpha_frac") >= 0.8).cast("long"))
 
+  /** Band rows (doc_id, band_idx, band_key) of a docs frame — the q196
+    * stage-2 banding (native minhash + banded split, with the
+    * repartition plan barrier) exposed for the streaming admission
+    * path (q205), so stream and batch can never drift.
+    */
+  private[graft] def bandsOf(docs: DataFrame): DataFrame =
+    Dedup.bandedFromSigs(
+      docs.select(col("doc_id"),
+        graft.functions.minhash_sig(col("text"), Dedup.NumHashes)
+          .as("minhash"))
+        .repartition(col("doc_id")))
+
+  /** Distinct word-3-shingle arrays (doc_id, sh) — the q196 stage-2
+    * verification grain, shared with q205 for the same no-drift reason.
+    */
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      array_distinct(graft.functions.word_shingles(col("text"))).as("sh"))
+
   /** DuckDB CTE body for [[docGateScores]]: `(SELECT doc_id, score ...)`. */
   val docGateScoresSql: String =
     s"""SELECT doc_id,
@@ -638,20 +657,14 @@ object Corpus {
         Tables.documents(spark, sfDir),
         spark.sparkContext.defaultParallelism)
       .join(s1, Seq("doc_id"), "left_semi")
-    val sigs = admittedDocs
-      .select(col("doc_id"),
-        graft.functions.minhash_sig(col("text"), Dedup.NumHashes)
-          .as("minhash"))
-      .repartition(col("doc_id")) // plan barrier (Dedup banding idiom)
-    val bands = Dedup.bandedFromSigs(sigs).localCheckpoint(true)
+    val bands = bandsOf(admittedDocs).localCheckpoint(true)
     val cands = bands
       .select(col("doc_id").as("doc_a"), col("band_idx"), col("band_key"))
       .join(bands.select(col("doc_id").as("doc_b"), col("band_idx"),
         col("band_key")), Seq("band_idx", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val sh = admittedDocs.select(col("doc_id"),
-      array_distinct(graft.functions.word_shingles(col("text"))).as("sh"))
+    val sh = shinglesOf(admittedDocs)
     val dupPairs = cands
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
         Seq("doc_a"))

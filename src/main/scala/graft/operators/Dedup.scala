@@ -548,24 +548,55 @@ object Dedup {
     * large-star/small-star formulation; the driver only sees one count
     * per round (the convergence check).
     */
-  def dedupClusters(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.5, maxIters: Int = 25): DataFrame = {
-    val edges = neardupPairs(spark, sfDir, threshold)
-      .select("doc_a", "doc_b")
-    val und = edges.select(col("doc_a").as("s"), col("doc_b").as("d"))
-      .union(edges.select(col("doc_b").as("s"), col("doc_a").as("d")))
-      .localCheckpoint(true)
-    var labels = und.select(col("s").as("node")).distinct()
-      .withColumn("lbl", col("node"))
-      .localCheckpoint(true)
+  /** Min-label connected components over an UNDIRECTED edge list
+    * (`s`/`d` columns, both directions present) — Shiloach-Vishkin-
+    * style HOOK + POINTER-JUMP, O(log n) rounds: each round every node
+    * takes min(own label, neighbors' labels, label-of-its-label) AND
+    * every edge hooks min(lbl(s), lbl(d)) onto the ROOT lbl(s) — the
+    * root update is what merges whole trees per round. Dense near-dup
+    * quasi-cliques (q60/q194) converge in 2-3 rounds under plain
+    * neighbor-min, but SPARSE graphs like q204's mutual-kNN edges
+    * (degree ≤ k, long chains) crawl one hop per round without the
+    * hook: at sf0.01 the plain loop was still moving at round 22.
+    * Returns (node, lbl) with lbl = the component's minimum node id.
+    *
+    * Each round is four key-equi shuffles over the EDGE list / label
+    * table only (never the corpus). The eager `localCheckpoint`
+    * truncates lineage, and the REBUILD-FROM-RDD barrier after it cuts
+    * Catalyst's ORIGIN-PLAN STATISTICS, which a checkpoint preserves:
+    * the label-on-label join otherwise SQUARES the estimated
+    * sizeInBytes every round (measured: 270 bits -> 1.4e8 bits by
+    * round 20, with the driver grinding BigInteger products — the
+    * round-12 q204 stall). The barrier costs one row conversion over
+    * the node-count-sized table per round and keeps the estimate at
+    * the default constant.
+    */
+  private[graft] def propagateMinLabels(und: DataFrame,
+      maxIters: Int): DataFrame = {
+    val spark = und.sparkSession
+    def barrier(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.localCheckpoint(true).rdd, df.schema)
+    var labels = barrier(und.select(col("s").as("node")).distinct()
+      .withColumn("lbl", col("node")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
+      // neighbor-min: d learns lbl(s) (und is symmetric, covers both)
       val msgs = und.join(labels, und("s") === labels("node"))
         .select(col("d").as("node"), col("lbl"))
-      val updated = labels.union(msgs).groupBy("node")
-        .agg(min("lbl").as("lbl"))
-        .localCheckpoint(true)
+      // hook: the edge's smaller root absorbs the other side's root
+      val hooks = und
+        .join(labels.select(col("node").as("s"), col("lbl").as("ls")), "s")
+        .join(labels.select(col("node").as("d"), col("lbl").as("ld")), "d")
+        .select(col("ls").as("node"), least(col("ls"), col("ld")).as("lbl"))
+      // pointer jump: v adopts its label's label
+      val jumped = labels.select(col("node"), col("lbl").as("mid"))
+        .join(labels.select(col("node").as("mid"), col("lbl").as("lbl2")),
+          "mid")
+        .select(col("node"), col("lbl2").as("lbl"))
+      val updated = barrier(
+        labels.union(msgs).union(hooks).union(jumped).groupBy("node")
+          .agg(min("lbl").as("lbl")))
       changed = updated
         .join(labels.select(col("node"), col("lbl").as("lbl_old")), "node")
         .filter(col("lbl") =!= col("lbl_old"))
@@ -573,6 +604,20 @@ object Dedup {
       labels = updated
       iter += 1
     }
+    require(changed == 0,
+      s"propagateMinLabels did not converge in $maxIters rounds - " +
+        "raise maxIters (hook + jump converge in O(log n))")
+    labels
+  }
+
+  def dedupClusters(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.5, maxIters: Int = 25): DataFrame = {
+    val edges = neardupPairs(spark, sfDir, threshold)
+      .select("doc_a", "doc_b")
+    val und = edges.select(col("doc_a").as("s"), col("doc_b").as("d"))
+      .union(edges.select(col("doc_b").as("s"), col("doc_a").as("d")))
+      .localCheckpoint(true)
+    val labels = propagateMinLabels(und, maxIters)
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lbl")
       .select(col("node").as("doc_id"), col("lbl").as("cluster_id"),

@@ -367,6 +367,84 @@ object Similarity {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** q204 — the SEMANTIC-DEDUP ENDGAME (round-11 verdict #5): the full
+    * SemDeDup pipeline composed from its three individually-proven
+    * stages — q203's mutual-kNN edges over embeddings, q60's min-label
+    * connected components ([[Dedup.propagateMinLabels]], the SAME
+    * machinery, factored shared), and q194's keep-best policy (each
+    * cluster survives as its highest q83-gate-score member, ties to
+    * the lowest id; documents link to vectors by doc_id == vec_id).
+    * Output is the per-cluster decision record: cluster, survivor,
+    * its score, size, discard count.
+    *
+    * Scale shape: edges come from the strict 2×8 LSH dial (Θ(n²/256)
+    * band candidates, ids-only exchanges); components iterate on the
+    * edge list only; the policy layer is one doc-grain score scan and
+    * one cluster-grain struct-max. Nothing touches all-pairs and the
+    * corpus payload is never shuffled — the same story each stage
+    * already proved alone, now as ONE registered query.
+    */
+  def semanticDedupEndgame(spark: SparkSession, sfDir: String,
+      k: Int = 3, maxIters: Int = 25): DataFrame = {
+    val edges = mutualKnnGraph(spark, sfDir, k)
+      .select(col("vec_a").as("s"), col("vec_b").as("d"))
+    val und = edges
+      .union(edges.select(col("d").as("s"), col("s").as("d")))
+      .localCheckpoint(true)
+    val labels = Dedup.propagateMinLabels(und, maxIters)
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .join(Corpus.docGateScores(spark, sfDir)
+        .select(col("doc_id").as("node"), col("score")), Seq("node"))
+      .groupBy(col("lbl").as("cluster_id"))
+      .agg(max(struct(col("score"), (-col("node")).as("nid"))).as("m"),
+        max(col("cluster_size")).cast("long").as("cluster_size"))
+      .select(col("cluster_id"),
+        (-col("m.nid")).as("keep_vec_id"),
+        col("m.score").as("keep_score"),
+        col("cluster_size"),
+        (col("cluster_size") - 1).as("n_discarded"))
+      .orderBy("cluster_id")
+  }
+
+  /** Oracle for [[semanticDedupEndgame]]: q203's edge SQL, the q60
+    * recursive-CTE closure, q194's windowed argmax — spliced with
+    * post-stripMargin replace (the lshBandedCte discipline).
+    */
+  def semanticDedupEndgameSql(k: Int = 3): String =
+    s"""WITH RECURSIVE mkg AS MATERIALIZED (
+       |  SELECT vec_a, vec_b FROM (@EDGES@) e),
+       |und AS MATERIALIZED (
+       |  SELECT vec_a AS s, vec_b AS d FROM mkg
+       |  UNION ALL
+       |  SELECT vec_b AS s, vec_a AS d FROM mkg),
+       |reach(s, d) AS (
+       |  SELECT s, d FROM und
+       |  UNION
+       |  SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s),
+       |lbl AS (
+       |  SELECT s AS node, LEAST(s, MIN(d)) AS cluster_id
+       |  FROM reach GROUP BY s),
+       |sizes AS (
+       |  SELECT cluster_id, COUNT(*) AS cluster_size
+       |  FROM lbl GROUP BY cluster_id),
+       |scores AS MATERIALIZED (@SCORES@),
+       |ranked AS (
+       |  SELECT l.cluster_id, l.node, sc.score, s.cluster_size,
+       |    row_number() OVER (PARTITION BY l.cluster_id
+       |                       ORDER BY sc.score DESC, l.node ASC) AS rk
+       |  FROM lbl l
+       |  JOIN scores sc ON sc.doc_id = l.node
+       |  JOIN sizes s USING (cluster_id))
+       |SELECT cluster_id, node AS keep_vec_id,
+       |  CAST(score AS BIGINT) AS keep_score,
+       |  CAST(cluster_size AS BIGINT) AS cluster_size,
+       |  CAST(cluster_size - 1 AS BIGINT) AS n_discarded
+       |FROM ranked WHERE rk = 1
+       |ORDER BY cluster_id""".stripMargin
+      .replace("@EDGES@", mutualKnnGraphSql(k))
+      .replace("@SCORES@", Corpus.docGateScoresSql)
+
   /** Exact cosine top-k over a candidate id-pair list. */
   private def lshTopK(spark: SparkSession, sfDir: String,
       candIds: DataFrame, nQueries: Int, k: Int): DataFrame = {

@@ -176,6 +176,40 @@ class ClusterJoinSpec extends SparkSpec {
         "distance<=1 join - the blocking lost a candidate")
   }
 
+  test("q204 semantic endgame: components match driver union-find on q203 edges; survivor is the gate-score argmax") {
+    // independent re-derivation: collect the (bounded, sf0.001) mutual-
+    // kNN edge list, run a plain union-find driver-side, and check the
+    // registered query's cluster count, size multiset, and keep-best
+    // choice against it — NOT via propagateMinLabels, so a labeling bug
+    // can't self-confirm
+    val edges = graft.operators.Similarity.mutualKnnGraph(spark, sf0001)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = parent.keys.toSeq.groupBy(find)
+    val scores = graft.operators.Corpus.docGateScores(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = members.map { case (_, ms) =>
+      val cid = ms.min
+      val keep = ms.minBy(m => (-scores(m), m))
+      (cid, keep, scores(keep), ms.size.toLong, ms.size.toLong - 1)
+    }.toSet
+    val got = graft.operators.Similarity.semanticDedupEndgame(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got === want)
+  }
+
   test("q185 guard: a near-dup-dense corpus fails loudly, not quadratically") {
     // The prefix filter's candidate volume is data-dependent; a corpus
     // of identical documents makes EVERY pair a candidate. The guard
