@@ -554,6 +554,11 @@ object SparkEntry {
     // propagateMinLabels) -> q194 keep-best policy, one registered query
     "q204_semantic_endgame" -> ((s, d) =>
       Similarity.semanticDedupEndgame(s, d)),
+    // q196 stage 2 on the live path: per-batch near-dup admission
+    // against the committed band-segment union (q159's index idiom),
+    // ledger folds to the batch answer exactly
+    "q205_streaming_neardup" -> ((s, d) =>
+      graft.streaming.EventStreams.streamingNeardupAdmission(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -652,6 +657,7 @@ object SparkEntry {
       graft.streaming.EventStreams.corpusGateStreamSql,
     "q203_mutual_knn" -> Similarity.mutualKnnGraphSql(),
     "q204_semantic_endgame" -> Similarity.semanticDedupEndgameSql(),
+    "q205_streaming_neardup" -> Corpus.streamingNeardupAdmissionSql(),
     // round 12: KMV cells are engine-portable (md5-60 bottom-k), so
     // BOTH streaming distinct queries carry the one full oracle — the
     // q157 fold reconstructs the q141 per-window finals by design

@@ -891,4 +891,66 @@ object Corpus {
        |) ORDER BY stage_idx""".stripMargin
       .replace("@BANDED@", Dedup.lshBandedCte)
   }
+
+  /** DuckDB oracle for the STREAMING near-dup admission (q205 —
+    * `EventStreams.streamingNeardupAdmission`): the q196 stage-2 rule
+    * restated PER BATCH, where a doc's batch is the deterministic
+    * staged range `doc_id·n div (max_id+1)`
+    * ([[graft.streaming.EventStreams.stageDocumentBatches]]). A drop
+    * is "by history" when any duplicate partner sits in an earlier
+    * batch — the property that makes the replay genuinely incremental.
+    */
+  def streamingNeardupAdmissionSql(nBatches: Int = 3): String =
+    s"""@BANDED@,
+       |gate AS MATERIALIZED (${docGateScoresSql}),
+       |mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+       |train AS MATERIALIZED (
+       |  SELECT g.doc_id, g.score,
+       |    CAST((g.doc_id * $nBatches) // mx.m AS BIGINT) AS batch_idx
+       |  FROM gate g CROSS JOIN mx WHERE g.doc_id % 5 <> 0),
+       |s1 AS MATERIALIZED (
+       |  SELECT doc_id, batch_idx FROM train WHERE score = 4),
+       |bandedq AS (SELECT b.* FROM banded b JOIN s1 USING (doc_id)),
+       |cands AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bandedq a JOIN bandedq b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh_rows GROUP BY 1),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+       |  FROM cands c
+       |  JOIN sh_rows a ON a.doc_id = c.doc_a
+       |  JOIN sh_rows b ON b.doc_id = c.doc_b AND b.s = a.s
+       |  GROUP BY 1, 2),
+       |dups AS MATERIALIZED (
+       |  SELECT i.doc_a, i.doc_b FROM inter i
+       |  JOIN sizes sa ON sa.doc_id = i.doc_a
+       |  JOIN sizes sb ON sb.doc_id = i.doc_b
+       |  WHERE 2 * i.n_inter >= sa.n + sb.n - i.n_inter),
+       |dropped AS MATERIALIZED (
+       |  SELECT sb.doc_id, sb.batch_idx,
+       |    MAX(CASE WHEN sa.batch_idx < sb.batch_idx THEN 1 ELSE 0 END)
+       |      AS by_hist
+       |  FROM dups d
+       |  JOIN s1 sb ON sb.doc_id = d.doc_b
+       |  JOIN s1 sa ON sa.doc_id = d.doc_a
+       |  GROUP BY 1, 2),
+       |led AS (
+       |  SELECT batch_idx, COUNT(*) AS n_docs,
+       |    SUM(CASE WHEN score = 4 THEN 1 ELSE 0 END) AS n_gate
+       |  FROM train GROUP BY 1),
+       |drops AS (
+       |  SELECT batch_idx, COUNT(*) AS n_dup,
+       |    SUM(by_hist) AS n_hist
+       |  FROM dropped GROUP BY 1)
+       |SELECT l.batch_idx,
+       |  CAST(l.n_docs AS BIGINT) AS n_docs,
+       |  CAST(l.n_gate AS BIGINT) AS n_gate,
+       |  CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup_dropped,
+       |  CAST(COALESCE(d.n_hist, 0) AS BIGINT) AS n_dropped_by_history,
+       |  CAST(l.n_gate - COALESCE(d.n_dup, 0) AS BIGINT) AS n_admitted
+       |FROM led l LEFT JOIN drops d USING (batch_idx)
+       |ORDER BY l.batch_idx""".stripMargin
+      .replace("@BANDED@", Dedup.lshBandedCte)
 }

@@ -1450,6 +1450,122 @@ object EventStreams {
        |FROM p GROUP BY source
        |ORDER BY source""".stripMargin
 
+  /** q205 — STREAMING NEAR-DUP ADMISSION (round-11 verdict #6): q196's
+    * batch stage 2 on the LIVE path, wired through q159's versioned-
+    * segment index idiom. The staged document batches (ascending
+    * doc_id ranges — [[stageDocumentBatches]]) replay one file per
+    * trigger; each micro-batch (a) gates its train-split docs with the
+    * SHARED battery ([[graft.operators.Corpus.withGateScore]]),
+    * (b) bands its gate admits with the SHARED stage-2 banding
+    * ([[graft.operators.Corpus.bandsOf]]), (c) probes the UNION of all
+    * prior batches' committed band segments plus its own bands for
+    * candidates, verifies them at the shared shingle grain, and drops
+    * the larger id of every duplicate pair — exactly q196's "b
+    * compares against all admits below it" rule, because the staged
+    * ranges make every earlier-batch doc_id smaller — then (d) commits
+    * its own gate admits' band rows as a `_SUCCESS` segment and its
+    * admit/drop ledger to an idempotent per-batch dir. History is
+    * never re-banded: per-batch cost is O(batch) + one probe join.
+    *
+    * The fold of the per-batch ledgers therefore reconstructs q196
+    * stage 2 EXACTLY on the same data (StreamingSpec asserts the
+    * admitted total against `corpusPipeline`'s near_dup row, and a
+    * controlled fixture pins a genuinely CROSS-batch drop). The DuckDB
+    * oracle restates the whole replay per batch — batch membership is
+    * the deterministic `doc_id·n div (max+1)` range split.
+    *
+    * Output per batch: docs seen (train split), gate admits, dup drops
+    * (split out: dropped by a HISTORY partner), final admits.
+    */
+  def streamingNeardupAdmission(spark: SparkSession, sfDir: String,
+      nFiles: Int = 3): DataFrame = {
+    val staging = stageDocumentBatches(spark, sfDir, nFiles)
+    val base = new java.io.File("/tmp/graft_stream_sink",
+      "neardup_" + graft.sources.Tables.pathKey(sfDir))
+    org.apache.commons.io.FileUtils.deleteQuietly(base)
+    val outBase = new java.io.File(base, "out")
+    val segBase = new java.io.File(base, "seg")
+    outBase.mkdirs()
+    segBase.mkdirs()
+    val nData = withStatePartitions(spark, 8) {
+      val stream = spark.readStream
+        .schema(graft.sources.Tables.documentsSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          import spark.implicits._
+          val train = batch.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+            .localCheckpoint(true)
+          val nDocs = train.count()
+          val gateAdm = graft.operators.Corpus.withGateScore(train)
+            .filter(col("score") === 4)
+            .select("doc_id", "text")
+            .localCheckpoint(true)
+          val batchBands = graft.operators.Corpus.bandsOf(gateAdm)
+            .localCheckpoint(true)
+          val nGate = gateAdm.count()
+          val batchLo =
+            if (nDocs > 0) train.agg(min("doc_id")).head().getLong(0)
+            else Long.MaxValue
+          val priorSegs = (0L until batchId)
+            .map(i => new java.io.File(segBase, s"b$i"))
+            .filter(d => new java.io.File(d, "_SUCCESS").exists)
+          val probe = priorSegs.foldLeft(batchBands)((acc, d) =>
+            acc.unionByName(spark.read.parquet(d.getPath)))
+          val pairs = probe.select(col("doc_id").as("doc_a"),
+              col("band_idx"), col("band_key"))
+            .join(batchBands.select(col("doc_id").as("doc_b"),
+              col("band_idx"), col("band_key")),
+              Seq("band_idx", "band_key"))
+            .filter(col("doc_a") < col("doc_b"))
+            .select("doc_a", "doc_b").distinct()
+            .localCheckpoint(true)
+          val ids = pairs.select(col("doc_a").as("doc_id"))
+            .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+          val sh = graft.operators.Corpus.shinglesOf(
+            graft.sources.Tables.documents(spark, sfDir)
+              .join(ids, Seq("doc_id"), "left_semi"))
+          val dropped = pairs
+            .join(sh.select(col("doc_id").as("doc_a"),
+              col("sh").as("sh_a")), Seq("doc_a"))
+            .join(sh.select(col("doc_id").as("doc_b"),
+              col("sh").as("sh_b")), Seq("doc_b"))
+            .withColumn("n_inter",
+              size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+            .withColumn("n_union",
+              (size(col("sh_a")) + size(col("sh_b"))).cast("long")
+                - col("n_inter"))
+            .filter(col("n_inter") * 2 >= col("n_union"))
+            .groupBy(col("doc_b").as("doc_id"))
+            .agg(max((col("doc_a") < batchLo).cast("long")).as("by_hist"))
+            .localCheckpoint(true)
+          val nDup = dropped.count()
+          val nHist = dropped.agg(coalesce(sum("by_hist"), lit(0L)))
+            .head().getLong(0)
+          // commit this batch's index segment, then its ledger (both
+          // idempotent overwrites - the q154 re-delivery discipline)
+          batchBands.write.mode("overwrite")
+            .parquet(new java.io.File(segBase, s"b$batchId").getPath)
+          Seq((batchId, nDocs, nGate, nDup, nHist, nGate - nDup))
+            .toDF("batch_idx", "n_docs", "n_gate", "n_dup_dropped",
+              "n_dropped_by_history", "n_admitted")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(new java.io.File(outBase, s"b$batchId").getPath)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.recentProgress.count(_.numInputRows > 0)
+    }
+    require(nData >= 2,
+      s"neardup admission replay ran $nData data batches - the " +
+        "batch-vs-history probe path was not exercised")
+    spark.read.parquet(new java.io.File(outBase, "b*").getPath)
+      .orderBy("batch_idx")
+  }
+
   /** q143 — DURABLE sink + checkpoint-recovery restart, the
     * production promise every memory-sink replay leaves unexercised:
     * the chronological multi-file replay (q134's staging) written

@@ -270,6 +270,49 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q205 streaming near-dup admission folds to q196 stage 2 exactly") {
+    val led = EventStreams.streamingNeardupAdmission(spark, sf0001)
+      .collect()
+    val admitted = led.map(_.getAs[Long]("n_admitted")).sum
+    val dropped = led.map(_.getAs[Long]("n_dup_dropped")).sum
+    val stage2 = graft.operators.Corpus.corpusPipeline(spark, sf0001)
+      .filter(col("stage_idx") === 2).head()
+    assert(admitted === stage2.getAs[Long]("n_admitted"))
+    assert(dropped === stage2.getAs[Long]("n_discarded"))
+    // the stage discriminates at spec scale (round-11 vacuity rule)
+    assert(led.length >= 2 && dropped > 0)
+  }
+
+  test("q205 cross-batch drop: a later batch's dup of an earlier admit drops BY HISTORY") {
+    import spark.implicits._
+    // three distinct gate-passing texts from the real corpus; copies
+    // placed across the id ranges so batch 2 must drop one doc against
+    // batch 0's segment, one against batch 1's, and one in-batch
+    val texts = graft.operators.Corpus.withGateScore(
+        Tables.documents(spark, sf0001))
+      .filter(col("score") === 4).orderBy("doc_id")
+      .limit(3).collect().map(_.getAs[String]("text"))
+    assert(texts.distinct.length === 3)
+    val fix = new java.io.File("/tmp/graft_fixture/q205")
+    org.apache.commons.io.FileUtils.deleteQuietly(fix)
+    fix.mkdirs()
+    Seq((1L, texts(0)), (11L, texts(1)),
+        (21L, texts(0)), (22L, texts(2)), (23L, texts(2)),
+        (29L, texts(1)))
+      .map { case (id, t) => (id, t, "en", "fix", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite")
+      .parquet(new java.io.File(fix, "documents.parquet").getPath)
+    val led = EventStreams.streamingNeardupAdmission(spark, fix.getPath)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // (n_docs, n_gate, n_dup_dropped, n_dropped_by_history, n_admitted)
+    assert(led(0L) === ((1L, 1L, 0L, 0L, 1L)))
+    assert(led(1L) === ((1L, 1L, 0L, 0L, 1L)))
+    assert(led(2L) === ((4L, 4L, 3L, 2L, 1L)))
+  }
+
   test("q172 transformWithState: RocksDB state persists across micro-batches") {
     // the 4-file chronological replay self-asserts >=2 data batches AND
     // >=1 user re-emitting (accumulated state), then folds the Update
