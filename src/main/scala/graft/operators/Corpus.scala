@@ -787,13 +787,13 @@ object Corpus {
        |  FROM bandedq a JOIN bandedq b
        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        |   AND a.doc_id < b.doc_id),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM sh_rows GROUP BY 1),
+       |@DOCSH@,
        |inter AS (
-       |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+       |  SELECT c.doc_a, c.doc_b,
+       |    len(list_intersect(a.sh, b.sh)) AS n_inter
        |  FROM cands c
-       |  JOIN sh_rows a ON a.doc_id = c.doc_a
-       |  JOIN sh_rows b ON b.doc_id = c.doc_b AND b.s = a.s
-       |  GROUP BY 1, 2),
+       |  JOIN docsh a ON a.doc_id = c.doc_a
+       |  JOIN docsh b ON b.doc_id = c.doc_b),
        |dups AS MATERIALIZED (
        |  SELECT i.doc_a, i.doc_b FROM inter i
        |  JOIN sizes sa ON sa.doc_id = i.doc_a
@@ -890,6 +890,7 @@ object Corpus {
        |  FROM packs GROUP BY n_docs
        |) ORDER BY stage_idx""".stripMargin
       .replace("@BANDED@", Dedup.lshBandedCte)
+      .replace("@DOCSH@", Dedup.docShingleSetsCte)
   }
 
   /** DuckDB oracle for the STREAMING near-dup admission (q205 —
@@ -916,13 +917,13 @@ object Corpus {
        |  FROM bandedq a JOIN bandedq b
        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        |   AND a.doc_id < b.doc_id),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM sh_rows GROUP BY 1),
+       |@DOCSH@,
        |inter AS (
-       |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+       |  SELECT c.doc_a, c.doc_b,
+       |    len(list_intersect(a.sh, b.sh)) AS n_inter
        |  FROM cands c
-       |  JOIN sh_rows a ON a.doc_id = c.doc_a
-       |  JOIN sh_rows b ON b.doc_id = c.doc_b AND b.s = a.s
-       |  GROUP BY 1, 2),
+       |  JOIN docsh a ON a.doc_id = c.doc_a
+       |  JOIN docsh b ON b.doc_id = c.doc_b),
        |dups AS MATERIALIZED (
        |  SELECT i.doc_a, i.doc_b FROM inter i
        |  JOIN sizes sa ON sa.doc_id = i.doc_a
@@ -953,4 +954,5 @@ object Corpus {
        |FROM led l LEFT JOIN drops d USING (batch_idx)
        |ORDER BY l.batch_idx""".stripMargin
       .replace("@BANDED@", Dedup.lshBandedCte)
+      .replace("@DOCSH@", Dedup.docShingleSetsCte)
 }

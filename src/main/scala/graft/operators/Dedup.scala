@@ -301,19 +301,18 @@ object Dedup {
     */
   def incrementalDedupLoopSql(threshold: Double = 0.5): String =
     s"""@BANDED@,
-       |sizes AS (
-       |  SELECT doc_id, count(*) AS n FROM sh_rows GROUP BY doc_id),
+       |@DOCSH@,
        |r1cands AS MATERIALIZED (
        |  SELECT DISTINCT i.doc_id, c.doc_id AS corpus_id
        |  FROM banded i JOIN banded c
        |    ON i.band_idx = c.band_idx AND i.band_key = c.band_key
        |   AND i.doc_id % 4 = 1 AND c.doc_id % 2 = 0),
        |r1inter AS (
-       |  SELECT c.doc_id, c.corpus_id, count(*) AS n_inter
+       |  SELECT c.doc_id, c.corpus_id,
+       |    len(list_intersect(a.sh, b.sh)) AS n_inter
        |  FROM r1cands c
-       |  JOIN sh_rows a ON a.doc_id = c.doc_id
-       |  JOIN sh_rows b ON b.doc_id = c.corpus_id AND b.s = a.s
-       |  GROUP BY c.doc_id, c.corpus_id),
+       |  JOIN docsh a ON a.doc_id = c.doc_id
+       |  JOIN docsh b ON b.doc_id = c.corpus_id),
        |r1 AS MATERIALIZED (
        |  SELECT doc_id, dup_of, jaccard FROM (
        |    SELECT i.doc_id, i.corpus_id AS dup_of,
@@ -339,11 +338,11 @@ object Dedup {
        |   AND (c.doc_id % 2 = 0
        |        OR c.doc_id IN (SELECT doc_id FROM admits))),
        |r2inter AS (
-       |  SELECT c.doc_id, c.corpus_id, count(*) AS n_inter
+       |  SELECT c.doc_id, c.corpus_id,
+       |    len(list_intersect(a.sh, b.sh)) AS n_inter
        |  FROM r2cands c
-       |  JOIN sh_rows a ON a.doc_id = c.doc_id
-       |  JOIN sh_rows b ON b.doc_id = c.corpus_id AND b.s = a.s
-       |  GROUP BY c.doc_id, c.corpus_id),
+       |  JOIN docsh a ON a.doc_id = c.doc_id
+       |  JOIN docsh b ON b.doc_id = c.corpus_id),
        |r2 AS (
        |  SELECT doc_id, dup_of, jaccard FROM (
        |    SELECT i.doc_id, i.corpus_id AS dup_of,
@@ -364,6 +363,7 @@ object Dedup {
        |FROM r2
        |ORDER BY batch_round, doc_id""".stripMargin
       .replace("@BANDED@", lshBandedCte)
+      .replace("@DOCSH@", docShingleSetsCte)
 
   /** Build (or reuse) the persisted corpus band index: the even-doc_id
     * half's (doc_id, band_idx, band_key) rows as parquet under
@@ -410,14 +410,13 @@ object Dedup {
        |  FROM banded i JOIN banded c
        |    ON i.band_idx = c.band_idx AND i.band_key = c.band_key
        |   AND i.doc_id % 2 = 1 AND c.doc_id % 2 = 0),
-       |sizes AS (
-       |  SELECT doc_id, count(*) AS n FROM sh_rows GROUP BY doc_id),
+       |@DOCSH@,
        |inter AS (
-       |  SELECT c.doc_id, c.corpus_id, count(*) AS n_inter
+       |  SELECT c.doc_id, c.corpus_id,
+       |    len(list_intersect(a.sh, b.sh)) AS n_inter
        |  FROM cands c
-       |  JOIN sh_rows a ON a.doc_id = c.doc_id
-       |  JOIN sh_rows b ON b.doc_id = c.corpus_id AND b.s = a.s
-       |  GROUP BY c.doc_id, c.corpus_id),
+       |  JOIN docsh a ON a.doc_id = c.doc_id
+       |  JOIN docsh b ON b.doc_id = c.corpus_id),
        |scored AS (
        |  SELECT i.doc_id, i.corpus_id,
        |    CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
@@ -434,6 +433,7 @@ object Dedup {
        |SELECT doc_id, dup_of, jaccard FROM best WHERE rn = 1
        |ORDER BY doc_id""".stripMargin
       .replace("@BANDED@", lshBandedCte)
+      .replace("@DOCSH@", docShingleSetsCte)
 
   /** LSH candidate pairs with both docs' distinct shingle sets attached
     * (shared tail of the Jaccard / containment scorers).
@@ -759,6 +759,25 @@ object Dedup {
        |  FROM sigs, (SELECT UNNEST(range(0, $Bands)) AS band_idx) b)"""
       .stripMargin
 
+  /** Doc-grain shingle sets + per-pair verification CTEs (round 12):
+    * the (doc, shingle)-grain `JOIN ... ON b.s = a.s` intersection was
+    * the hour-scale term at sf1 on near-dup-dense corpora (each of the
+    * shingle-family oracles paid |cands|·|shingles| join rows); the
+    * q185 idiom — one materialized shingle LIST per doc, then
+    * `list_intersect` per candidate pair — pays |cands|·(|A|+|B|) set
+    * ops instead, and mirrors exactly what the Spark side computes
+    * (array_intersect on per-doc arrays). `docsh` regroups the SAME
+    * sh_rows the minhash uses, so shingle extraction still runs once.
+    * Old `inter` held only pairs with ≥1 common shingle; the doc-grain
+    * form holds every candidate pair with its exact (possibly 0)
+    * intersection — identical under any positive score threshold.
+    */
+  private[operators] def docShingleSetsCte: String =
+    s"""docsh AS MATERIALIZED (
+       |  SELECT doc_id, list(s) AS sh, count(*) AS n
+       |  FROM sh_rows GROUP BY doc_id),
+       |sizes AS (SELECT doc_id, n FROM docsh)""".stripMargin
+
   private def lshCandidatesCte: String =
     s"""@BANDED@,
        |cands AS MATERIALIZED (
@@ -766,15 +785,15 @@ object Dedup {
        |  FROM banded a JOIN banded b
        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        |   AND a.doc_id < b.doc_id),
-       |sizes AS (
-       |  SELECT doc_id, count(*) AS n FROM sh_rows GROUP BY doc_id),
+       |@DOCSH@,
        |inter AS (
-       |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+       |  SELECT c.doc_a, c.doc_b,
+       |    len(list_intersect(a.sh, b.sh)) AS n_inter
        |  FROM cands c
-       |  JOIN sh_rows a ON a.doc_id = c.doc_a
-       |  JOIN sh_rows b ON b.doc_id = c.doc_b AND b.s = a.s
-       |  GROUP BY c.doc_a, c.doc_b)""".stripMargin
+       |  JOIN docsh a ON a.doc_id = c.doc_a
+       |  JOIN docsh b ON b.doc_id = c.doc_b)""".stripMargin
       .replace("@BANDED@", lshBandedCte)
+      .replace("@DOCSH@", docShingleSetsCte)
 
   // NOTE: the CTE is spliced AFTER stripMargin (placeholder pattern) —
   // its '||' continuation lines would be truncated to '|' if the outer
@@ -838,13 +857,15 @@ object Dedup {
   }
 
   def ngramJaccardPairsSql(threshold: Double = 0.8): String =
-    s"""WITH sh AS (
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT doc_id, $shinglesExprDuck AS shl FROM documents),
+       |sh AS MATERIALIZED (
        |  SELECT doc_id,
-       |    list_min(list_transform($shinglesExprDuck,
+       |    list_min(list_transform(shl,
        |      s -> CAST(('0x' || substr(md5('0|' || s), 1, 15)) AS BIGINT)))
        |      AS block,
-       |    list_distinct($shinglesExprDuck) AS sh
-       |  FROM documents)
+       |    list_distinct(shl) AS sh
+       |  FROM base)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
        |    / len(list_distinct(a.sh || b.sh)) AS jaccard
@@ -868,16 +889,35 @@ object Dedup {
         col("doc_id"),
         graft.functions.simhash60(col("text")).as("simhash"))
 
+  /** Shared simhash CTE block (round 12, row-based): the old
+    * list-lambda form re-ran md5 over every token once PER BIT (60×
+    * per token — an hour-scale term at sf1); here each token
+    * occurrence is hashed once and the per-(doc, bit) votes aggregate
+    * over plain rows (the round-7 vectorize-by-rows lesson). Ends with
+    * a `sh(doc_id, simhash)` CTE, same values bit-for-bit.
+    */
+  private[operators] val simhashCteDuck: String =
+    """th AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
+      |  FROM (SELECT doc_id,
+      |          unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+      |        FROM documents)),
+      |bits AS (
+      |  SELECT doc_id, ti.i,
+      |    SUM(CASE WHEN (h >> ti.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM th, (SELECT UNNEST(range(0, 60)) AS i) ti
+      |  GROUP BY doc_id, ti.i),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << i
+      |             ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM bits GROUP BY doc_id)""".stripMargin
+
   val simhashSql: String =
-    """SELECT doc_id,
-      |  CAST(list_sum(list_transform(range(0, 60), i ->
-      |    CASE WHEN list_sum(list_transform(
-      |        string_split_regex(lower(trim(text)), '\s+'),
-      |        t -> CASE WHEN (CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) >> i) & 1 = 1
-      |             THEN 1 ELSE -1 END)) > 0
-      |    THEN CAST(1 AS BIGINT) << i ELSE 0 END)) AS BIGINT) AS simhash
-      |FROM documents
-      |ORDER BY doc_id""".stripMargin
+    s"""WITH $simhashCteDuck
+       |SELECT doc_id, simhash FROM sh
+       |ORDER BY doc_id""".stripMargin
 
   /** SimHash near-dup pairs: LSH on 4 bands of 15 bits (two near-dups
     * must agree exactly on at least one band), verified by Hamming
@@ -905,15 +945,7 @@ object Dedup {
   }
 
   def simhashNeardupSql(maxHamming: Int = 6): String =
-    s"""WITH sh AS (
-       |  SELECT doc_id,
-       |    list_sum(list_transform(range(0, 60), i ->
-       |      CASE WHEN list_sum(list_transform(
-       |          string_split_regex(lower(trim(text)), '\\s+'),
-       |          t -> CASE WHEN (CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) >> i) & 1 = 1
-       |               THEN 1 ELSE -1 END)) > 0
-       |      THEN CAST(1 AS BIGINT) << i ELSE 0 END)) AS simhash
-       |  FROM documents),
+    s"""WITH @SIMHASH@,
        |banded AS (
        |  SELECT doc_id, simhash,
        |    b || ':' || ((simhash >> (b * 15)) & 32767) AS band_key
@@ -924,6 +956,7 @@ object Dedup {
        |  ON a.band_key = b.band_key AND a.doc_id < b.doc_id
        |WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= $maxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
+      .replace("@SIMHASH@", simhashCteDuck)
 
   /** q185 — EXACT all-pairs set-similarity join with PREFIX FILTERING
     * (Chaudhuri/Bayardo/Xiao's SSJoin/AllPairs/PPJoin family): every
