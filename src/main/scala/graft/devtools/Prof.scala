@@ -26,11 +26,17 @@ object Prof {
       .getOrElse(Seq("q01_top_products"))
     val passes = args.drop(2).headOption.map(_.toInt).getOrElse(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = Tables.graftSession(SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false"))
+      .config("spark.ui.enabled", "false")
+    // A/B dial: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" overlays arbitrary
+    // confs for profiling experiments without touching graftConfigs
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+    })
+    val spark = Tables.graftSession(builder)
     spark.sparkContext.setLogLevel("WARN")
 
     val stages =

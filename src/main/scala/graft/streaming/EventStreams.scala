@@ -222,6 +222,25 @@ class LifetimeProcessor extends org.apache.spark.sql.streaming.StatefulProcessor
 
 object EventStreams {
 
+  /** Total sort of a driver-sized result frame — memory-sink tables,
+    * small sink parquet reads, and their folds, all driver-local (or
+    * near) by construction. A global `orderBy` on such a frame pays a
+    * fixed 32-task range-exchange (~0.45 s measured on a 3600-row
+    * table: sampling pass + sort pass, each with per-task setup);
+    * a single-partition in-partition sort is the identical total
+    * order at ~0.05 s. Presentation-only — production consumers of a
+    * streaming sink never globally sort; the sort exists for the
+    * deterministic Verify dump.
+    */
+  implicit private[streaming] class SmallSortOps(private val df: DataFrame)
+      extends AnyVal {
+    def smallSorted(c0: String, cs: String*): DataFrame =
+      df.coalesce(1).sortWithinPartitions(c0, cs: _*)
+    def smallSorted(c0: org.apache.spark.sql.Column,
+        cs: org.apache.spark.sql.Column*): DataFrame =
+      df.coalesce(1).sortWithinPartitions((c0 +: cs): _*)
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double)
 
@@ -360,7 +379,7 @@ object EventStreams {
         .start()
       q.awaitTermination()
     }
-    spark.table(name).orderBy("user_id", "session_start")
+    spark.table(name).smallSorted("user_id", "session_start")
   }
 
   /** Oracle for [[sessionizeStatefulAvailableNow]]: gap-sessionize
@@ -448,7 +467,7 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(28,10)")).cast("double")
           .as("sum_value"))
-      .orderBy("event_type")
+      .smallSorted("event_type")
   }
 
   /** Oracle for [[dedupStreamAvailableNow]]: the duplicated replay
@@ -522,7 +541,7 @@ object EventStreams {
         .start()
       q.awaitTermination()
     }
-    spark.table(name).orderBy("error_id", "click_id")
+    spark.table(name).smallSorted("error_id", "click_id")
   }
 
   /** Oracle for [[errorClickPairsAvailableNow]]: the plain batch
@@ -580,7 +599,7 @@ object EventStreams {
       .filter(col("any_click").isNull)
       .select(col("error_id"), lit(-1L).as("click_id"))
     matched.unionByName(unmatched)
-      .orderBy("error_id", "click_id")
+      .smallSorted("error_id", "click_id")
   }
 
   /** Oracle for [[errorClickLeftOuterAvailableNow]]: the batch LEFT
@@ -668,7 +687,7 @@ object EventStreams {
     val unmatchedClk = sink.filter(col("error_id").isNull)
       .select(lit(-1L).as("error_id"), col("click_id"))
     matched.unionByName(unmatchedErr).unionByName(unmatchedClk)
-      .orderBy("error_id", "click_id")
+      .smallSorted("error_id", "click_id")
   }
 
   /** Oracle for [[errorClickFullOuterAvailableNow]]: the batch FULL
@@ -744,7 +763,7 @@ object EventStreams {
         .start()
       q.awaitTermination()
     }
-    spark.table(name).distinct().orderBy("error_id")
+    spark.table(name).distinct().smallSorted("error_id")
   }
 
   /** Oracle for [[errorClickSemiAvailableNow]]: the batch EXISTS
@@ -817,8 +836,8 @@ object EventStreams {
           org.apache.spark.sql.expressions.Window.partitionBy("user_id")
             .orderBy(desc("n_events"))))
         .filter(col("rk") === 1).drop("rk")
-        .orderBy("user_id")
-    } else spark.table(name).orderBy("user_id")
+        .smallSorted("user_id")
+    } else spark.table(name).smallSorted("user_id")
   }
 
   /** q174 — [[InactivityDigestProcessor]] made driver-visible: timers
@@ -855,7 +874,7 @@ object EventStreams {
         q.awaitTermination()
       }
     } finally spark.conf.set(provKey, prevProv)
-    val out = spark.table(name).orderBy("user_id")
+    val out = spark.table(name).smallSorted("user_id")
     // Vacuous-oracle guard (ADVICE r9, the q177-draft trap CLAUDE.md
     // records): the oracle keeps only users whose timer fell strictly
     // below the final watermark — a testdata span/gap change could make
@@ -954,7 +973,7 @@ object EventStreams {
         q.awaitTermination()
       }
     } finally spark.conf.set(provKey, prevProv)
-    spark.table(name).orderBy("user_id")
+    spark.table(name).smallSorted("user_id")
   }
 
   /** Oracle for [[userLifetimeBootstrapAvailableNow]]: the full-history
@@ -1051,7 +1070,7 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(28,10)")).cast("double")
           .as("sum_value"))
-      .orderBy("event_type")
+      .smallSorted("event_type")
   }
 
   /** Oracle for [[suppressedStreamAvailableNow]]: the batch anti join
@@ -1108,7 +1127,8 @@ object EventStreams {
       body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
+    val eff = sys.env.get("SPARK_GRAFT_STATE_PARTS").map(_.toInt).getOrElse(n)
+    spark.conf.set(key, eff.toString)
     try body finally spark.conf.set(key, prev)
   }
 
@@ -1151,7 +1171,7 @@ object EventStreams {
       q.awaitTermination()
     }
     spark.table(name)
-      .orderBy("user_id", "session_start")
+      .smallSorted("user_id", "session_start")
   }
 
   /** Oracle for [[sessionWindowsAvailableNow]]: gap-sessionize with
@@ -1239,7 +1259,7 @@ object EventStreams {
         "maxFilesPerTrigger was not honored, the multi-batch watermark " +
         "path was NOT exercised")
     spark.table(name)
-      .orderBy("user_id", "session_start")
+      .smallSorted("user_id", "session_start")
   }
 
   /** Stage `sfDir`'s events into `nFiles` chronological single-file
@@ -1415,7 +1435,7 @@ object EventStreams {
       .agg(sum("n_docs").cast("long").as("n_docs"),
         sum("n_admitted").cast("long").as("n_admitted"),
         sum("admitted_tokens").cast("long").as("admitted_tokens"))
-      .orderBy("source")
+      .smallSorted("source")
   }
 
   /** Oracle for [[corpusGateStreamAvailableNow]]: the whole-corpus
@@ -1563,7 +1583,7 @@ object EventStreams {
       s"neardup admission replay ran $nData data batches - the " +
         "batch-vs-history probe path was not exercised")
     spark.read.parquet(new java.io.File(outBase, "b*").getPath)
-      .orderBy("batch_idx")
+      .smallSorted("batch_idx")
   }
 
   /** q143 — DURABLE sink + checkpoint-recovery restart, the
@@ -1648,7 +1668,7 @@ object EventStreams {
     }
     // batch read of the sink: committed files only, via _spark_metadata
     spark.read.parquet(sinkDir)
-      .orderBy("user_id", "session_start")
+      .smallSorted("user_id", "session_start")
   }
 
   /** q146 — watermark ENFORCEMENT made driver-visible (q134 proves the
@@ -1684,7 +1704,7 @@ object EventStreams {
       "late replay: numRowsDroppedByWatermark == 0 - the late tail " +
         "was not dropped, the watermark did not enforce")
     spark.table(name)
-      .orderBy("user_id", "session_start")
+      .smallSorted("user_id", "session_start")
   }
 
   def hourlyByTypeAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1698,7 +1718,7 @@ object EventStreams {
         .start()
       q.awaitTermination()
     }
-    spark.table(name).orderBy("window_start", "event_type")
+    spark.table(name).smallSorted("window_start", "event_type")
   }
 
   /** q148 — UPDATE output mode, completing the output-mode triad
@@ -1744,7 +1764,7 @@ object EventStreams {
       .agg(
         max(col("n_events")).as("n_events"),
         expr("max_by(sum_value, n_events)").as("sum_value"))
-      .orderBy("window_start", "event_type")
+      .smallSorted("window_start", "event_type")
     val logRows = log.count()
     val keyRows = folded.count()
     // ground truth from the data itself: does any (window, type) key
@@ -1820,7 +1840,7 @@ object EventStreams {
     require(nData >= 2,
       s"enrich replay ran $nData data batches - the per-micro-batch " +
         "stream-static join path was NOT exercised")
-    spark.table(name).orderBy("segment")
+    spark.table(name).smallSorted("segment")
   }
 
   /** q160 — SLOWLY-CHANGING dim pickup, the claim q149's in-plan join
@@ -1914,7 +1934,7 @@ object EventStreams {
       .groupBy("segment")
       .agg(sum(col("n_events")).cast("long").as("n_events"),
         sum(col("sum_dec")).cast("double").as("sum_value"))
-      .orderBy("segment")
+      .smallSorted("segment")
     val names = folded.select("segment").collect().map(_.getString(0))
     require(names.exists(!_.endsWith("_v2")) && names.exists(_.endsWith("_v2")),
       "dim-swap replay: output lacks v1 or v2 segment names - the " +
@@ -2021,7 +2041,7 @@ object EventStreams {
         .start()
       q.awaitTermination()
     }
-    spark.table(name).orderBy("window_start", "event_type")
+    spark.table(name).smallSorted("window_start", "event_type")
   }
 
   /** Shared DuckDB oracle for q141/q157 (the q157 fold reconstructs
@@ -2126,7 +2146,7 @@ object EventStreams {
         expr("max_by(distinct_est, n_events)").as("distinct_est"))
       .select("window_start", "event_type", "n_events", "k_used",
         "kth_hash", "distinct_est")
-      .orderBy("window_start", "event_type")
+      .smallSorted("window_start", "event_type")
   }
 
   /** q154 — streaming UPSERT through `foreachBatch`, the merge-sink
@@ -2206,6 +2226,6 @@ object EventStreams {
       s"upsert replay ran $nData data batches - the cross-batch merge " +
         "path was NOT exercised")
     val finalDir = versionsBelow(Long.MaxValue).last._2
-    spark.read.parquet(finalDir.getPath).orderBy("user_id")
+    spark.read.parquet(finalDir.getPath).smallSorted("user_id")
   }
 }
