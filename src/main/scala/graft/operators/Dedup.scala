@@ -576,8 +576,12 @@ object Dedup {
     val spark = und.sparkSession
     def barrier(df: DataFrame): DataFrame =
       spark.createDataFrame(df.localCheckpoint(true).rdd, df.schema)
-    var labels = barrier(und.select(col("s").as("node")).distinct()
-      .withColumn("lbl", col("node")))
+    // initialize at round-1's fixpoint directly: with identity labels,
+    // msgs/hooks/jump reduce to lbl0 = min(node, min neighbor) — one
+    // agg instead of the first round's three joins + convergence count
+    var labels = barrier(und.groupBy("s")
+      .agg(least(col("s"), min(col("d"))).as("lbl"))
+      .select(col("s").as("node"), col("lbl")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -594,14 +598,15 @@ object Dedup {
         .join(labels.select(col("node").as("mid"), col("lbl").as("lbl2")),
           "mid")
         .select(col("node"), col("lbl2").as("lbl"))
+      // carry lbl_old through the barrier so the convergence count is
+      // a filter over the checkpointed frame, not a fresh join DAG
       val updated = barrier(
         labels.union(msgs).union(hooks).union(jumped).groupBy("node")
-          .agg(min("lbl").as("lbl")))
-      changed = updated
-        .join(labels.select(col("node"), col("lbl").as("lbl_old")), "node")
-        .filter(col("lbl") =!= col("lbl_old"))
-        .count()
-      labels = updated
+          .agg(min("lbl").as("lbl"))
+          .join(labels.select(col("node"), col("lbl").as("lbl_old")),
+            "node"))
+      changed = updated.filter(col("lbl") =!= col("lbl_old")).count()
+      labels = updated.select("node", "lbl")
       iter += 1
     }
     require(changed == 0,

@@ -1517,7 +1517,14 @@ object EventStreams {
           import spark.implicits._
           val train = batch.filter(pmod(col("doc_id"), lit(5)) =!= 0)
             .localCheckpoint(true)
-          val nDocs = train.count()
+          // one head per frame: count+min fused (each .head()/.count()
+          // is a full action whose scheduling overhead dominates at
+          // micro-batch grain)
+          val trainStats = train
+            .agg(count(lit(1)), coalesce(min("doc_id"), lit(Long.MaxValue)))
+            .head()
+          val nDocs = trainStats.getLong(0)
+          val batchLo = trainStats.getLong(1)
           val gateAdm = graft.operators.Corpus.withGateScore(train)
             .filter(col("score") === 4)
             .select("doc_id", "text")
@@ -1525,9 +1532,6 @@ object EventStreams {
           val batchBands = graft.operators.Corpus.bandsOf(gateAdm)
             .localCheckpoint(true)
           val nGate = gateAdm.count()
-          val batchLo =
-            if (nDocs > 0) train.agg(min("doc_id")).head().getLong(0)
-            else Long.MaxValue
           val priorSegs = (0L until batchId)
             .map(i => new java.io.File(segBase, s"b$i"))
             .filter(d => new java.io.File(d, "_SUCCESS").exists)
@@ -1559,10 +1563,10 @@ object EventStreams {
             .filter(col("n_inter") * 2 >= col("n_union"))
             .groupBy(col("doc_b").as("doc_id"))
             .agg(max((col("doc_a") < batchLo).cast("long")).as("by_hist"))
-            .localCheckpoint(true)
-          val nDup = dropped.count()
-          val nHist = dropped.agg(coalesce(sum("by_hist"), lit(0L)))
-            .head().getLong(0)
+          val dupStats = dropped
+            .agg(count(lit(1)), coalesce(sum("by_hist"), lit(0L))).head()
+          val nDup = dupStats.getLong(0)
+          val nHist = dupStats.getLong(1)
           // commit this batch's index segment, then its ledger (both
           // idempotent overwrites - the q154 re-delivery discipline)
           batchBands.write.mode("overwrite")
