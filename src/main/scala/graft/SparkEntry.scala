@@ -559,6 +559,10 @@ object SparkEntry {
     // ledger folds to the batch answer exactly
     "q205_streaming_neardup" -> ((s, d) =>
       graft.streaming.EventStreams.streamingNeardupAdmission(s, d)),
+    // contrastive (anchor, positive, hard-negative) triplets mined
+    // from the committed kNN artifacts: positive = best mutual
+    // partner, hard negative = best-ranked non-mutual candidate
+    "q206_triplet_mining" -> ((s, d) => Similarity.tripletMining(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -658,6 +662,7 @@ object SparkEntry {
     "q203_mutual_knn" -> Similarity.mutualKnnGraphSql(),
     "q204_semantic_endgame" -> Similarity.semanticDedupEndgameSql(),
     "q205_streaming_neardup" -> Corpus.streamingNeardupAdmissionSql(),
+    "q206_triplet_mining" -> Similarity.tripletMiningSql(),
     // round 12: KMV cells are engine-portable (md5-60 bottom-k), so
     // BOTH streaming distinct queries carry the one full oracle — the
     // q157 fold reconstructs the q141 per-window finals by design

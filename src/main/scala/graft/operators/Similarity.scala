@@ -286,42 +286,68 @@ object Similarity {
     */
   def mutualKnnGraph(spark: SparkSession, sfDir: String, k: Int = 3,
       nBands: Int = 2, bitsPerBand: Int = 8): DataFrame = {
-    val path = ensureMutualKnnEdges(spark, sfDir, k, nBands, bitsPerBand)
+    val (_, edges) = ensureKnnArtifacts(spark, sfDir, k, nBands, bitsPerBand)
     // edge-list-sized presentation frame: single-partition total sort
     // (the EventStreams.smallSorted rationale — a range exchange on a
     // driver-sized frame is ~0.45 s of fixed machinery)
-    spark.read.parquet(path)
+    spark.read.parquet(edges)
       .coalesce(1).sortWithinPartitions("vec_a", "vec_b")
   }
 
-  /** Commit [[computeMutualKnnEdges]] as an mtime-keyed artifact under
-    * /tmp/graft_stage and return its path — the q187/q195 staging
-    * discipline: the key carries the embeddings source mtime and every
-    * dial, so a testdata regen or a different (k, bands, bits) rebuilds
-    * while repeat consumers in one session (q203's presentation, q204's
-    * component stage, Bench's second pass) read the committed parquet.
+  /** Commit the kNN-graph job's two products — the per-vector ranked
+    * top-k list and the rank-mutual edge list derived from it — as
+    * mtime-keyed artifacts under /tmp/graft_stage and return their
+    * paths, the q187/q195 staging discipline: the key carries the
+    * embeddings source mtime and every dial, so a testdata regen or a
+    * different (k, bands, bits) rebuilds while repeat consumers in one
+    * session (q203's presentation, q204's component stage, q206's
+    * triplet miner, Bench's second pass) read the committed parquet.
     * This is also the production topology: the kNN-graph job runs once
-    * and downstream clustering reads its output — recomputing the graph
-    * inside every consumer would be the anti-pattern.
+    * and downstream clustering/mining reads its output — recomputing
+    * the graph inside every consumer would be the anti-pattern.
     */
-  private def ensureMutualKnnEdges(spark: SparkSession, sfDir: String,
-      k: Int, nBands: Int, bitsPerBand: Int): String = {
+  private def ensureKnnArtifacts(spark: SparkSession, sfDir: String,
+      k: Int, nBands: Int, bitsPerBand: Int): (String, String) = {
     val mt = new java.io.File(sfDir, "embeddings.parquet").lastModified
     require(mt > 0, s"embeddings.parquet missing under $sfDir " +
       "(mtime 0 would freeze the artifact key - round-10 ADVICE)")
-    val dir = new java.io.File("/tmp/graft_stage",
+    val base = new java.io.File("/tmp/graft_stage",
       s"mkg_${Tables.pathKey(sfDir)}_${mt}_${k}_${nBands}_$bitsPerBand")
-    if (!new java.io.File(dir, "_SUCCESS").exists) {
-      org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    val topkDir = new java.io.File(base, "topk")
+    val edgesDir = new java.io.File(base, "edges")
+    val fresh = new java.io.File(topkDir, "_SUCCESS").exists &&
+      new java.io.File(edgesDir, "_SUCCESS").exists
+    if (!fresh) {
+      org.apache.commons.io.FileUtils.deleteQuietly(base)
       // parquet committer writes _SUCCESS last: a crashed build leaves
-      // no marker and the next call rebuilds
-      computeMutualKnnEdges(spark, sfDir, k, nBands, bitsPerBand)
-        .write.parquet(dir.getPath)
+      // no marker and the next call rebuilds both
+      val topk = computeKnnTopk(spark, sfDir, k, nBands, bitsPerBand)
+      topk.write.parquet(topkDir.getPath)
+      mutualEdgesOf(topk).write.parquet(edgesDir.getPath)
     }
-    dir.getPath
+    (topkDir.getPath, edgesDir.getPath)
   }
 
-  private def computeMutualKnnEdges(spark: SparkSession, sfDir: String,
+  /** Rank-mutual edges from a (src, dst, rank, cosine) top-k list:
+    * (a, b) is an edge when each appears in the other's top-k. Cosine
+    * is direction-symmetric bit-for-bit (same fold order by dimension),
+    * so one edge row carries one cosine.
+    */
+  private def mutualEdgesOf(topk: DataFrame): DataFrame =
+    topk.select(col("src"), col("dst"), col("rank").cast("long")
+        .as("rank_ab"), col("cosine"))
+      .join(topk.select(col("dst").as("src"), col("src").as("dst"),
+        col("rank").cast("long").as("rank_ba")), Seq("src", "dst"))
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("vec_a"), col("dst").as("vec_b"),
+        col("rank_ab"), col("rank_ba"), col("cosine"))
+
+  /** The strict-dial LSH candidate generation + per-vector exact
+    * cosine ranking (the shared heavy stage behind q203/q204/q206):
+    * returns the eagerly-checkpointed (src, dst, rank, cosine) top-k
+    * list, rank ties broken (cosine DESC, dst ASC).
+    */
+  private def computeKnnTopk(spark: SparkSession, sfDir: String,
       k: Int, nBands: Int, bitsPerBand: Int): DataFrame = {
     val mask = (1 << bitsPerBand) - 1
     // spread the scan (single-row-group inputs) and checkpoint the
@@ -356,23 +382,35 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("src", "dst", "rank", "cosine")
-      .localCheckpoint(true) // self-joined below: rank once, join ids
-    topk.select(col("src"), col("dst"), col("rank").cast("long")
-        .as("rank_ab"), col("cosine"))
-      .join(topk.select(col("dst").as("src"), col("src").as("dst"),
-        col("rank").cast("long").as("rank_ba")), Seq("src", "dst"))
-      .filter(col("src") < col("dst"))
-      .select(col("src").as("vec_a"), col("dst").as("vec_b"),
-        col("rank_ab"), col("rank_ba"), col("cosine"))
+      .localCheckpoint(true) // written + self-joined: rank once
+    topk
   }
 
   /** Oracle for [[mutualKnnGraph]]: the banded candidates, per-vector
     * ranking, and mutual self-join restated.
     */
   def mutualKnnGraphSql(k: Int = 3, nBands: Int = 2,
-      bitsPerBand: Int = 8): String = {
+      bitsPerBand: Int = 8): String =
+    s"""WITH @TOPK@
+       |SELECT t1.src AS vec_a, t1.dst AS vec_b,
+       |  CAST(t1.rank AS BIGINT) AS rank_ab,
+       |  CAST(t2.rank AS BIGINT) AS rank_ba,
+       |  t1.cosine
+       |FROM topk t1 JOIN topk t2
+       |  ON t1.src = t2.dst AND t1.dst = t2.src
+       |WHERE t1.src < t1.dst
+       |ORDER BY vec_a, vec_b""".stripMargin
+      .replace("@TOPK@", knnTopkCteSql(k, nBands, bitsPerBand))
+
+  /** Shared DuckDB CTE chain ending in `topk` — the oracle twin of
+    * [[computeKnnTopk]] (strict-dial band candidates, exact cosine,
+    * per-vector row_number ranks). Spliced into the q203/q206 oracles
+    * with post-stripMargin .replace (the lshBandedCte discipline: the
+    * fragment contains `||`, which a second stripMargin truncates).
+    */
+  private def knnTopkCteSql(k: Int, nBands: Int, bitsPerBand: Int): String = {
     val mask = (1 << bitsPerBand) - 1
-    s"""WITH sigs AS (
+    s"""sigs AS (
        |  SELECT vec_id, embedding, ${lshSigExprDuck("embedding")} AS sig
        |  FROM embeddings),
        |banded AS (
@@ -392,16 +430,88 @@ object Similarity {
        |    row_number() OVER (PARTITION BY src
        |      ORDER BY cosine DESC, dst ASC) AS rank
        |  FROM scored),
-       |topk AS (SELECT * FROM ranked WHERE rank <= $k)
-       |SELECT t1.src AS vec_a, t1.dst AS vec_b,
-       |  CAST(t1.rank AS BIGINT) AS rank_ab,
-       |  CAST(t2.rank AS BIGINT) AS rank_ba,
-       |  t1.cosine
-       |FROM topk t1 JOIN topk t2
-       |  ON t1.src = t2.dst AND t1.dst = t2.src
-       |WHERE t1.src < t1.dst
-       |ORDER BY vec_a, vec_b""".stripMargin
+       |topk AS (SELECT * FROM ranked WHERE rank <= $k)""".stripMargin
   }
+
+  /** q206 — CONTRASTIVE TRIPLET MINING over the kNN-graph artifacts:
+    * the training-data op that turns a similarity index into
+    * (anchor, positive, hard-negative) supervision for embedding-model
+    * training. Per anchor vector: the POSITIVE is its best rank-mutual
+    * partner (mutuality is the robustness filter — a hub in the
+    * anchor's top-k that doesn't reciprocate is not a trustworthy
+    * positive), and the HARD NEGATIVE is its best-ranked top-k entry
+    * that is NOT mutual — by construction similar enough to collide in
+    * the LSH bands and rank high, yet not reciprocally close: exactly
+    * the "hard" band that drives contrastive gradients (easy random
+    * negatives teach nothing). Anchors lacking either side are
+    * dropped; rank order (cosine DESC, dst ASC) makes both picks
+    * deterministic with no float tie hazard.
+    *
+    * Scale shape: both inputs are the committed kNN artifacts
+    * ([[ensureKnnArtifacts]] — the heavy banded ranking runs once,
+    * shared with q203/q204); this query is one id-grain left join +
+    * one per-anchor struct-min agg. At 100 TB the topk table is the
+    * stored index output and triplet mining stays a single pass over
+    * it — never touching the vectors again.
+    */
+  def tripletMining(spark: SparkSession, sfDir: String,
+      k: Int = 3): DataFrame = {
+    val (topkPath, edgesPath) = ensureKnnArtifacts(spark, sfDir, k, 2, 8)
+    val topk = spark.read.parquet(topkPath)
+    val mutualDirected = spark.read.parquet(edgesPath)
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      .union(spark.read.parquet(edgesPath)
+        .select(col("vec_b").as("src"), col("vec_a").as("dst")))
+      .withColumn("is_mutual", lit(1))
+    topk.join(mutualDirected, Seq("src", "dst"), "left")
+      .groupBy(col("src").as("anchor_id"))
+      .agg(
+        min(when(col("is_mutual") === 1,
+          struct(col("rank"), col("dst"), col("cosine")))).as("p"),
+        min(when(col("is_mutual").isNull,
+          struct(col("rank"), col("dst"), col("cosine")))).as("n"))
+      .filter(col("p").isNotNull && col("n").isNotNull)
+      .select(col("anchor_id"),
+        col("p.dst").as("pos_id"),
+        col("p.rank").cast("long").as("pos_rank"),
+        col("p.cosine").as("pos_cosine"),
+        col("n.dst").as("neg_id"),
+        col("n.rank").cast("long").as("neg_rank"),
+        col("n.cosine").as("neg_cosine"))
+      .coalesce(1).sortWithinPartitions("anchor_id")
+  }
+
+  /** Oracle for [[tripletMining]]: the shared topk CTE, mutuality by
+    * reciprocal self-join, per-anchor best pick on each side by rank.
+    */
+  def tripletMiningSql(k: Int = 3, nBands: Int = 2,
+      bitsPerBand: Int = 8): String =
+    s"""WITH @TOPK@,
+       |mut AS (
+       |  SELECT t1.src, t1.dst FROM topk t1
+       |  JOIN topk t2 ON t1.src = t2.dst AND t1.dst = t2.src),
+       |flag AS (
+       |  SELECT t.src, t.dst, t.rank, t.cosine,
+       |    (m.src IS NOT NULL) AS is_mutual
+       |  FROM topk t LEFT JOIN mut m
+       |    ON t.src = m.src AND t.dst = m.dst),
+       |pos AS (
+       |  SELECT src, dst, rank, cosine,
+       |    row_number() OVER (PARTITION BY src ORDER BY rank) AS rk
+       |  FROM flag WHERE is_mutual),
+       |neg AS (
+       |  SELECT src, dst, rank, cosine,
+       |    row_number() OVER (PARTITION BY src ORDER BY rank) AS rk
+       |  FROM flag WHERE NOT is_mutual)
+       |SELECT p.src AS anchor_id,
+       |  p.dst AS pos_id, CAST(p.rank AS BIGINT) AS pos_rank,
+       |  p.cosine AS pos_cosine,
+       |  n.dst AS neg_id, CAST(n.rank AS BIGINT) AS neg_rank,
+       |  n.cosine AS neg_cosine
+       |FROM pos p JOIN neg n ON p.src = n.src
+       |WHERE p.rk = 1 AND n.rk = 1
+       |ORDER BY anchor_id""".stripMargin
+      .replace("@TOPK@", knnTopkCteSql(k, nBands, bitsPerBand))
 
   /** q204 — the SEMANTIC-DEDUP ENDGAME (round-11 verdict #5): the full
     * SemDeDup pipeline composed from its three individually-proven
@@ -426,7 +536,7 @@ object Similarity {
     // the production topology: clustering consumes the kNN-graph job's
     // output, it does not re-run the job)
     val edges = spark.read
-      .parquet(ensureMutualKnnEdges(spark, sfDir, k, 2, 8))
+      .parquet(ensureKnnArtifacts(spark, sfDir, k, 2, 8)._2)
       .select(col("vec_a").as("s"), col("vec_b").as("d"))
     val und = edges
       .union(edges.select(col("d").as("s"), col("s").as("d")))

@@ -210,6 +210,53 @@ class ClusterJoinSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("q206 triplets: positive is the argmin-rank mutual partner, negative is non-mutual, cosines are exact") {
+    // the mutual side is fully checkable from q203's own output (edge
+    // rows carry both directions' ranks), so the positive pick can't
+    // self-confirm; cosine values are re-derived from raw embeddings
+    val edges = graft.operators.Similarity.mutualKnnGraph(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(edges.nonEmpty)
+    // per anchor: every mutual partner with the anchor-side rank
+    val partners = (edges.map { case (a, b, rab, _) => a -> (rab, b) } ++
+      edges.map { case (a, b, _, rba) => b -> (rba, a) })
+      .groupBy(_._1).map { case (anchor, xs) => anchor -> xs.map(_._2) }
+    val mutualSet = partners.toSeq.flatMap { case (a, xs) =>
+      xs.map(x => (a, x._2))
+    }.toSet
+    val triplets = graft.operators.Similarity.tripletMining(spark, sf0001)
+      .collect()
+    assert(triplets.nonEmpty)
+    val emb = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def cos(a: Long, b: Long): Double = {
+      val (x, y) = (emb(a), emb(b))
+      // the engine's fold: dot/norm products accumulated left-to-right
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- x.indices) {
+        dot += x(i).toDouble * y(i).toDouble
+        nx += x(i).toDouble * x(i).toDouble
+        ny += y(i).toDouble * y(i).toDouble
+      }
+      dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    triplets.foreach { r =>
+      val (a, pos, posRank) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val (neg, negRank) = (r.getLong(4), r.getLong(5))
+      val best = partners(a).minBy(_._1)
+      assert((best._1.toLong, best._2) === ((posRank, pos)),
+        s"anchor $a: positive is not the argmin-rank mutual partner")
+      assert(!mutualSet.contains((a, neg)),
+        s"anchor $a: negative $neg is a mutual partner")
+      assert(posRank >= 1 && negRank >= 1 && posRank != negRank,
+        s"anchor $a: ranks out of contract")
+      assert(r.getDouble(3) === cos(a, pos), s"anchor $a pos cosine")
+      assert(r.getDouble(6) === cos(a, neg), s"anchor $a neg cosine")
+    }
+  }
+
   test("q185 guard: a near-dup-dense corpus fails loudly, not quadratically") {
     // The prefix filter's candidate volume is data-dependent; a corpus
     // of identical documents makes EVERY pair a candidate. The guard
