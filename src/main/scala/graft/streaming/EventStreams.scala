@@ -230,7 +230,10 @@ object EventStreams {
     * a single-partition in-partition sort is the identical total
     * order at ~0.05 s. Presentation-only — production consumers of a
     * streaming sink never globally sort; the sort exists for the
-    * deterministic Verify dump.
+    * deterministic Verify dump. NOT for match-log-grain results that
+    * scale with the stream (q133/q163/q170 emit ~4.6M rows at sf1,
+    * measured in the round-12 soak — those keep the distributed
+    * orderBy).
     */
   implicit private[streaming] class SmallSortOps(private val df: DataFrame)
       extends AnyVal {
@@ -541,7 +544,7 @@ object EventStreams {
         .start()
       q.awaitTermination()
     }
-    spark.table(name).smallSorted("error_id", "click_id")
+    spark.table(name).orderBy("error_id", "click_id")
   }
 
   /** Oracle for [[errorClickPairsAvailableNow]]: the plain batch
@@ -599,7 +602,7 @@ object EventStreams {
       .filter(col("any_click").isNull)
       .select(col("error_id"), lit(-1L).as("click_id"))
     matched.unionByName(unmatched)
-      .smallSorted("error_id", "click_id")
+      .orderBy("error_id", "click_id")
   }
 
   /** Oracle for [[errorClickLeftOuterAvailableNow]]: the batch LEFT
@@ -687,7 +690,7 @@ object EventStreams {
     val unmatchedClk = sink.filter(col("error_id").isNull)
       .select(lit(-1L).as("error_id"), col("click_id"))
     matched.unionByName(unmatchedErr).unionByName(unmatchedClk)
-      .smallSorted("error_id", "click_id")
+      .orderBy("error_id", "click_id")
   }
 
   /** Oracle for [[errorClickFullOuterAvailableNow]]: the batch FULL
