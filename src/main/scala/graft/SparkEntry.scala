@@ -563,6 +563,11 @@ object SparkEntry {
     // from the committed kNN artifacts: positive = best mutual
     // partner, hard negative = best-ranked non-mutual candidate
     "q206_triplet_mining" -> ((s, d) => Similarity.tripletMining(s, d)),
+    // the data-mixing step after q201: greedy hash-ordered selection
+    // up to each source's quota, ideal-position weighted round-robin
+    // interleave (every schedule prefix holds the designed mixture)
+    "q207_interleaved_schedule" -> ((s, d) =>
+      Sampling.interleavedSchedule(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -663,6 +668,7 @@ object SparkEntry {
     "q204_semantic_endgame" -> Similarity.semanticDedupEndgameSql(),
     "q205_streaming_neardup" -> Corpus.streamingNeardupAdmissionSql(),
     "q206_triplet_mining" -> Similarity.tripletMiningSql(),
+    "q207_interleaved_schedule" -> Sampling.interleavedScheduleSql(),
     // round 12: KMV cells are engine-portable (md5-60 bottom-k), so
     // BOTH streaming distinct queries carry the one full oracle — the
     // q157 fold reconstructs the q141 per-window finals by design

@@ -302,6 +302,102 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** q207 — INTERLEAVED TRAINING SCHEDULE (the data-mixing step after
+    * q201's apportionment): turns per-source token quotas into ONE
+    * deterministic global training order. Per source, gate-admitted
+    * docs are ranked by a seeded md5 shuffle key and selected greedily
+    * while the running token sum stays within the source's
+    * largest-remainder quota; each selected doc then gets the IDEAL
+    * POSITION of weighted round-robin — pos_key = (2·i+1)·budget div
+    * (2·quota_s) for the source's i-th doc, the classic smooth
+    * interleave: a source holding p% of the budget occupies ~p% of
+    * every schedule prefix, so a training run truncated at any step
+    * has seen the designed mixture. All arithmetic is BIGINT div/%
+    * (exact in both engines); ties are broken (pos_key, source, rank)
+    * so the global row_number is total.
+    *
+    * Scale shape: the per-source rank+prefix-sum windows shuffle
+    * doc-grain rows by source (at 100 TB a hot source routes through
+    * the q08 range-partitioned-rank idiom instead); the final global
+    * numbering is over the SELECTED set, bounded by budget/min-doc-
+    * tokens by construction — a schedule is small even when the corpus
+    * is not.
+    */
+  def interleavedSchedule(spark: SparkSession, sfDir: String,
+      budget: Long = 100000L): DataFrame = {
+    val quotas = tokenApportionment(spark, sfDir, budget)
+      .select(col("source"), col("final_tokens"))
+    val admitted = Corpus.withGateScore(
+        Tables.withMinParallelism(Tables.documents(spark, sfDir),
+          spark.sparkContext.defaultParallelism))
+      .filter(col("score") === 4)
+      .select(col("doc_id"), col("source"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        TextAnalysis.md5Hash60(concat(lit("sched:"),
+          col("doc_id").cast("string"))).as("shuf"))
+    val wSrc = Window.partitionBy("source").orderBy("shuf", "doc_id")
+    val selected = admitted
+      .withColumn("rk", row_number().over(wSrc).cast("long"))
+      .withColumn("cum", sum("n_tokens").over(
+        wSrc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(quotas, Seq("source"))
+      .filter(col("cum") <= col("final_tokens"))
+      .withColumn("pos_key", expr(
+        s"(2 * (rk - 1) + 1) * ${budget}L div (2 * greatest(final_tokens, 1))"))
+    selected
+      .withColumn("schedule_pos", row_number().over(
+        Window.orderBy("pos_key", "source", "rk")).cast("long"))
+      .select(col("schedule_pos"), col("source"), col("doc_id"),
+        col("n_tokens"), col("pos_key"))
+      .coalesce(1).sortWithinPartitions("schedule_pos")
+  }
+
+  /** Oracle for [[interleavedSchedule]]: q201's full apportionment
+    * spliced as a subquery (post-stripMargin replace), the identical
+    * shuffle-rank/prefix-sum selection, ideal positions in BIGINT
+    * `//`, same total tie-break.
+    */
+  def interleavedScheduleSql(budget: Long = 100000L): String =
+    s"""WITH quotas AS (
+       |  SELECT source, final_tokens FROM (@APPORTION@) qq),
+       |adm AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    ${graft.operators.TextAnalysis.md5Hash60Sql(
+             "'sched:' || CAST(doc_id AS VARCHAR)")} AS shuf
+       |  FROM (
+       |    SELECT doc_id, source, len(tks) AS n_tokens,
+       |      CAST(list_sum(list_transform(tks, w -> length(w))) AS DOUBLE)
+       |        / greatest(len(tks), 1) AS mean_wl,
+       |      len(list_filter(list_distinct(tks),
+       |        w -> w IN ('the','a','of','and','in'))) AS n_stop,
+       |      CAST(len(list_filter(tks,
+       |        w -> regexp_matches(w, '^[a-z]+$$'))) AS DOUBLE)
+       |        / greatest(len(tks), 1) AS alpha_frac
+       |    FROM (SELECT doc_id, source, ${Corpus.tokensDuckSql} AS tks
+       |          FROM documents))
+       |  WHERE n_tokens BETWEEN 20 AND 60
+       |    AND mean_wl BETWEEN 3.8 AND 4.6
+       |    AND n_stop >= 2 AND alpha_frac >= 0.8),
+       |ranked AS (
+       |  SELECT a.*, q.final_tokens,
+       |    CAST(row_number() OVER (PARTITION BY a.source
+       |      ORDER BY shuf, doc_id) AS BIGINT) AS rk,
+       |    SUM(n_tokens) OVER (PARTITION BY a.source
+       |      ORDER BY shuf, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM adm a JOIN quotas q ON a.source = q.source),
+       |sel AS (
+       |  SELECT *,
+       |    CAST((2 * (rk - 1) + 1) * $budget //
+       |      (2 * greatest(final_tokens, 1)) AS BIGINT) AS pos_key
+       |  FROM ranked WHERE cum <= final_tokens)
+       |SELECT CAST(row_number() OVER (ORDER BY pos_key, source, rk)
+       |    AS BIGINT) AS schedule_pos,
+       |  source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, pos_key
+       |FROM sel
+       |ORDER BY schedule_pos""".stripMargin
+      .replace("@APPORTION@", tokenApportionmentSql(budget))
+
   /** Oracle for [[tokenApportionment]]: the identical gate filter,
     * supply rollup, and largest-remainder ranking in integer SQL.
     */

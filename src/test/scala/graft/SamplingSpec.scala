@@ -56,6 +56,40 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("q207 schedule: quota-respecting greedy selection, dense positions, mixed prefixes") {
+    val sched = graft.operators.Sampling
+      .interleavedSchedule(spark, sf0001).collect()
+    assert(sched.nonEmpty)
+    // positions dense 1..N and unique (a gap means the tie-break is
+    // not total; a dup means two rows share a schedule slot)
+    val pos = sched.map(_.getLong(0)).sorted
+    assert(pos.toSeq == (1L to sched.length).toSeq)
+    // per-source token sums respect the q201 quotas, and the selection
+    // is greedy-MAXIMAL: a source stops short of its quota only when
+    // it selected EVERY admitted doc it has
+    val quotas = graft.operators.Sampling.tokenApportionment(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    val admittedPerSrc = graft.operators.Corpus.withGateScore(
+        graft.sources.Tables.documents(spark, sf0001))
+      .filter(org.apache.spark.sql.functions.col("score") === 4)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bySrc = sched.groupBy(_.getString(1))
+    bySrc.foreach { case (src, rows) =>
+      val toks = rows.map(_.getLong(3)).sum
+      assert(toks <= quotas(src), s"$src overflows its quota")
+      // gate-admitted docs are 20-60 tokens: if admitted docs remain
+      // unselected, the headroom must be smaller than the largest doc
+      assert(rows.length == admittedPerSrc(src) ||
+        toks > quotas(src) - 60, s"$src under-fills its quota")
+    }
+    // mixture: the first half of the schedule touches most sources
+    // that appear at all (the ideal-position property)
+    val half = sched.sortBy(_.getLong(0)).take(sched.length / 2)
+    assert(half.map(_.getString(1)).distinct.length * 10 >=
+      bySrc.size * 8, "first half of the schedule is not mixed")
+  }
+
   test("withPrefixSum matches the single-partition window on a small frame") {
     import spark.implicits._
     val df = Seq((3L, 10L), (1L, 5L), (2L, 7L), (5L, 1L), (4L, 2L))
