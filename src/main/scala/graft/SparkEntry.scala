@@ -259,8 +259,9 @@ object SparkEntry {
     "q119_approx_percentiles" -> ((s, d) =>
       Insights.approxPercentileSummary(s, d)),
     // Misra-Gries candidate + exact-verify heavy hitters beside exact
-    // q110 (rows-only; ApproxSpec asserts equality while the capacity
-    // guarantee holds, and recall on an adversarial fixture)
+    // q110 — SELF-CERTIFYING since round 13: the Σ-decrement-rounds
+    // certificate proves the candidate path exact (else exact
+    // fallback), so the oracle is the plain exact top-N SQL
     "q120_approx_heavy_hitters" -> ((s, d) =>
       StatQa.approxHeavyHitters(s, d)),
     // measured recall/cost sweep over every (bands x bits) split of the
@@ -568,6 +569,11 @@ object SparkEntry {
     // interleave (every schedule prefix holds the designed mixture)
     "q207_interleaved_schedule" -> ((s, d) =>
       Sampling.interleavedSchedule(s, d)),
+    // q199's compaction transplanted to the near-dup band index: the
+    // q159 segment chain folded into one generation (pure band-row
+    // copy), the SAME batch probed against union vs compacted —
+    // admissions identical, equality EXECUTED (probes_equal column)
+    "q208_band_index_compact" -> ((s, d) => Dedup.bandIndexCompact(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -669,6 +675,7 @@ object SparkEntry {
     "q205_streaming_neardup" -> Corpus.streamingNeardupAdmissionSql(),
     "q206_triplet_mining" -> Similarity.tripletMiningSql(),
     "q207_interleaved_schedule" -> Sampling.interleavedScheduleSql(),
+    "q208_band_index_compact" -> Dedup.bandIndexCompactSql(),
     // round 12: KMV cells are engine-portable (md5-60 bottom-k), so
     // BOTH streaming distinct queries carry the one full oracle — the
     // q157 fold reconstructs the q141 per-window finals by design
@@ -782,8 +789,13 @@ object SparkEntry {
     // q118: oracle reads the ORIGINAL table — equality proves the
     // staged replace/append/CSV hops preserved every cell
     "q118_sink_roundtrip" -> graft.sources.Tables.ordersSinkRoundtripSql,
-    // q119/q120 are rows-only by design (sketch outputs are
+    // q119 is rows-only by design (t-digest output is
     // implementation-defined; tolerance asserted in ApproxSpec)
+    // q120: the Misra-Gries certificate (reported Nth count > Σ
+    // decrement rounds, ApproxSpec-pinned) proves the output equals
+    // the exact top-N, with an exact fallback when it fails — either
+    // way the plain exact SQL is a valid oracle
+    "q120_approx_heavy_hitters" -> StatQa.heavyHittersSql(),
     "q121_ann_config_sweep" -> Similarity.annConfigSweepSql(),
     "q122_bigram_coverage" -> TextAnalysis.bigramCoverageSql(),
     "q123_shard_stats" -> Sampling.shardStatsSql(),

@@ -33,9 +33,13 @@ object Prof {
       .config("spark.ui.enabled", "false")
     // A/B dial: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" overlays arbitrary
     // confs for profiling experiments without touching graftConfigs
-    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2); builder.config(k, v)
-    })
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").iterator
+      .map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => builder.config(k, v)
+          case _ => sys.error(s"SPARK_GRAFT_EXTRA_CONF entry '$kv' lacks '=' (expected k=v;k=v)")
+        }
+      })
     val spark = Tables.graftSession(builder)
     spark.sparkContext.setLogLevel("WARN")
 

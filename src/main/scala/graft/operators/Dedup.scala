@@ -365,6 +365,93 @@ object Dedup {
       .replace("@BANDED@", lshBandedCte)
       .replace("@DOCSH@", docShingleSetsCte)
 
+  /** q208 — BAND-INDEX SEGMENT COMPACTION (round-12 verdict ask #1:
+    * the q199 ANN compaction pattern transplanted to the near-dup band
+    * index; reference dedup-index semantics per
+    * tharun-kadimi/Retail-Sales-Analysis-Etl-BI-Project etl/etl.py:
+    * drop_duplicates, generalized to the versioned LSH index). The
+    * q159 segment chain (corpus band index + the round-1 admits'
+    * appended segment) is folded into ONE `_SUCCESS`-committed
+    * generation as a PURE band-row copy — the compacted frame's
+    * lineage is two parquet reads and a union, no re-shingle and no
+    * re-minhash anywhere (DedupLoopSpec pins the row-count identity) —
+    * and the SAME incoming batch (doc_id % 4 == 3, exactly q159's
+    * round 2) is probed against BOTH the segment union and the
+    * compacted generation. The registered rows are the admissions over
+    * the COMPACTED index; `probes_equal` carries the executed
+    * both-ways `exceptAll` count (the q199/q137 computed-never-assumed
+    * idiom), and the oracle restates the admissions from the banded
+    * CTE — valid against the compacted index precisely BECAUSE
+    * compaction is a row copy.
+    *
+    * At 100 TB this is the maintenance job the q159/q205 append loop
+    * needs to run forever: per-ingest probes stay O(live segments)
+    * instead of O(batches), and the fold itself is one
+    * read-union-write of band rows (25 bytes/doc/band), embarrassingly
+    * parallel, scheduled every K ingests.
+    */
+  def bandIndexCompact(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val root = new java.io.File("/tmp/graft_index",
+      "compact_" + Tables.pathKey(sfDir))
+    org.apache.commons.io.FileUtils.deleteQuietly(root)
+    root.mkdirs()
+    val seg0 = spark.read.parquet(corpusBandIndex(spark, sfDir))
+    val sh = distinctShingles(spark, sfDir)
+    def batchBands(residue: Int): DataFrame = bandedFromSigs(
+      minhashSignaturesRaw(spark, sfDir)
+        .filter(pmod(col("doc_id"), lit(4)) === residue)
+        .repartition(col("doc_id")))
+    def asIndex(df: DataFrame): DataFrame =
+      df.select(col("doc_id").as("corpus_id"),
+        col("band_idx"), col("band_key"))
+    // ---- the q159 chain: round-1 probe, admit, append segment 1 ----
+    val bands1 = batchBands(1).localCheckpoint(true)
+    val dups1 = bestMatchAgainstIndex(bands1, asIndex(seg0), sh, threshold)
+    val seg1Dir = new java.io.File(root, "seg1")
+    bands1.join(dups1.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .write.parquet(seg1Dir.getPath)
+    // ---- compaction: pure row copy of seg0 ∪ seg1, _SUCCESS-committed
+    val union = seg0.unionByName(spark.read.parquet(seg1Dir.getPath))
+    val genDir = new java.io.File(root, "gen1")
+    union.write.parquet(genDir.getPath)
+    val compacted = spark.read.parquet(genDir.getPath)
+    // ---- the SAME probe against compacted vs union, equality executed
+    val bands3 = batchBands(3).localCheckpoint(true)
+    val a = bestMatchAgainstIndex(bands3, asIndex(compacted), sh, threshold)
+      .localCheckpoint(true)
+    val b = bestMatchAgainstIndex(bands3, asIndex(union), sh, threshold)
+      .localCheckpoint(true)
+    val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+    a.withColumn("probes_equal", lit(if (diff == 0) 1L else 0L))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for [[bandIndexCompact]]: q159's round-1/round-2 CTE chain
+    * — the round-2 admissions ARE the probe result over the compacted
+    * index (compaction is a row copy, so the candidate set is
+    * identical by construction; the Spark side EXECUTES both probes
+    * and reports the comparison) — plus the equality bit the oracle
+    * states as 1, which is the assertion that the fold is lossless.
+    */
+  def bandIndexCompactSql(threshold: Double = 0.5): String = {
+    val base = incrementalDedupLoopSql(threshold)
+    val tail =
+      """SELECT CAST(1 AS BIGINT) AS batch_round, doc_id, dup_of, jaccard
+        |FROM r1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS batch_round, doc_id, dup_of, jaccard
+        |FROM r2
+        |ORDER BY batch_round, doc_id""".stripMargin
+    require(base.endsWith(tail),
+      "q159 oracle tail changed - update bandIndexCompactSql's splice")
+    base.dropRight(tail.length) +
+      """SELECT doc_id, dup_of, jaccard,
+        |  CAST(1 AS BIGINT) AS probes_equal
+        |FROM r2
+        |ORDER BY doc_id""".stripMargin
+  }
+
   /** Build (or reuse) the persisted corpus band index: the even-doc_id
     * half's (doc_id, band_idx, band_key) rows as parquet under
     * /tmp/graft_index, keyed on the documents parquet mtime + the LSH

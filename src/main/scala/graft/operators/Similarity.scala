@@ -311,8 +311,12 @@ object Similarity {
     val mt = new java.io.File(sfDir, "embeddings.parquet").lastModified
     require(mt > 0, s"embeddings.parquet missing under $sfDir " +
       "(mtime 0 would freeze the artifact key - round-10 ADVICE)")
+    // format-version constant in the key: bump whenever computeKnnTopk /
+    // mutualEdgesOf LOGIC changes, or a code change would silently serve
+    // stale cached artifacts until the next testdata regen (round-12 ADVICE)
+    val fmtVersion = 2
     val base = new java.io.File("/tmp/graft_stage",
-      s"mkg_${Tables.pathKey(sfDir)}_${mt}_${k}_${nBands}_$bitsPerBand")
+      s"mkg_v${fmtVersion}_${Tables.pathKey(sfDir)}_${mt}_${k}_${nBands}_$bitsPerBand")
     val topkDir = new java.io.File(base, "topk")
     val edgesDir = new java.io.File(base, "edges")
     val fresh = new java.io.File(topkDir, "_SUCCESS").exists &&

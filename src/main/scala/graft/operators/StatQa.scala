@@ -338,12 +338,25 @@ object StatQa {
     *      (size-gated broadcast semi-join — the fact is filtered
     *      map-side, the exchange carries only candidate keys).
     *
-    * Counts for REPORTED keys are exact; the approximation is solely
-    * in recall: ranks whose true count ≤ n/capacity may be missed.
-    * When topN-th count > n/capacity the output EQUALS the exact
-    * query (asserted on testdata in ApproxSpec). Registered rows-only
-    * (q45 contract): the guarantee is conditional, so the oracle
-    * can't hash it unconditionally.
+    * Counts for REPORTED keys are exact, and the result is now
+    * SELF-CERTIFYING (round-13): each partition summary also reports
+    * its decrement-round count d_p. A key absent from EVERY summary
+    * was decremented to zero (or never held) in each partition, so its
+    * local count is ≤ d_p there and its GLOBAL count is ≤ Σd_p. When
+    * the reported topN-th count exceeds Σd_p, no missed key can
+    * displace any reported rank — the output deterministically EQUALS
+    * the exact query, so q120 carries a full plain-SQL oracle
+    * (`ORDER BY cnt DESC LIMIT n`). When the certificate fails (near-
+    * uniform data with no real heavy hitters — by round-13 measurement
+    * the sf1 replica corpus, where the 20th count ~99 < Σd_p), the
+    * operator falls back to the exact full groupBy: still correct,
+    * paying the full-cardinality exchange MG exists to avoid — which
+    * is unavoidable precisely when the data has no certified heavy
+    * hitters. At 100 TB with genuine skew (the regime this operator
+    * targets) the certificate holds and the cheap path runs. Σd_p ≤
+    * n/(capacity+1) (each decrement round consumes capacity+1 count
+    * units), so the classical n/capacity bound is implied; the Σd_p
+    * form is far tighter on real data (64 vs 97.66 at sf0.1).
     */
   def approxHeavyHitters(spark: SparkSession, sfDir: String,
       topN: Int = 20, capacity: Int = 1024): DataFrame = {
@@ -355,27 +368,49 @@ object StatQa {
     * the capacity bound is exercised on an adversarial fixture).
     */
   def approxHeavyHittersFrom(df: DataFrame, keyCol: String,
-      topN: Int, capacity: Int): DataFrame = {
+      topN: Int, capacity: Int): DataFrame =
+    approxHeavyHittersCertified(df, keyCol, topN, capacity)._1
+
+  /** [[approxHeavyHittersFrom]] plus the exactness certificate:
+    * `certified = true` means the Misra-Gries candidate path PROVED
+    * the output equals the exact top-N (Nth count > Σ decrement
+    * rounds) and the returned frame is the verified candidate result;
+    * `false` means the certificate failed and the frame is the exact
+    * full-groupBy fallback (value-identical output contract either
+    * way; ApproxSpec pins both regimes).
+    */
+  def approxHeavyHittersCertified(df: DataFrame, keyCol: String,
+      topN: Int, capacity: Int): (DataFrame, Boolean) = {
     val spark = df.sparkSession
     import spark.implicits._
-    val cands = df.select(col(keyCol).cast("long")).as[Long]
+    // one summary row per partition: (decrement rounds, surviving keys)
+    // — driver-small (≤ partitions rows × capacity keys), eagerly
+    // checkpointed so the candidate explode and the Σd_p fold don't
+    // re-run the fact scan
+    val summaries = df.select(col(keyCol).cast("long")).as[Long]
       .mapPartitions { it =>
         // Misra-Gries "frequent" summary: +1 if tracked, insert while
         // room, else decrement-all (amortized against the inserts)
         val m = scala.collection.mutable.HashMap.empty[Long, Long]
+        var dec = 0L
         it.foreach { k =>
           m.get(k) match {
             case Some(v) => m.update(k, v + 1)
             case None if m.size < capacity => m.update(k, 1L)
             case None =>
+              dec += 1
               m.mapValuesInPlace((_, v) => v - 1)
               m.filterInPlace((_, v) => v > 0)
           }
         }
-        m.keysIterator
+        Iterator.single((dec, m.keysIterator.toArray))
       }
-      .distinct()
-      .toDF(keyCol)
+      .toDF("dec", "keys")
+      .localCheckpoint(true)
+    // Σd_p: the global-count ceiling on any key missed by every summary
+    val decSum = summaries.agg(sum("dec")).head().getLong(0)
+    val cands = summaries
+      .select(explode(col("keys")).as(keyCol)).distinct()
     // the candidate list is bounded by construction (≤ summaries ×
     // capacity, further deduped), NOT by the data volume — the hard
     // broadcast is safe in the q91 per-group-frame sense. A deployment
@@ -385,12 +420,33 @@ object StatQa {
       .join(broadcast(cands), Seq(keyCol), "left_semi")
       .groupBy(keyCol).agg(count(lit(1)).as("cnt"))
     val total = df.agg(count(lit(1)).as("total_events"))
-    exact.crossJoin(broadcast(total))
-      .select(col(keyCol), col("cnt"),
+    val mg = exact.crossJoin(broadcast(total))
+      .select(col(keyCol).cast("long").as(keyCol), col("cnt"),
         expr("CAST(cnt * 1000000 div total_events AS BIGINT)")
           .as("share_ppm"))
       .orderBy(col("cnt").desc, col(keyCol))
       .limit(topN)
+    // bounded collect: ≤ topN rows, the certificate needs the Nth count
+    val reported = mg.collect()
+    val certified = reported.nonEmpty &&
+      reported.map(_.getLong(1)).min > decSum
+    if (certified)
+      (spark.createDataFrame(
+        spark.sparkContext.parallelize(reported.toIndexedSeq, 1),
+        mg.schema), true)
+    else {
+      // no certificate: the data has no heavy hitter that clears the
+      // provable bound — only the exact full groupBy can answer
+      val g = df.groupBy(col(keyCol).cast("long").as(keyCol))
+        .agg(count(lit(1)).as("cnt"))
+      val t = g.agg(sum("cnt").as("total_events"))
+      (g.crossJoin(broadcast(t))
+        .select(col(keyCol), col("cnt"),
+          expr("CAST(cnt * 1000000 div total_events AS BIGINT)")
+            .as("share_ppm"))
+        .orderBy(col("cnt").desc, col(keyCol))
+        .limit(topN), false)
+    }
   }
 
   /** q161 — mergeable COUNT-MIN shard cells, the q137/q150 pattern for

@@ -1131,6 +1131,10 @@ object EventStreams {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     val eff = sys.env.get("SPARK_GRAFT_STATE_PARTS").map(_.toInt).getOrElse(n)
+    if (eff != n)
+      System.err.println(
+        s"WARNING: SPARK_GRAFT_STATE_PARTS=$eff overrides the tuned state-partition dial ($n); " +
+          "this is for Prof-driven A/B runs only — unset it for official Bench/Verify numbers.")
     spark.conf.set(key, eff.toString)
     try body finally spark.conf.set(key, prev)
   }
@@ -1497,11 +1501,43 @@ object EventStreams {
     * oracle restates the whole replay per batch — batch membership is
     * the deterministic `doc_id·n div (max+1)` range split.
     *
+    * SEGMENT COMPACTION (round-13, the q199 transplant the round-12
+    * verdict asked for): the probe no longer folds every prior batch
+    * segment — after committing its own segment, a batch whose live
+    * `_SUCCESS` segment count exceeds `maxLiveSegments` folds them all
+    * into ONE `gen<batchId>` generation as a PURE band-row copy (the
+    * lineage is parquet reads ∪ parquet write — no re-gate, no
+    * re-shingle, no re-minhash) and then deletes the inputs, so
+    * per-batch history cost is O(maxLiveSegments), not O(batches).
+    * The commit order makes a crash harmless: the generation is
+    * `_SUCCESS`-committed BEFORE its inputs are removed, and a
+    * double-listed band row only duplicates candidate pairs the probe
+    * `distinct()`s away — admissions are identical either way
+    * (StreamingSpec pins never-compact == compact-every-batch on the
+    * cross-batch fixture; q208 carries the batch-side oracle of the
+    * same property). The registered replay uses maxLiveSegments = 1 so
+    * the driver-checked row itself probes a compacted generation; a
+    * production deployment sets it higher (compacting every K batches
+    * amortizes the fold to corpus/K per batch — the single-level
+    * scheme q199 uses; size-tiered folding would make total rewrite
+    * O(n log n) and drops in without changing the probe, which just
+    * lists live segments).
+    *
     * Output per batch: docs seen (train split), gate admits, dup drops
     * (split out: dropped by a HISTORY partner), final admits.
     */
+  /** The committed, not-yet-folded segments of a band-index dir:
+    * every `_SUCCESS`-marked child (batch segments `b<id>` and folded
+    * generations `gen<id>` alike — the probe does not care which).
+    */
+  private def liveSegments(segBase: java.io.File): Seq[java.io.File] =
+    Option(segBase.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(d => d.isDirectory &&
+        new java.io.File(d, "_SUCCESS").exists)
+      .sortBy(_.getName).toSeq
+
   def streamingNeardupAdmission(spark: SparkSession, sfDir: String,
-      nFiles: Int = 3): DataFrame = {
+      nFiles: Int = 3, maxLiveSegments: Int = 1): DataFrame = {
     val staging = stageDocumentBatches(spark, sfDir, nFiles)
     val base = new java.io.File("/tmp/graft_stream_sink",
       "neardup_" + graft.sources.Tables.pathKey(sfDir))
@@ -1535,9 +1571,10 @@ object EventStreams {
           val batchBands = graft.operators.Corpus.bandsOf(gateAdm)
             .localCheckpoint(true)
           val nGate = gateAdm.count()
-          val priorSegs = (0L until batchId)
-            .map(i => new java.io.File(segBase, s"b$i"))
-            .filter(d => new java.io.File(d, "_SUCCESS").exists)
+          // history = whatever segments are LIVE (committed, not yet
+          // folded into a generation) — a directory listing, not a
+          // batch-id range, so compaction is transparent to the probe
+          val priorSegs = liveSegments(segBase)
           val probe = priorSegs.foldLeft(batchBands)((acc, d) =>
             acc.unionByName(spark.read.parquet(d.getPath)))
           val pairs = probe.select(col("doc_id").as("doc_a"),
@@ -1574,6 +1611,17 @@ object EventStreams {
           // idempotent overwrites - the q154 re-delivery discipline)
           batchBands.write.mode("overwrite")
             .parquet(new java.io.File(segBase, s"b$batchId").getPath)
+          // fold live segments into one generation when they exceed
+          // the dial: _SUCCESS-committed BEFORE inputs are deleted
+          // (crash between = double-listed rows the probe distinct()s)
+          val live = liveSegments(segBase)
+          if (live.length > maxLiveSegments) {
+            val gen = new java.io.File(segBase, s"gen$batchId")
+            live.map(d => spark.read.parquet(d.getPath))
+              .reduce(_ unionByName _) // pure band-row copy
+              .write.mode("overwrite").parquet(gen.getPath)
+            live.foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+          }
           Seq((batchId, nDocs, nGate, nDup, nHist, nGate - nDup))
             .toDF("batch_idx", "n_docs", "n_gate", "n_dup_dropped",
               "n_dropped_by_history", "n_admitted")

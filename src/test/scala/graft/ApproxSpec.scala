@@ -31,15 +31,32 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
-  test("q120 approx heavy hitters == exact q110 while capacity holds") {
-    // capacity (1024) far exceeds the user domain at sf0.001, so the
-    // Misra-Gries guarantee (count > n/capacity survives) covers every
-    // reported rank: candidate+verify must EQUAL the exact query
+  test("q120 approx heavy hitters == exact q110, certificate attested") {
+    // capacity (1024) far exceeds the user domain at sf0.001, so no
+    // partition ever decrements (Σd_p = 0) and the certificate must
+    // hold: the candidate path is PROVEN equal to the exact query
     val exact = StatQa.heavyHitters(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val approx = StatQa.approxHeavyHitters(spark, sf0001).collect()
+    val (df, certified) = StatQa.approxHeavyHittersCertified(
+      Tables.events(spark, sf0001), "user_id", topN = 20, capacity = 1024)
+    assert(certified, "Σ-decrement certificate must hold at sf0.001")
+    val approx = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(approx.toSeq === exact.toSeq)
+  }
+
+  test("q120 fallback regime: near-uniform data fails the certificate, output still exact") {
+    // 100 keys x5 each with capacity 4: every partition decrements
+    // constantly, Σd_p >> 5 = the top count — no heavy hitter is
+    // certifiable and the operator must take the exact-groupBy
+    // fallback, whose output is the true top-N regardless
+    val df = (1L to 100L).flatMap(k => Seq.fill(5)(k))
+      .toDF("user_id").repartition(8)
+    val (got, certified) = StatQa.approxHeavyHittersCertified(
+      df, "user_id", topN = 3, capacity = 4)
+    assert(!certified, "near-uniform fixture must fail the certificate")
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((1L, 5L), (2L, 5L), (3L, 5L)))
   }
 
   test("q136 sketch sweep: shipped defaults sit on the knee of the curve") {
@@ -150,9 +167,12 @@ class ApproxSpec extends SparkSpec {
     // and its verified count is exact.
     val rows = (1L to 5000L) ++ Seq.fill(500)(777777L)
     val df = rows.toDF("user_id").repartition(8)
-    val got = StatQa.approxHeavyHittersFrom(df, "user_id",
-        topN = 1, capacity = 16)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // Σd_p ≤ n/(capacity+1) = 5500/17 ≈ 323 < 500, so the certificate
+    // must also hold: the planted key is PROVABLY the exact top-1
+    val (res, certified) = StatQa.approxHeavyHittersCertified(
+      df, "user_id", topN = 1, capacity = 16)
+    assert(certified, "planted heavy key must clear the Σd_p bound")
+    val got = res.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got === Seq((777777L, 500L)))
   }
 }

@@ -20,16 +20,17 @@ class QueriesSpec extends SparkSpec {
   }
 
   test("every query has an oracle, except the documented approx whitelist") {
-    // q45/q137 (HLL), q119 (t-digest), q120 (Misra-Gries) and q136
-    // (the sketch-accuracy sweep over q45/q119's dials) are
-    // sketch-based: estimates are engine-specific by design, the
-    // driver records the weaker rows-only check and the specs named
-    // per entry below hold the tolerance/equality contracts. Anything
-    // else missing an oracle is a registration mistake, not a design
-    // choice. (q141/q157 left this set in round 12: their KMV cells
-    // are engine-portable md5-60 bottom-ks with a full oracle.)
+    // q45/q137 (HLL), q119 (t-digest) and q136 (the sketch-accuracy
+    // sweep over q45/q119's dials) are sketch-based: estimates are
+    // engine-specific by design, the driver records the weaker
+    // rows-only check and the specs named per entry below hold the
+    // tolerance/equality contracts. Anything else missing an oracle is
+    // a registration mistake, not a design choice. (q141/q157 left
+    // this set in round 12 — engine-portable KMV cells; q120 left in
+    // round 13 — the Σ-decrement certificate + exact fallback make the
+    // plain exact top-N SQL a valid unconditional oracle.)
     val approxOnly = Set("q45_kpi_approx", "q119_approx_percentiles",
-      "q120_approx_heavy_hitters", "q136_sketch_sweep",
+      "q136_sketch_sweep",
       "q137_hll_shards") // in-row self-oracle + HllSpec equality
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing == approxOnly,

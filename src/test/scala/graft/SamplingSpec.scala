@@ -75,12 +75,16 @@ class SamplingSpec extends SparkSpec {
       .groupBy("source").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val bySrc = sched.groupBy(_.getString(1))
-    bySrc.foreach { case (src, rows) =>
+    // iterate over the QUOTA keys, not the sources present in the
+    // schedule: a source whose selection is wrongly empty must still
+    // fail the greedy-maximal check (round-12 ADVICE vacuity fix)
+    quotas.keys.foreach { src =>
+      val rows = bySrc.getOrElse(src, Array.empty[org.apache.spark.sql.Row])
       val toks = rows.map(_.getLong(3)).sum
       assert(toks <= quotas(src), s"$src overflows its quota")
       // gate-admitted docs are 20-60 tokens: if admitted docs remain
       // unselected, the headroom must be smaller than the largest doc
-      assert(rows.length == admittedPerSrc(src) ||
+      assert(rows.length == admittedPerSrc.getOrElse(src, 0L) ||
         toks > quotas(src) - 60, s"$src under-fills its quota")
     }
     // mixture: the first half of the schedule touches most sources

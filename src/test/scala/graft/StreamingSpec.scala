@@ -313,6 +313,46 @@ class StreamingSpec extends SparkSpec {
     assert(led(2L) === ((4L, 4L, 3L, 2L, 1L)))
   }
 
+  test("q205 segment compaction: never-compact and compact-every-batch ledgers identical") {
+    import spark.implicits._
+    // same fixture shape as the cross-batch test (its own dir: specs
+    // must not order-depend), replayed twice — maxLiveSegments = 1
+    // folds history into a generation after every batch, 1000 never
+    // folds; admissions and history attribution must be IDENTICAL,
+    // which is the q199 probe-equality property on the streaming path
+    val texts = graft.operators.Corpus.withGateScore(
+        Tables.documents(spark, sf0001))
+      .filter(col("score") === 4).orderBy("doc_id")
+      .limit(3).collect().map(_.getAs[String]("text"))
+    val fix = new java.io.File("/tmp/graft_fixture/q205compact")
+    org.apache.commons.io.FileUtils.deleteQuietly(fix)
+    fix.mkdirs()
+    Seq((1L, texts(0)), (11L, texts(1)),
+        (21L, texts(0)), (22L, texts(2)), (23L, texts(2)),
+        (29L, texts(1)))
+      .map { case (id, t) => (id, t, "en", "fix", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite")
+      .parquet(new java.io.File(fix, "documents.parquet").getPath)
+    def run(maxLive: Int): Seq[Seq[Long]] =
+      EventStreams.streamingNeardupAdmission(spark, fix.getPath,
+          maxLiveSegments = maxLive)
+        .collect().map(r => (0 to 5).map(r.getLong)).toSeq
+    val compacted = run(1)
+    // after the compacting run, history is folded: only generation
+    // segments remain live (the O(batches) union is gone)
+    val segBase = new java.io.File("/tmp/graft_stream_sink",
+      "neardup_" + Tables.pathKey(fix.getPath) + "/seg")
+    val live = segBase.listFiles()
+      .filter(d => new java.io.File(d, "_SUCCESS").exists)
+    assert(live.nonEmpty && live.forall(_.getName.startsWith("gen")),
+      s"expected only folded generations, saw ${live.map(_.getName).toSeq}")
+    assert(live.length === 1, "compact-every-batch must leave one generation")
+    val uncompacted = run(1000)
+    assert(compacted === uncompacted,
+      "compaction changed an admission/attribution decision")
+  }
+
   test("q172 transformWithState: RocksDB state persists across micro-batches") {
     // the 4-file chronological replay self-asserts >=2 data batches AND
     // >=1 user re-emitting (accumulated state), then folds the Update
