@@ -344,12 +344,19 @@ object Sampling {
       .filter(col("cum") <= col("final_tokens"))
       .withColumn("pos_key", expr(
         s"(2 * (rk - 1) + 1) * ${budget}L div (2 * greatest(final_tokens, 1))"))
-    selected
-      .withColumn("schedule_pos", row_number().over(
-        Window.orderBy("pos_key", "source", "rk")).cast("long"))
+    // global numbering WITHOUT a single-partition window (round-12
+    // verdict #2): the selected set is budget-bounded at the registered
+    // dial, but the bound is a user parameter — a 100 B-token budget
+    // selects millions of rows, so the rank goes through the
+    // range-partitioned two-pass (value-identical to row_number() over
+    // (pos_key, source, rk), StarSpec/SamplingSpec-pinned)
+    ScalableKeys.withRankByKeys(selected
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          col("pos_key"), col("rk")),
+        Seq("pos_key", "source", "rk"), "schedule_pos")
       .select(col("schedule_pos"), col("source"), col("doc_id"),
         col("n_tokens"), col("pos_key"))
-      .coalesce(1).sortWithinPartitions("schedule_pos")
+      .transform(df => Tables.presentationSorted(df, col("schedule_pos")))
   }
 
   /** Oracle for [[interleavedSchedule]]: q201's full apportionment

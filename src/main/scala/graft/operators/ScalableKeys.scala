@@ -102,7 +102,18 @@ object ScalableKeys {
     * non-null (dim natural keys are both).
     */
   def withRankByKey(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    withRankByKeys(df, Seq(keyCol), idCol)
+
+  /** [[withRankByKey]] over a multi-column total order — value-identical
+    * to `row_number() OVER (ORDER BY k1, k2, ...)` with the same
+    * two-pass shape. Requires the column TUPLE unique and non-null
+    * (tie-broken orders are exactly that).
+    */
+  def withRankByKeys(df: DataFrame, keyCols: Seq[String],
+      idCol: String): DataFrame = {
+    val ks = keyCols.map(col)
     withSequentialIds(
-      df.repartitionByRange(col(keyCol)).sortWithinPartitions(col(keyCol)),
+      df.repartitionByRange(ks: _*).sortWithinPartitions(ks: _*),
       idCol, startAt = 1L)
+  }
 }

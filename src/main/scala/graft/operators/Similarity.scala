@@ -287,11 +287,10 @@ object Similarity {
   def mutualKnnGraph(spark: SparkSession, sfDir: String, k: Int = 3,
       nBands: Int = 2, bitsPerBand: Int = 8): DataFrame = {
     val (_, edges) = ensureKnnArtifacts(spark, sfDir, k, nBands, bitsPerBand)
-    // edge-list-sized presentation frame: single-partition total sort
-    // (the EventStreams.smallSorted rationale — a range exchange on a
-    // driver-sized frame is ~0.45 s of fixed machinery)
-    spark.read.parquet(edges)
-      .coalesce(1).sortWithinPartitions("vec_a", "vec_b")
+    // presentation sort with the strategy derived from the edge count
+    // (round-13: k·n/2 edges outgrow the one-task sort at scale)
+    Tables.presentationSorted(spark.read.parquet(edges),
+      col("vec_a"), col("vec_b"))
   }
 
   /** Commit the kNN-graph job's two products — the per-vector ranked
@@ -482,7 +481,10 @@ object Similarity {
         col("n.dst").as("neg_id"),
         col("n.rank").cast("long").as("neg_rank"),
         col("n.cosine").as("neg_cosine"))
-      .coalesce(1).sortWithinPartitions("anchor_id")
+      // eager checkpoint: presentationSorted's row-count probe and the
+      // sort itself both read the materialized result, not the join DAG
+      .localCheckpoint(true)
+      .transform(df => Tables.presentationSorted(df, col("anchor_id")))
   }
 
   /** Oracle for [[tripletMining]]: the shared topk CTE, mutuality by

@@ -595,6 +595,36 @@ object Tables {
   def withMinParallelism(df: DataFrame, min: Int): DataFrame =
     if (df.rdd.getNumPartitions >= min) df else df.repartition(min)
 
+  /** Rows at or below which a presentation sort takes the
+    * single-partition path. Measured round 12/13: a global orderBy
+    * pays ~0.45 s of fixed range-exchange machinery (sampling pass +
+    * sort pass, per-task setup × 32) regardless of row count, while a
+    * one-task in-partition sort of ≤256k rows is well under 0.2 s —
+    * and the round-12 soak's match-log-grain streaming results
+    * (q133/q163/q170, ~4.6M rows at sf1) sit far above the bound, so
+    * they take the distributed sort automatically.
+    */
+  val PresentationSortMaxRows: Long = 262144L
+
+  /** Total sort of a RESULT frame for the deterministic Verify dump,
+    * with the strategy DERIVED from the frame's actual cardinality
+    * (round-12 verdict #6: the driver-sized-vs-stream-grain
+    * classification was a hand-audited list; the sweep itself caught a
+    * misclassification). ≤ [[PresentationSortMaxRows]] rows → one-task
+    * in-partition sort (identical total order, ~9× cheaper than the
+    * fixed range-exchange); above → the distributed range sort, which
+    * is the only shape that survives stream-scale results. The count
+    * is an extra action — callers hand this frame a materialized
+    * result (memory-sink table, localCheckpoint, artifact read), where
+    * it is a metadata-cheap job; both paths produce byte-identical
+    * output (PlanSpec pins the flip and the equality).
+    */
+  def presentationSorted(df: DataFrame,
+      keys: org.apache.spark.sql.Column*): DataFrame =
+    if (df.count() <= PresentationSortMaxRows)
+      df.coalesce(1).sortWithinPartitions(keys: _*)
+    else df.orderBy(keys: _*)
+
   /** Collision-free /tmp directory key for a source path: md5 of the
     * FULL path (String.hashCode is 32-bit — two sfDirs can collide and
     * concurrent sessions would clobber each other's staging / index /

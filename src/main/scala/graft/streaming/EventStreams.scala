@@ -222,26 +222,24 @@ class LifetimeProcessor extends org.apache.spark.sql.streaming.StatefulProcessor
 
 object EventStreams {
 
-  /** Total sort of a driver-sized result frame — memory-sink tables,
-    * small sink parquet reads, and their folds, all driver-local (or
-    * near) by construction. A global `orderBy` on such a frame pays a
-    * fixed 32-task range-exchange (~0.45 s measured on a 3600-row
-    * table: sampling pass + sort pass, each with per-task setup);
-    * a single-partition in-partition sort is the identical total
-    * order at ~0.05 s. Presentation-only — production consumers of a
-    * streaming sink never globally sort; the sort exists for the
-    * deterministic Verify dump. NOT for match-log-grain results that
-    * scale with the stream (q133/q163/q170 emit ~4.6M rows at sf1,
-    * measured in the round-12 soak — those keep the distributed
-    * orderBy).
+  /** Total sort of a result frame — memory-sink tables, small sink
+    * parquet reads, and their folds. Since round 13 the strategy is
+    * DERIVED per call ([[graft.sources.Tables.presentationSorted]]):
+    * ≤ the measured row bound → one-task in-partition sort (the
+    * ~0.45 s fixed range-exchange saved on driver-sized frames);
+    * above → the distributed range sort (match-log-grain results,
+    * q133/q163/q170 at ~4.6M rows/sf1, flip automatically instead of
+    * by hand-audited list — the round-12 soak caught exactly one such
+    * misclassification). Identical total order either way; the sort
+    * exists for the deterministic Verify dump.
     */
   implicit private[streaming] class SmallSortOps(private val df: DataFrame)
       extends AnyVal {
     def smallSorted(c0: String, cs: String*): DataFrame =
-      df.coalesce(1).sortWithinPartitions(c0, cs: _*)
+      graft.sources.Tables.presentationSorted(df, (c0 +: cs).map(col): _*)
     def smallSorted(c0: org.apache.spark.sql.Column,
         cs: org.apache.spark.sql.Column*): DataFrame =
-      df.coalesce(1).sortWithinPartitions((c0 +: cs): _*)
+      graft.sources.Tables.presentationSorted(df, (c0 +: cs): _*)
   }
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
@@ -544,7 +542,7 @@ object EventStreams {
         .start()
       q.awaitTermination()
     }
-    spark.table(name).orderBy("error_id", "click_id")
+    spark.table(name).smallSorted("error_id", "click_id")
   }
 
   /** Oracle for [[errorClickPairsAvailableNow]]: the plain batch
@@ -602,7 +600,7 @@ object EventStreams {
       .filter(col("any_click").isNull)
       .select(col("error_id"), lit(-1L).as("click_id"))
     matched.unionByName(unmatched)
-      .orderBy("error_id", "click_id")
+      .smallSorted("error_id", "click_id")
   }
 
   /** Oracle for [[errorClickLeftOuterAvailableNow]]: the batch LEFT
@@ -690,7 +688,7 @@ object EventStreams {
     val unmatchedClk = sink.filter(col("error_id").isNull)
       .select(lit(-1L).as("error_id"), col("click_id"))
     matched.unionByName(unmatchedErr).unionByName(unmatchedClk)
-      .orderBy("error_id", "click_id")
+      .smallSorted("error_id", "click_id")
   }
 
   /** Oracle for [[errorClickFullOuterAvailableNow]]: the batch FULL

@@ -553,6 +553,32 @@ class PlanSpec extends SparkSpec {
       "compacted segment is not commit-marked")
   }
 
+  test("presentationSorted derives its strategy from cardinality; both paths byte-identical") {
+    import org.apache.spark.sql.functions._
+    val Tables = graft.sources.Tables
+    // small frame: one-task in-partition sort (no range exchange)
+    val small = spark.range(0, 1000, 1, 8).toDF("id")
+      .withColumn("k", pmod(col("id") * 37, lit(997)))
+    val sortedSmall = Tables.presentationSorted(small, col("k"), col("id"))
+    assert(sortedSmall.rdd.getNumPartitions === 1,
+      "driver-sized frame must take the single-partition sort")
+    // synthetic large frame crosses the bound: the distributed range
+    // sort must be chosen (the match-log-grain streaming results'
+    // shape — no hand-audited list decides this anymore)
+    val big = spark.range(0, Tables.PresentationSortMaxRows + 1, 1, 8)
+      .toDF("id").withColumn("k", pmod(col("id") * 2654435761L, lit(1000003L)))
+    val sortedBig = Tables.presentationSorted(big, col("k"), col("id"))
+    assert(sortedBig.rdd.getNumPartitions > 1,
+      "stream-scale frame must take the distributed range sort")
+    assert(plan(sortedBig).toLowerCase.contains("rangepartitioning"),
+      "distributed path must be a range sort")
+    // byte-identical outputs: the two strategies are the same total order
+    val a = sortedSmall.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = small.orderBy(col("k"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a === b)
+  }
+
   test("q184 hybrid: no Window ranks an unlimited embeddings scan") {
     // round-10 verdict's one `weak`: the vector ranker used to run
     // row_number over a global window on the FULL embeddings scan. The
