@@ -397,7 +397,11 @@ object Insights {
         lit(regs).as("state_units"),
         expr(s"""greatest(abs(o$d - xo) * 1000000 div xo,
                 |         abs(c$d - xc) * 1000000 div xc)""".stripMargin)
-          .cast("long").as("max_err_ppm"))
+          .cast("long").as("max_err_ppm"),
+        // documented per-dial ceiling: 3·rsd (the 3-sigma band of the
+        // HLL++ estimator) in ppm — the in-row bound the q137
+        // self-oracle discipline asks each dial row to carry
+        lit(math.round(3 * r * 1000000)).as("bound_ppm"))
     }
     // ---- t-digest family: q119's 3 percentile KPIs per return flag,
     // one aggregate PER DIAL, joined to the exact q49 values. Not one
@@ -436,9 +440,20 @@ object Insights {
           lit("tdigest_percentile").as("sketch"),
           lit(a.toLong).as("dial"),
           lit(a.toLong).as("state_units"),
-          coalesce(col("e"), lit(0L)).cast("long").as("max_err_ppm"))
+          coalesce(col("e"), lit(0L)).cast("long").as("max_err_ppm"),
+          // documented per-dial ceiling: measured error at sf0.001 AND
+          // sf0.01 with >=4x margin (ApproxSpec's knee comment) —
+          // accuracy 100 worst-observed 3.8%, 1000 0.27%, 10000 0.08%
+          lit(a match {
+            case 100 => 160000L; case 1000 => 11000L; case _ => 5000L
+          }).as("bound_ppm"))
     }
     (hllRows ++ tdRows).reduce(_.unionByName(_))
+      // the q137 in-row self-oracle: every dial row STATES its bound
+      // and whether the measured error clears it; ApproxSpec asserts
+      // within_bound == 1 for EVERY row, not just the shipped defaults
+      .withColumn("within_bound",
+        (col("max_err_ppm") <= col("bound_ppm")).cast("long"))
       .orderBy("sketch", "dial")
   }
 

@@ -1244,7 +1244,7 @@ object EventStreams {
     * constant, not data-scaled).
     */
   def sessionWindowsBatchedReplay(spark: SparkSession, sfDir: String,
-      nFiles: Int = 4): DataFrame = {
+      nFiles: Int = 3): DataFrame = {
     val staging = stageChronologicalEvents(spark, sfDir, nFiles)
     // ---- replay: one file per trigger, real watermark advancement ----
     val name = "graft_stream_batched_" + runCounter.incrementAndGet()
@@ -1280,8 +1280,12 @@ object EventStreams {
   def stageChronologicalEvents(spark: SparkSession, sfDir: String,
       nFiles: Int, lateTail: Boolean = false): String = {
     val suffix = if (lateTail) "_late" else ""
+    // dir name carries nFiles: callers on different dials (a spec's
+    // explicit 4-file shape vs the registered 3) must not thrash one
+    // shared memo (round-13)
     val staging = new java.io.File("/tmp/graft_stage",
-      "batched_events_" + graft.sources.Tables.pathKey(sfDir) + suffix)
+      "batched_events_" + graft.sources.Tables.pathKey(sfDir) +
+        s"_n$nFiles" + suffix)
     val totalFiles = nFiles + (if (lateTail) 1 else 0)
     // freshness fingerprint, the Tables.eventsTsIsNanos idiom: reuse the
     // staged split only when it was built from the CURRENT source file
@@ -1673,7 +1677,7 @@ object EventStreams {
     * batches (`spark.sql.streaming.fileSink.log.compactInterval`).
     */
   def sessionWindowsDurableRestart(spark: SparkSession, sfDir: String,
-      nFiles: Int = 4, maxAttempts: Int = 3): DataFrame = {
+      nFiles: Int = 3, maxAttempts: Int = 3): DataFrame = {
     val staging = stageChronologicalEvents(spark, sfDir, nFiles)
     val base = new java.io.File("/tmp/graft_stream_sink",
       "restart_" + graft.sources.Tables.pathKey(sfDir))
@@ -1738,7 +1742,7 @@ object EventStreams {
     * events — same oracle SQL; the fixture's rows must leave no trace.
     */
   def sessionWindowsLateReplay(spark: SparkSession, sfDir: String,
-      nFiles: Int = 4): DataFrame = {
+      nFiles: Int = 3): DataFrame = {
     val staging = stageChronologicalEvents(spark, sfDir, nFiles,
       lateTail = true)
     val name = "graft_stream_late_" + runCounter.incrementAndGet()
@@ -1795,7 +1799,7 @@ object EventStreams {
     * configured.
     */
   def hourlyByTypeUpdateReplay(spark: SparkSession, sfDir: String,
-      nFiles: Int = 4): DataFrame = {
+      nFiles: Int = 3): DataFrame = {
     val staging = stageChronologicalEvents(spark, sfDir, nFiles)
     val name = "graft_stream_update_" + runCounter.incrementAndGet()
     val nDataBatches = withStatePartitions(spark, 8) {
@@ -1870,7 +1874,7 @@ object EventStreams {
     * cannot affect the Complete-mode rollup).
     */
   def segmentRollupStream(spark: SparkSession, sfDir: String,
-      nFiles: Int = 4): DataFrame = {
+      nFiles: Int = 3): DataFrame = {
     val staging = stageChronologicalEvents(spark, sfDir, nFiles)
     val name = "graft_stream_enrich_" + runCounter.incrementAndGet()
     val nData = withStatePartitions(spark, 8) {
@@ -1925,7 +1929,7 @@ object EventStreams {
     * version-chain idiom shared with q154.
     */
   def dimSwapEnrichReplay(spark: SparkSession, sfDir: String,
-      nFiles: Int = 4): DataFrame = {
+      nFiles: Int = 3): DataFrame = {
     val staging = stageChronologicalEvents(spark, sfDir, nFiles)
     val base = new java.io.File("/tmp/graft_stream_sink",
       "dimswap_" + graft.sources.Tables.pathKey(sfDir))
@@ -2001,7 +2005,7 @@ object EventStreams {
     * rollup folds exact decimals before one double cast, exactly as
     * the per-batch contributions do.
     */
-  def dimSwapEnrichReplaySql(nFiles: Int = 4): String =
+  def dimSwapEnrichReplaySql(nFiles: Int = 3): String =
     s"""WITH ev AS (
        |  SELECT user_id, value,
        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
@@ -2160,7 +2164,7 @@ object EventStreams {
     * additionally asserts streaming == batch cell-exactly.
     */
   def hourlyDistinctKmvUpdateReplay(spark: SparkSession, sfDir: String,
-      k: Int = 256, nFiles: Int = 4): DataFrame = {
+      k: Int = 256, nFiles: Int = 3): DataFrame = {
     val staging = stageChronologicalEvents(spark, sfDir, nFiles)
     val name = "graft_stream_kmvevict_" + runCounter.incrementAndGet()
     val (nData, removed) = withStatePartitions(spark, 8) {
@@ -2232,7 +2236,7 @@ object EventStreams {
     * batches; one batch would make the merge path trivial).
     */
   def latestByUserUpsertReplay(spark: SparkSession, sfDir: String,
-      nFiles: Int = 4): DataFrame = {
+      nFiles: Int = 3): DataFrame = {
     val staging = stageChronologicalEvents(spark, sfDir, nFiles)
     // md5 of the full path, not String.hashCode: 32-bit hash collisions
     // between two sfDirs would interleave their version chains (ADVICE r8)

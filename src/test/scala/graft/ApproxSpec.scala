@@ -64,7 +64,17 @@ class ApproxSpec extends SparkSpec {
     // ~{rsd .05: 6.4%, .02: 0.4%, .01: 0.5-0.7%}, t-digest err
     // ~{acc 100: 1.7-3.8%, 1000: 0.14-0.27%, 10000: 0.02-0.08%} — each
     // bound below carries ≥4x margin over the observed values
-    val rows = Insights.sketchAccuracySweep(spark, sf0001).collect()
+    val full = Insights.sketchAccuracySweep(spark, sf0001).collect()
+    // round-13: every dial row carries its documented ceiling in-row
+    // (bound_ppm) and the computed within_bound bit — assert ALL dials
+    // clear their bounds, not just the shipped defaults
+    full.foreach { r =>
+      assert(r.getAs[Long]("within_bound") == 1L,
+        s"${r.getString(0)} dial ${r.getLong(1)}: err " +
+          s"${r.getAs[Long]("max_err_ppm")} ppm exceeds its in-row " +
+          s"bound ${r.getAs[Long]("bound_ppm")} ppm")
+    }
+    val rows = full
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
     assert(rows.keySet === Set(
       ("hll_count_distinct", 50000L), ("hll_count_distinct", 20000L),
