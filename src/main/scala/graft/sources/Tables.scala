@@ -620,10 +620,19 @@ object Tables {
     * output (PlanSpec pins the flip and the equality).
     */
   def presentationSorted(df: DataFrame,
-      keys: org.apache.spark.sql.Column*): DataFrame =
-    if (df.count() <= PresentationSortMaxRows)
+      keys: org.apache.spark.sql.Column*): DataFrame = {
+    // zero-job fast path: the optimizer carries a static row-count
+    // ceiling for LocalRelations (memory-sink tables — the most common
+    // caller) and LIMITed plans; only genuinely unbounded plans pay
+    // the count job
+    val n = df.queryExecution.optimizedPlan.maxRows match {
+      case Some(m) => m
+      case None => df.count()
+    }
+    if (n <= PresentationSortMaxRows)
       df.coalesce(1).sortWithinPartitions(keys: _*)
     else df.orderBy(keys: _*)
+  }
 
   /** Collision-free /tmp directory key for a source path: md5 of the
     * FULL path (String.hashCode is 32-bit — two sfDirs can collide and

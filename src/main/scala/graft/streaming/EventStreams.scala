@@ -1621,6 +1621,9 @@ object EventStreams {
             val gen = new java.io.File(segBase, s"gen$batchId")
             live.map(d => spark.read.parquet(d.getPath))
               .reduce(_ unionByName _) // pure band-row copy
+              // one file: band rows are ~25 bytes each, and a single
+              // part keeps the next batch's listing + read cheap
+              .coalesce(1)
               .write.mode("overwrite").parquet(gen.getPath)
             live.foreach(org.apache.commons.io.FileUtils.deleteQuietly)
           }
@@ -1634,6 +1637,12 @@ object EventStreams {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // SOAK diagnostic (stderr-only): per-batch wall times, the
+      // flat-across-batches evidence the compaction exists to provide
+      System.err.println("neardup-batch-ms: " + q.recentProgress
+        .filter(_.numInputRows > 0)
+        .map(p => p.durationMs.getOrDefault("triggerExecution", -1L))
+        .mkString(","))
       q.recentProgress.count(_.numInputRows > 0)
     }
     require(nData >= 2,
