@@ -912,39 +912,60 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
       .replace("@CTE@", lshCandidatesCte)
 
-  /** Standalone n-gram Jaccard near-dup detection (no MinHash): blocking
-    * on exact token count (near-identical docs almost always agree), then
-    * exact 3-shingle Jaccard within each block. Complements the MinHash
-    * path: zero hash error, but blocking recall depends on the edit
-    * profile — the classic precision/recall trade between the two.
+  /** Standalone n-gram Jaccard near-dup detection (no banded MinHash):
+    * single-minhash blocking — two docs are candidates iff they share
+    * the same minimum shingle hash (h_0, the first MinHash function;
+    * P(same block) == Jaccard, so recall ~= threshold) — then exact
+    * Jaccard over the distinct 3-shingle md5-60 hash sets within each
+    * block. Complements the banded path: one block key instead of four
+    * band keys, the classic precision/recall trade.
     *
-    * Scale shape: the block join shuffles on token count (bounded
-    * cardinality ~ document length range); block sizes cap the pair
-    * blowup. For corpora with huge equal-length blocks, sub-block on a
-    * cheap content band (e.g. first-token hash).
+    * Scale shape (rebuilt round 13 after the sf3 sweep caught the old
+    * plan serializing): candidate pairs are formed IDS-ONLY from a
+    * (doc_id, block) frame, then scored at PAIR grain through two
+    * doc_id-keyed joins against the sorted md5-60 hash arrays
+    * ([[graft.functions.shingle_hashes]]) — so scoring parallelism
+    * follows the pair volume, never the block-size distribution, and
+    * the intersect runs on longs, not strings. The old shape (string
+    * shingle arrays attached BEFORE the block self-join) computed
+    * every intersect inside the block's own partition: one hot block
+    * = one task doing interpreted UTF8 set-intersects — measured 45+
+    * minutes single-threaded at sf3 (18.7M pairs, top block 1272
+    * docs) vs seconds spread. Same rows, same jaccard values (distinct
+    * hash sets have the same intersect/union sizes as the distinct
+    * string sets they fingerprint; both engines compute identical
+    * md5-60 values).
     */
   def ngramJaccardPairs(spark: SparkSession, sfDir: String,
       threshold: Double = 0.8): DataFrame = {
-    // Single-minhash blocking: two docs are candidates iff they share
-    // the same minimum shingle hash (h_0, the first MinHash function).
-    // P(same block) == Jaccard, so recall ~= threshold; blocks are
-    // near-uniform in size (a min-hash is ~a random shingle), keeping
-    // the pair blowup linear. Exact Jaccard scores the candidates.
-    val sh = Tables.withMinParallelism(Tables.documents(spark, sfDir),
+    // one fused scan computes block + hash set; the repartition is the
+    // usual generator barrier (signatures materialized once, exchange
+    // reused by both consumers below)
+    val base = Tables.withMinParallelism(Tables.documents(spark, sfDir),
         spark.sparkContext.defaultParallelism)
       .select(
         col("doc_id"),
         element_at(graft.functions.minhash_sig(col("text"), 1), 1).as("block"),
-        array_distinct(graft.functions.word_shingles(col("text"))).as("sh"))
-    sh.as("a").join(sh.as("b"),
+        graft.functions.shingle_hashes(col("text")).as("sh"))
+      .repartition(col("doc_id"))
+    val ids = base.select(col("doc_id"), col("block"))
+    val pairs = ids.as("a").join(ids.as("b"),
         col("a.block") === col("b.block") &&
           col("a.doc_id") < col("b.doc_id"))
-      .withColumn("jaccard",
-        size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
-          size(array_union(col("a.sh"), col("b.sh"))))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val sh = base.select(col("doc_id"), col("sh"))
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        Seq("doc_b"))
+      .withColumn("n_inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long")
+          - col("n_inter")))
       .filter(col("jaccard") >= threshold)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -956,15 +977,17 @@ object Dedup {
        |    list_min(list_transform(shl,
        |      s -> CAST(('0x' || substr(md5('0|' || s), 1, 15)) AS BIGINT)))
        |      AS block,
-       |    list_distinct(shl) AS sh
+       |    list_distinct(list_transform(shl,
+       |      s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS sh
        |  FROM base)
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       |    / len(list_distinct(a.sh || b.sh)) AS jaccard
-       |FROM sh a JOIN sh b
-       |  ON a.block = b.block AND a.doc_id < b.doc_id
-       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       |    / len(list_distinct(a.sh || b.sh)) >= $threshold
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+       |      AS jaccard
+       |  FROM sh a JOIN sh b
+       |    ON a.block = b.block AND a.doc_id < b.doc_id) t
+       |WHERE jaccard >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** 60-bit SimHash over whitespace tokens: per bit i, sum +-1 votes of
