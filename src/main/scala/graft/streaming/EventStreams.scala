@@ -531,18 +531,41 @@ object EventStreams {
     */
   def errorClickPairsAvailableNow(spark: SparkSession,
       sfDir: String): DataFrame = {
-    val name = "graft_stream_pairs_" + runCounter.incrementAndGet()
+    // durable parquet sink, not memory (round-13 sf3 finding: the
+    // match log scales with the stream — ~14M rows at 30× — and a
+    // memory sink serializes ALL of it to the driver, blowing
+    // spark.driver.maxResultSize; the parquet sink commits per batch
+    // on executors and the batch read back is spread, which is also
+    // the production topology)
+    val sinkDir = streamSinkDir(spark, sfDir, "pairs")
     withStatePartitions(spark, 8) {
       val ev = readEventStream(spark, sfDir, glob = Some("events.parquet"))
       val q = errorClickPairsStream(ev)
         .select(col("error_id"), col("click_id"))
-        .writeStream.format("memory").queryName(name)
+        .writeStream.format("parquet")
+        .option("path", new java.io.File(sinkDir, "out").getPath)
+        .option("checkpointLocation",
+          new java.io.File(sinkDir, "ckpt").getPath)
         .outputMode(OutputMode.Append)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
     }
-    spark.table(name).smallSorted("error_id", "click_id")
+    spark.read.parquet(new java.io.File(sinkDir, "out").getPath)
+      .smallSorted("error_id", "click_id")
+  }
+
+  /** Fresh per-invocation durable-sink base for a streaming query
+    * (sink + checkpoint live together; deleted up front so each call
+    * exercises the full cycle — the q143 discipline).
+    */
+  private def streamSinkDir(spark: SparkSession, sfDir: String,
+      tag: String): java.io.File = {
+    val base = new java.io.File("/tmp/graft_stream_sink",
+      tag + "_" + graft.sources.Tables.pathKey(sfDir))
+    org.apache.commons.io.FileUtils.deleteQuietly(base)
+    base.mkdirs()
+    base
   }
 
   /** Oracle for [[errorClickPairsAvailableNow]]: the plain batch
@@ -579,20 +602,28 @@ object EventStreams {
     */
   def errorClickLeftOuterAvailableNow(spark: SparkSession,
       sfDir: String, windowMinutes: Int = 5): DataFrame = {
-    val name = "graft_stream_louter_" + runCounter.incrementAndGet()
+    // durable parquet sink (the q133 round-13 note: the match log is
+    // stream-scaled; a memory sink driver-collects it)
+    val sinkDir = streamSinkDir(spark, sfDir, "louter")
     withStatePartitions(spark, 8) {
       val ev = readEventStream(spark, sfDir, glob = Some("events.parquet"))
       val q = errorClickPairsStream(ev, windowMinutes,
           joinType = "left_outer")
         .select(col("error_id"), col("click_id"))
-        .writeStream.format("memory").queryName(name)
+        .writeStream.format("parquet")
+        .option("path", new java.io.File(sinkDir, "out").getPath)
+        .option("checkpointLocation",
+          new java.io.File(sinkDir, "ckpt").getPath)
         .outputMode(OutputMode.Append)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
     }
-    // materialize the driver-local sink once (see the q170 note)
-    val sink = spark.table(name).localCheckpoint()
+    // executor-side read: both derivations below scan the committed
+    // files (no driver-local table re-shipped per action — the old
+    // localCheckpoint workaround is obsolete with a durable sink)
+    val sink = spark.read
+      .parquet(new java.io.File(sinkDir, "out").getPath)
     val matched = sink.filter(col("click_id").isNotNull)
       .select("error_id", "click_id")
     val unmatched = sink.groupBy("error_id")
@@ -658,23 +689,29 @@ object EventStreams {
     */
   def errorClickFullOuterAvailableNow(spark: SparkSession,
       sfDir: String, windowMinutes: Int = 5): DataFrame = {
-    val name = "graft_stream_fouter_" + runCounter.incrementAndGet()
+    // durable parquet sink (the q133 round-13 note: the match log is
+    // stream-scaled; a memory sink driver-collects it — at sf3 the old
+    // memory sink blew spark.driver.maxResultSize)
+    val sinkDir = streamSinkDir(spark, sfDir, "fouter")
     withStatePartitions(spark, 8) {
       val ev = readEventStream(spark, sfDir, glob = Some("events.parquet"))
       val q = errorClickPairsStream(ev, windowMinutes,
           joinType = "full_outer")
         .select(col("error_id"), col("click_id"))
-        .writeStream.format("memory").queryName(name)
+        .writeStream.format("parquet")
+        .option("path", new java.io.File(sinkDir, "out").getPath)
+        .option("checkpointLocation",
+          new java.io.File(sinkDir, "ckpt").getPath)
         .outputMode(OutputMode.Append)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
     }
-    // the memory sink is a driver-local table: materialize it ONCE on
-    // executors (eager localCheckpoint) or each of the three derivations
-    // below re-ships the full row set in its task closures (47 MB/task
-    // at sf1); the dead blocks are reclaimed by Tables.freeTransientBlocks
-    val sink = spark.table(name).localCheckpoint()
+    // executor-side read: the three derivations below scan the
+    // committed files (the round-9 localCheckpoint workaround for the
+    // driver-local memory table is obsolete with a durable sink)
+    val sink = spark.read
+      .parquet(new java.io.File(sinkDir, "out").getPath)
     val matched = sink
       .filter(col("error_id").isNotNull && col("click_id").isNotNull)
       .select("error_id", "click_id")
