@@ -931,10 +931,11 @@ object Dedup {
     * every intersect inside the block's own partition: one hot block
     * = one task doing interpreted UTF8 set-intersects — measured 45+
     * minutes single-threaded at sf3 (18.7M pairs, top block 1272
-    * docs) vs seconds spread. Same rows, same jaccard values (distinct
-    * hash sets have the same intersect/union sizes as the distinct
-    * string sets they fingerprint; both engines compute identical
-    * md5-60 values).
+    * docs) vs seconds spread. Same rows and jaccard values as the old
+    * string-set plan MODULO 60-bit fingerprint collisions between
+    * distinct shingles (odds ~pairs·2⁻⁶⁰ — negligible, not zero);
+    * cross-ENGINE equality is exact by construction, since Spark and
+    * DuckDB compute identical md5-60 values on both sides.
     */
   def ngramJaccardPairs(spark: SparkSession, sfDir: String,
       threshold: Double = 0.8): DataFrame = {

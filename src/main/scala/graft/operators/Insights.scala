@@ -457,8 +457,15 @@ object Insights {
           // sf0.001/sf0.01 with >=4x margin (accuracy 100
           // worst-observed 3.8%, 1000 0.27%, 10000 0.08%) PLUS the
           // one-value-step floor above
+          // dials are enumerated EXPLICITLY: a new dial must ship with
+          // its own measured ceiling, not silently inherit the
+          // tightest one (round-14 ADVICE — a coarser dial under the
+          // 10000-dial bound would spuriously fail ApproxSpec, or
+          // worse, pass too loosely)
           (lit(a match {
-            case 100 => 160000L; case 1000 => 11000L; case _ => 5000L
+            case 100 => 160000L; case 1000 => 11000L; case 10000 => 5000L
+            case d => sys.error(
+              s"unmeasured t-digest dial $d: add a measured bound_ppm")
           }) + coalesce(col("step"), lit(0L)).cast("long"))
             .as("bound_ppm"))
     }

@@ -428,7 +428,15 @@ object StatQa {
       .limit(topN)
     // bounded collect: ≤ topN rows, the certificate needs the Nth count
     val reported = mg.collect()
+    // Certify only when the candidate set filled all topN ranks (or
+    // decSum == 0, meaning no key was ever evicted so the candidate
+    // set is COMPLETE). With fewer than topN reported rows and at
+    // least one decrement round, a missed key (count ≤ Σd_p ≥ 1)
+    // could legitimately occupy one of the unfilled ranks in the
+    // exact top-N — e.g. capacity 2 over a×10,b×10,c: cands={a,b},
+    // Σd_p=1, min reported count 10 > 1, yet exact top-3 has 3 rows.
     val certified = reported.nonEmpty &&
+      (reported.length == topN || decSum == 0L) &&
       reported.map(_.getLong(1)).min > decSum
     if (certified)
       (spark.createDataFrame(

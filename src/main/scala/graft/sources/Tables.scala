@@ -625,13 +625,32 @@ object Tables {
     // ceiling for LocalRelations (memory-sink tables — the most common
     // caller) and LIMITed plans; only genuinely unbounded plans pay
     // the count job
-    val n = df.queryExecution.optimizedPlan.maxRows match {
-      case Some(m) => m
-      case None => df.count()
+    df.queryExecution.optimizedPlan.maxRows match {
+      case Some(m) if m <= PresentationSortMaxRows =>
+        df.coalesce(1).sortWithinPartitions(keys: _*)
+      case Some(_) => df.orderBy(keys: _*)
+      case None =>
+        // Unbounded plan: the cardinality probe is a full action, and
+        // a LAZY derived frame (join/aggregate DAG) would re-execute
+        // once for the count and again for the sort (round-14 ADVICE —
+        // errorClickLeftOuter's union-of-groupBy, interleavedSchedule's
+        // rank). Eagerly localCheckpoint first so both the count and
+        // the sort read materialized blocks. Cheap-to-recompute plans
+        // (bare scans / read-backs / already-checkpointed RDDs — no
+        // join, aggregate, window, or generator) skip the copy: their
+        // count is column-pruned and near-free, and materializing a
+        // stream-grain parquet read-back would cost more than the
+        // probe saves. Blocks are reclaimed by freeTransientBlocks.
+        import org.apache.spark.sql.catalyst.plans.logical._
+        val expensive = df.queryExecution.optimizedPlan.collectFirst {
+          case p @ (_: Join | _: Aggregate | _: Window | _: Generate) => p
+        }.isDefined
+        val materialized =
+          if (expensive) df.localCheckpoint(true) else df
+        if (materialized.count() <= PresentationSortMaxRows)
+          materialized.coalesce(1).sortWithinPartitions(keys: _*)
+        else materialized.orderBy(keys: _*)
     }
-    if (n <= PresentationSortMaxRows)
-      df.coalesce(1).sortWithinPartitions(keys: _*)
-    else df.orderBy(keys: _*)
   }
 
   /** Collision-free /tmp directory key for a source path: md5 of the

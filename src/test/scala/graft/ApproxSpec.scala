@@ -59,6 +59,22 @@ class ApproxSpec extends SparkSpec {
       === Seq((1L, 5L), (2L, 5L), (3L, 5L)))
   }
 
+  test("q120 under-filled candidate set must NOT certify (round-14)") {
+    // The exact ADVICE counterexample: capacity 2 over a×10,b×10,c in
+    // ONE partition -> candidates {a,b}, Σd_p = 1. The old certificate
+    // (min reported count 10 > 1) would pass while omitting c, which
+    // the exact top-3 includes. With the length==topN guard the
+    // certificate fails and the exact fallback returns all 3 rows.
+    val rows = Seq.fill(10)(1L) ++ Seq.fill(10)(2L) ++ Seq(3L)
+    val df = rows.toDF("user_id").coalesce(1)
+    val (got, certified) = StatQa.approxHeavyHittersCertified(
+      df, "user_id", topN = 3, capacity = 2)
+    assert(!certified,
+      "under-filled candidate set with Σd_p ≥ 1 must not certify")
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((1L, 10L), (2L, 10L), (3L, 1L)))
+  }
+
   test("q136 sketch sweep: shipped defaults sit on the knee of the curve") {
     // measured at sf0.001 AND sf0.01 when this was written: hll err
     // ~{rsd .05: 6.4%, .02: 0.4%, .01: 0.5-0.7%}, t-digest err
