@@ -574,6 +574,15 @@ object SparkEntry {
     // copy), the SAME batch probed against union vs compacted —
     // admissions identical, equality EXECUTED (probes_equal column)
     "q208_band_index_compact" -> ((s, d) => Dedup.bandIndexCompact(s, d)),
+    // q205 with the PRODUCTION amortization dial exercised on the
+    // driver-checked path (round-13 verdict ask #6): 4 batches,
+    // maxLiveSegments = 2 — batch 2 probes TWO live segments, batch 3
+    // probes the folded generation, and the replay ENDS with live =
+    // {generation, b3} (amortized, not folded every batch). Same
+    // oracle family, nBatches = 4.
+    "q209_streaming_neardup_amortized" -> ((s, d) =>
+      graft.streaming.EventStreams.streamingNeardupAdmission(s, d,
+        nFiles = 4, maxLiveSegments = 2)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -676,6 +685,8 @@ object SparkEntry {
     "q206_triplet_mining" -> Similarity.tripletMiningSql(),
     "q207_interleaved_schedule" -> Sampling.interleavedScheduleSql(),
     "q208_band_index_compact" -> Dedup.bandIndexCompactSql(),
+    "q209_streaming_neardup_amortized" ->
+      Corpus.streamingNeardupAdmissionSql(nBatches = 4),
     // round 12: KMV cells are engine-portable (md5-60 bottom-k), so
     // BOTH streaming distinct queries carry the one full oracle — the
     // q157 fold reconstructs the q141 per-window finals by design

@@ -1576,10 +1576,15 @@ object EventStreams {
       .sortBy(_.getName).toSeq
 
   def streamingNeardupAdmission(spark: SparkSession, sfDir: String,
-      nFiles: Int = 3, maxLiveSegments: Int = 1): DataFrame = {
+      nFiles: Int = 3, maxLiveSegments: Int = 1,
+      foldTargetBytes: Long = 64L << 20): DataFrame = {
     val staging = stageDocumentBatches(spark, sfDir, nFiles)
+    // dir keyed by the dials too: the registered q205 (fold every
+    // batch) and q209 (amortized, maxLive=2) variants must not share
+    // scratch — a later run deletes the base dir at start
     val base = new java.io.File("/tmp/graft_stream_sink",
-      "neardup_" + graft.sources.Tables.pathKey(sfDir))
+      "neardup_" + graft.sources.Tables.pathKey(sfDir) +
+        s"_n${nFiles}m$maxLiveSegments")
     org.apache.commons.io.FileUtils.deleteQuietly(base)
     val outBase = new java.io.File(base, "out")
     val segBase = new java.io.File(base, "seg")
@@ -1656,11 +1661,27 @@ object EventStreams {
           val live = liveSegments(segBase)
           if (live.length > maxLiveSegments) {
             val gen = new java.io.File(segBase, s"gen$batchId")
-            live.map(d => spark.read.parquet(d.getPath))
+            // output file count DERIVED from the input bytes (round-13
+            // verdict: an unconditional coalesce(1) is the q33
+            // single-task shape inside the maintenance job that must
+            // run forever — at 100 TB a generation holds the full
+            // corpus band index and one task rewriting it is the
+            // bottleneck). ceil(bytes/target) files: one file at
+            // harness scale (listing + next read stay cheap), and the
+            // rewrite parallelism grows with the index, never the
+            // batch count. repartition (not coalesce) above one file
+            // so the SCAN side keeps its own parallelism too.
+            val liveBytes = live.map { d =>
+              Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+                .filter(_.getName.endsWith(".parquet"))
+                .map(_.length()).sum
+            }.sum
+            val nOut = math.max(1L,
+              (liveBytes + foldTargetBytes - 1) / foldTargetBytes).toInt
+            val folded = live.map(d => spark.read.parquet(d.getPath))
               .reduce(_ unionByName _) // pure band-row copy
-              // one file: band rows are ~25 bytes each, and a single
-              // part keeps the next batch's listing + read cheap
-              .coalesce(1)
+            (if (nOut > 1) folded.repartition(nOut)
+             else folded.coalesce(1))
               .write.mode("overwrite").parquet(gen.getPath)
             live.foreach(org.apache.commons.io.FileUtils.deleteQuietly)
           }

