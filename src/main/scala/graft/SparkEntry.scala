@@ -254,10 +254,13 @@ object SparkEntry {
     // cell-exact against the original table (A2/A3/A4 driver-visible)
     "q118_sink_roundtrip" -> ((s, d) =>
       graft.sources.Tables.ordersSinkRoundtrip(s, d)),
-    // t-digest approx percentiles beside exact q49 (rows-only; ApproxSpec
-    // asserts tolerance against the exact values)
+    // t-digest approx percentiles beside exact q49 — CHECKED shape
+    // since round 14: exact values hash-oracled, the live estimates
+    // audited by an EXECUTED in-row bound bit the oracle pins to 1
+    // (raw estimates stay available via approxPercentileSummary,
+    // tolerance-asserted in ApproxSpec)
     "q119_approx_percentiles" -> ((s, d) =>
-      Insights.approxPercentileSummary(s, d)),
+      Insights.approxPercentileChecked(s, d)),
     // Misra-Gries candidate + exact-verify heavy hitters beside exact
     // q110 — SELF-CERTIFYING since round 13: the Σ-decrement-rounds
     // certificate proves the candidate path exact (else exact
@@ -323,9 +326,12 @@ object SparkEntry {
     // key) with genuine dangling nodes; per-iteration mass redistribution
     "q135_directed_rank" -> ((s, d) => Graph.directedRank(s, d)),
     // sketch-accuracy sweep: error-vs-state for q45's HLL rsd and q119's
-    // t-digest accuracy dials; rows-only (sketch estimates are
-    // implementation-specific), tolerances asserted in ApproxSpec
-    "q136_sketch_sweep" -> ((s, d) => Insights.sketchAccuracySweep(s, d)),
+    // t-digest accuracy dials — CHECKED shape since round 14: portable
+    // columns (dials, bounds, exact companions, executed within_bound)
+    // under a full oracle; only the engine-specific max_err_ppm stays
+    // spec-only (ApproxSpec asserts it per dial on the full frame)
+    "q136_sketch_sweep" -> ((s, d) =>
+      Insights.sketchAccuracySweepChecked(s, d)),
     // pre-aggregated HLL shard cells merged on read (the 100 TB KPI
     // pattern: sketch once, roll up forever); rows-only, with an
     // in-row self-oracle (merge_is_lossless) pinned by HllSpec
@@ -800,8 +806,9 @@ object SparkEntry {
     // q118: oracle reads the ORIGINAL table — equality proves the
     // staged replace/append/CSV hops preserved every cell
     "q118_sink_roundtrip" -> graft.sources.Tables.ordersSinkRoundtripSql,
-    // q119 is rows-only by design (t-digest output is
-    // implementation-defined; tolerance asserted in ApproxSpec)
+    // q119: exact percentiles hash-oracled; the t-digest estimates
+    // feed the EXECUTED est_within_bound bit the oracle pins to 1
+    "q119_approx_percentiles" -> Insights.approxPercentileCheckedSql,
     // q120: the Misra-Gries certificate (reported Nth count > Σ
     // decrement rounds, ApproxSpec-pinned) proves the output equals
     // the exact top-N, with an exact fallback when it fails — either
@@ -831,6 +838,10 @@ object SparkEntry {
     "q134_streaming_batched" ->
       graft.streaming.EventStreams.sessionWindowsAvailableNowSql,
     "q135_directed_rank" -> Graph.directedRankSql(),
+    // q136: portable sweep columns (dials/state/bounds/exact
+    // companions) hash-oracled; within_bound EXECUTED from the live
+    // estimates, pinned to 1 — only max_err_ppm stays spec-only
+    "q136_sketch_sweep" -> Insights.sketchAccuracySweepCheckedSql,
     // kill/restart through a durable parquet sink: exactly-once means
     // the recovered sink equals the same final-watermark cutoff
     "q143_streaming_restart" ->

@@ -336,6 +336,66 @@ object Insights {
           .cast("double").as("median_price"))
       .orderBy("l_returnflag")
 
+  /** q119's REGISTERED shape (round-14, whitelist 4 → 2): the exact
+    * percentile KPIs — bit-identical to q49's engine-portable R-7
+    * values — PLUS an EXECUTED per-flag audit of the live t-digest
+    * estimates, the q208 `probes_equal` discipline. `bound_ppm` is the
+    * documented dial ceiling plus the one-value-step floor, both
+    * derived from the EXACT values only, so the DuckDB oracle restates
+    * them cell-exactly; `est_within_bound` compares the live
+    * `approx_percentile` estimates against the exact values in-row
+    * (never assumed) and the oracle pins the expected 1 — an estimate
+    * drifting out of its documented tolerance hash-mismatches in
+    * CORRECTNESS instead of hiding behind a rows-only row. The raw
+    * estimates stay available via [[approxPercentileSummary]]
+    * (tolerance-asserted in ApproxSpec).
+    */
+  def approxPercentileChecked(spark: SparkSession, sfDir: String,
+      accuracy: Int = 10000): DataFrame = {
+    require(accuracy == 10000,
+      s"unmeasured t-digest dial $accuracy: q136's enumerated bounds " +
+        "cover 100/1000/10000; the checked shape ships the default")
+    val est = approxPercentileSummary(spark, sfDir, accuracy)
+      .select(col("l_returnflag"), col("median_qty").as("e_mq"),
+        col("p90_qty").as("e_pq"), col("median_price").as("e_mp"))
+    percentileSummary(spark, sfDir).join(est, "l_returnflag")
+      // dial-10000 documented ceiling (5000 ppm, q136's enumerated
+      // bound) + the per-flag one-value-step floor; floor() explicit
+      // so the BIGINT conversion truncates identically in both engines
+      .withColumn("bound_ppm", expr(
+        """5000 + CAST(floor(greatest(1e6 / median_qty,
+          |  1e6 / p90_qty, 1e4 / median_price)) AS BIGINT)"""
+          .stripMargin))
+      .withColumn("est_within_bound", expr(
+        """CAST(greatest(
+          |  CAST(abs(e_mq - median_qty) * 1e6 / median_qty AS BIGINT),
+          |  CAST(abs(e_pq - p90_qty) * 1e6 / p90_qty AS BIGINT),
+          |  CAST(abs(e_mp - median_price) * 1e6 / median_price AS BIGINT)
+          |) <= bound_ppm AS BIGINT)""".stripMargin))
+      .select("l_returnflag", "median_qty", "p90_qty", "median_price",
+        "bound_ppm", "est_within_bound")
+      .orderBy("l_returnflag")
+  }
+
+  val approxPercentileCheckedSql: String = {
+    val qtySql = Features.groupPercentilesSql("lineitem",
+      Seq("l_returnflag"), "l_quantity",
+      Seq("median_qty" -> 0.5, "p90_qty" -> 0.9))
+    val priceSql = Features.groupPercentilesSql("lineitem",
+      Seq("l_returnflag"), "l_extendedprice",
+      Seq("median_price" -> 0.5))
+    s"""WITH qy AS (
+       |  $qtySql),
+       |pr AS (
+       |  $priceSql)
+       |SELECT qy.l_returnflag, median_qty, p90_qty, median_price,
+       |  5000 + CAST(floor(greatest(1e6 / median_qty,
+       |    1e6 / p90_qty, 1e4 / median_price)) AS BIGINT) AS bound_ppm,
+       |  CAST(1 AS BIGINT) AS est_within_bound
+       |FROM qy JOIN pr ON qy.l_returnflag = pr.l_returnflag
+       |ORDER BY qy.l_returnflag""".stripMargin
+  }
+
   /** q136 — sketch-accuracy sweep: the measurement query for the approx
     * twins' accuracy dials (the q121 pattern applied to q45's HLL rsd
     * and q119's t-digest accuracy). One row per (sketch, dial):
@@ -401,7 +461,13 @@ object Insights {
         // documented per-dial ceiling: 3·rsd (the 3-sigma band of the
         // HLL++ estimator) in ppm — the in-row bound the q137
         // self-oracle discipline asks each dial row to carry
-        lit(math.round(3 * r * 1000000)).as("bound_ppm"))
+        lit(math.round(3 * r * 1000000)).as("bound_ppm"),
+        // engine-portable exact companions (round-14 partial oracle):
+        // the true distinct counts the dials estimate, hash-checked by
+        // DuckDB; step_ppm is a t-digest-family concept, 0 here
+        col("xo").cast("long").as("exact_orders"),
+        col("xc").cast("long").as("exact_customers"),
+        lit(0L).as("step_ppm"))
     }
     // ---- t-digest family: q119's 3 percentile KPIs per return flag,
     // one aggregate PER DIAL, joined to the exact q49 values. Not one
@@ -444,9 +510,13 @@ object Insights {
         // off (40000 ppm = 1/25) while dial 10000 nailed the cell —
         // the step floor is distribution-determined, not dial-buyable,
         // so the documented bound carries it explicitly.
+        // floor() explicit so the BIGINT conversion truncates
+        // identically in both engines (Spark CAST truncates, DuckDB
+        // rounds); e-notation keeps the literals double-typed in the
+        // oracle restatement
         max(expr(
-          """CAST(greatest(1000000.0 / x_mq, 1000000.0 / x_pq,
-            |               10000.0 / x_mp) AS BIGINT)""".stripMargin))
+          """CAST(floor(greatest(1e6 / x_mq, 1e6 / x_pq,
+            |                    1e4 / x_mp)) AS BIGINT)""".stripMargin))
           .as("step"))
         .select(
           lit("tdigest_percentile").as("sketch"),
@@ -467,7 +537,13 @@ object Insights {
             case d => sys.error(
               s"unmeasured t-digest dial $d: add a measured bound_ppm")
           }) + coalesce(col("step"), lit(0L)).cast("long"))
-            .as("bound_ppm"))
+            .as("bound_ppm"),
+          // engine-portable companions: the step floor derives from
+          // EXACT values only, so DuckDB restates it; distinct counts
+          // are an HLL-family concept, 0 here
+          lit(0L).as("exact_orders"),
+          lit(0L).as("exact_customers"),
+          coalesce(col("step"), lit(0L)).cast("long").as("step_ppm"))
     }
     (hllRows ++ tdRows).reduce(_.unionByName(_))
       // the q137 in-row self-oracle: every dial row STATES its bound
@@ -476,6 +552,72 @@ object Insights {
       .withColumn("within_bound",
         (col("max_err_ppm") <= col("bound_ppm")).cast("long"))
       .orderBy("sketch", "dial")
+  }
+
+  /** q136's REGISTERED shape (round-14, whitelist 4 → 2): the sweep's
+    * engine-portable columns under a full DuckDB oracle — dials,
+    * state units, the documented bounds (literal + exact-value step
+    * floor, both restatable by DuckDB), the EXACT companions each
+    * sketch family estimates (true distinct counts / the step floor),
+    * and the EXECUTED `within_bound` bit the oracle pins to 1 (the
+    * q208 `probes_equal` discipline: a dial drifting out of its
+    * documented ceiling hash-mismatches in CORRECTNESS). Only the raw
+    * `max_err_ppm` (a function of the engine-specific estimates) stays
+    * out of the hashed surface; ApproxSpec asserts it per dial on the
+    * full [[sketchAccuracySweep]] frame.
+    */
+  def sketchAccuracySweepChecked(spark: SparkSession,
+      sfDir: String): DataFrame =
+    sketchAccuracySweep(spark, sfDir)
+      .select("sketch", "dial", "state_units", "bound_ppm",
+        "within_bound", "exact_orders", "exact_customers", "step_ppm")
+
+  val sketchAccuracySweepCheckedSql: String = {
+    val qtySql = Features.groupPercentilesSql("lineitem",
+      Seq("l_returnflag"), "l_quantity",
+      Seq("x_mq" -> 0.5, "x_pq" -> 0.9))
+    val priceSql = Features.groupPercentilesSql("lineitem",
+      Seq("l_returnflag"), "l_extendedprice", Seq("x_mp" -> 0.5))
+    val hllRows = Seq(0.05, 0.02, 0.01).map { r =>
+      s"""  SELECT 'hll_count_distinct' AS sketch,
+         |    CAST(${math.round(r * 1000000)} AS BIGINT) AS dial,
+         |    CAST(${HllAgg.registersForRsd(r)} AS BIGINT) AS state_units,
+         |    CAST(${math.round(3 * r * 1000000)} AS BIGINT) AS bound_ppm,
+         |    CAST(1 AS BIGINT) AS within_bound,
+         |    CAST(xo.o AS BIGINT) AS exact_orders,
+         |    CAST(xc.c AS BIGINT) AS exact_customers,
+         |    CAST(0 AS BIGINT) AS step_ppm
+         |  FROM xo, xc""".stripMargin
+    }
+    val tdRows = Seq(100 -> 160000L, 1000 -> 11000L, 10000 -> 5000L)
+      .map { case (a, b) =>
+        s"""  SELECT 'tdigest_percentile' AS sketch,
+           |    CAST($a AS BIGINT) AS dial,
+           |    CAST($a AS BIGINT) AS state_units,
+           |    CAST($b + st.s AS BIGINT) AS bound_ppm,
+           |    CAST(1 AS BIGINT) AS within_bound,
+           |    CAST(0 AS BIGINT) AS exact_orders,
+           |    CAST(0 AS BIGINT) AS exact_customers,
+           |    CAST(st.s AS BIGINT) AS step_ppm
+           |  FROM st""".stripMargin
+      }
+    s"""WITH qy AS (
+       |  $qtySql),
+       |pr AS (
+       |  $priceSql),
+       |ex AS (
+       |  SELECT qy.l_returnflag, x_mq, x_pq, x_mp
+       |  FROM qy JOIN pr ON qy.l_returnflag = pr.l_returnflag),
+       |st AS (
+       |  SELECT MAX(CAST(floor(greatest(1e6 / x_mq, 1e6 / x_pq,
+       |    1e4 / x_mp)) AS BIGINT)) AS s FROM ex),
+       |xo AS (SELECT COUNT(DISTINCT l_orderkey) AS o FROM lineitem),
+       |xc AS (
+       |  SELECT COUNT(DISTINCT o.o_custkey) AS c
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+       |SELECT * FROM (
+       |${(hllRows ++ tdRows).mkString("\n  UNION ALL\n")}
+       |) ORDER BY sketch, dial""".stripMargin
   }
 
   /** q137 — PRE-AGGREGATED sketch shards, the pattern that actually

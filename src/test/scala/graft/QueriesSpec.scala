@@ -24,16 +24,15 @@ class QueriesSpec extends SparkSpec {
     // sweep over q45/q119's dials) are sketch-based: estimates are
     // engine-specific by design, the driver records the weaker
     // rows-only check and the specs named per entry below hold the
-    // tolerance/equality contracts. q136 additionally carries the
-    // q137-style in-row self-oracle since round 13: every dial row
-    // states its documented bound_ppm and the computed within_bound
-    // bit (ApproxSpec asserts 1 for every row). Anything else missing an oracle is
+    // tolerance/equality contracts. Anything else missing an oracle is
     // a registration mistake, not a design choice. (q141/q157 left
     // this set in round 12 — engine-portable KMV cells; q120 left in
     // round 13 — the Σ-decrement certificate + exact fallback make the
-    // plain exact top-N SQL a valid unconditional oracle.)
-    val approxOnly = Set("q45_kpi_approx", "q119_approx_percentiles",
-      "q136_sketch_sweep",
+    // plain exact top-N SQL a valid unconditional oracle; q119/q136
+    // left in round 14 — checked shapes whose portable columns carry
+    // full oracles with the estimate audit as an EXECUTED bit the
+    // oracle pins to 1.)
+    val approxOnly = Set("q45_kpi_approx",
       "q137_hll_shards") // in-row self-oracle + HllSpec equality
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing == approxOnly,
