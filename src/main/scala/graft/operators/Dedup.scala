@@ -938,28 +938,52 @@ object Dedup {
     * DuckDB compute identical md5-60 values on both sides.
     */
   def ngramJaccardPairs(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.8): DataFrame = {
-    // one fused scan computes block + hash set; the repartition is the
-    // usual generator barrier (signatures materialized once, exchange
-    // reused by both consumers below)
+      threshold: Double = 0.8, blockLocalCeiling: Long = 512L): DataFrame = {
+    // one fused scan computes block + hash set, materialized ONCE
+    // (eager checkpoint = the generator barrier AND the reuse point
+    // for the cardinality probe + both scoring plans)
     val base = Tables.withMinParallelism(Tables.documents(spark, sfDir),
         spark.sparkContext.defaultParallelism)
       .select(
         col("doc_id"),
         element_at(graft.functions.minhash_sig(col("text"), 1), 1).as("block"),
         graft.functions.shingle_hashes(col("text")).as("sh"))
-      .repartition(col("doc_id"))
-    val ids = base.select(col("doc_id"), col("block"))
-    val pairs = ids.as("a").join(ids.as("b"),
-        col("a.block") === col("b.block") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    val sh = base.select(col("doc_id"), col("sh"))
-    pairs
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
-        Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
-        Seq("doc_b"))
+      .localCheckpoint(true)
+    // CARDINALITY-ADAPTIVE scoring (round-14, the presentationSorted
+    // discipline on a join plan): the round-13 doc-grain rework fixed
+    // the one-hot-block single task at sf3 but costs two extra
+    // doc_id-keyed joins every run (+0.68 s at sf0.1, where the max
+    // block is tiny). The probe below MEASURES the max block size over
+    // the checkpointed blocks (metadata-cheap — no text work re-runs);
+    // when it is provably small, per-block work is bounded by
+    // ceiling²/2 long-array intersects and the block-local plan cannot
+    // serialize, so the two joins are pure waste. Above the ceiling
+    // (the sf3 near-dup-dense regime: top block 1272 docs) the
+    // doc-grain plan spreads scoring with pair volume. Same rows and
+    // values either way (PlanSpec pins the flip + equality).
+    val maxBlock = base.groupBy("block").agg(count(lit(1)).as("n"))
+      .agg(coalesce(max("n"), lit(0L))).head().getLong(0)
+    val scored =
+      if (maxBlock <= blockLocalCeiling) {
+        base.as("a").join(base.as("b"),
+            col("a.block") === col("b.block") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      } else {
+        val ids = base.select(col("doc_id"), col("block"))
+        val pairs = ids.as("a").join(ids.as("b"),
+            col("a.block") === col("b.block") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        val sh = base.select(col("doc_id"), col("sh"))
+        pairs
+          .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+            Seq("doc_a"))
+          .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+            Seq("doc_b"))
+      }
+    scored
       .withColumn("n_inter",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("jaccard", col("n_inter").cast("double") /

@@ -431,6 +431,17 @@ class ExtensionsSpec extends SparkSpec {
     assert(pairs.filter($"jaccard" < 0.8 || $"jaccard" > 1.0).count() === 0)
   }
 
+  test("q33 adaptive plan flip: block-local and doc-grain scoring identical (round-14)") {
+    // ceiling 0 forces the doc-grain plan (every block 'too big');
+    // the default ceiling takes the block-local plan at sf0.001 —
+    // both must produce identical (doc_a, doc_b, jaccard) rows
+    val local = Dedup.ngramJaccardPairs(spark, sf0001).collect()
+    val docGrain = Dedup.ngramJaccardPairs(spark, sf0001,
+      blockLocalCeiling = 0L).collect()
+    assert(local.map(_.toSeq).toSeq === docGrain.map(_.toSeq).toSeq)
+    assert(local.nonEmpty)
+  }
+
   test("knn ranks are 1..k per query with non-increasing cosine") {
     val r = Similarity.knnBruteForce(spark, sf0001, nQueries = 3, k = 4)
       .select("query_id", "rank", "cosine")
