@@ -380,9 +380,14 @@ object Graph {
   def copurchaseRankSql(minPairs: Int = 2, iters: Int = 3,
       dampPpm: Long = 850000L): String = {
     val keep = 1000000L - dampPpm
+    // every CTE MATERIALIZED (round-14): DuckDB inlines multi-referenced
+    // CTEs here, re-expanding the ROW_NUMBER window + basket self-join
+    // once per reference — at sf3 (30×) the inlined tree spilled past
+    // 76 GB of duckdb_temp; materialized, the same query runs in ~14 s
+    // with zero spill. Semantics identical.
     val its = (1 to iters).map { i =>
       val prev = if (i == 1) "r0" else s"it${i - 1}"
-      s"""it$i AS (
+      s"""it$i AS MATERIALIZED (
          |  SELECT e.dst AS node,
          |    ((${Scale} // nn.n) * $keep
          |      + SUM($prev.r // d.deg) * $dampPpm) // 1000000 AS r
@@ -392,27 +397,28 @@ object Graph {
          |  CROSS JOIN nn
          |  GROUP BY e.dst, nn.n)""".stripMargin
     }.mkString(",\n")
-    s"""WITH di AS (
+    s"""WITH di AS MATERIALIZED (
        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-       |items AS (
+       |items AS MATERIALIZED (
        |  SELECT o, p FROM (
        |    SELECT o, p,
        |      ROW_NUMBER() OVER (PARTITION BY o ORDER BY p) AS rn
        |    FROM di)
        |  WHERE rn <= 64),
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  SELECT a.p AS pa, b.p AS pb
        |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
        |  GROUP BY a.p, b.p
        |  HAVING COUNT(*) >= $minPairs),
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT pa AS src, pb AS dst FROM pairs
        |  UNION ALL
        |  SELECT pb AS src, pa AS dst FROM pairs),
-       |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
-       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
        |nn AS (SELECT COUNT(*) AS n FROM nodes),
-       |r0 AS (SELECT node, ${Scale} // n AS r FROM nodes CROSS JOIN nn),
+       |r0 AS MATERIALIZED (
+       |  SELECT node, ${Scale} // n AS r FROM nodes CROSS JOIN nn),
        |$its
        |SELECT node AS part, CAST(r AS BIGINT) AS rank_e12 FROM it$iters
        |ORDER BY rank_e12 DESC, part""".stripMargin

@@ -215,9 +215,16 @@ object RetailBi {
     * current data (max basket ~7), exact at any data.
     */
   def basketPairsSql(minPairs: Int = 2): String =
-    s"""WITH items AS (
+    // items/capped MATERIALIZED (round-14): multi-referenced CTEs that
+    // DuckDB would otherwise inline per reference, re-running the
+    // distinct + ROW_NUMBER window (measured fine at sf3 — 4.8 s —
+    // but the q129 twin of this tree spilled 76 GB when inlined into
+    // its PageRank iterations; pinning the hint here keeps the whole
+    // pair family one-shot regardless of how many consumers reference
+    // the CTEs)
+    s"""WITH items AS MATERIALIZED (
        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-       |capped AS (
+       |capped AS MATERIALIZED (
        |  SELECT o, p FROM (
        |    SELECT o, p,
        |      ROW_NUMBER() OVER (PARTITION BY o ORDER BY p) AS rn

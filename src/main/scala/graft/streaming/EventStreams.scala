@@ -1598,23 +1598,26 @@ object EventStreams {
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           import spark.implicits._
-          val train = batch.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+          // ONE checkpoint + ONE stats action per batch front half
+          // (round-14 action fusion: each action at micro-batch grain
+          // pays fixed scheduling cost, and the old shape spent four —
+          // train checkpoint, train stats, gate checkpoint, gate
+          // count — where the gate score can ride the same
+          // materialization and ALL three ledger stats one agg)
+          val scored = graft.operators.Corpus.withGateScore(
+              batch.filter(pmod(col("doc_id"), lit(5)) =!= 0))
             .localCheckpoint(true)
-          // one head per frame: count+min fused (each .head()/.count()
-          // is a full action whose scheduling overhead dominates at
-          // micro-batch grain)
-          val trainStats = train
-            .agg(count(lit(1)), coalesce(min("doc_id"), lit(Long.MaxValue)))
+          val trainStats = scored
+            .agg(count(lit(1)), coalesce(min("doc_id"), lit(Long.MaxValue)),
+              sum((col("score") === 4).cast("long")))
             .head()
           val nDocs = trainStats.getLong(0)
           val batchLo = trainStats.getLong(1)
-          val gateAdm = graft.operators.Corpus.withGateScore(train)
-            .filter(col("score") === 4)
+          val nGate = if (trainStats.isNullAt(2)) 0L else trainStats.getLong(2)
+          val gateAdm = scored.filter(col("score") === 4)
             .select("doc_id", "text")
-            .localCheckpoint(true)
           val batchBands = graft.operators.Corpus.bandsOf(gateAdm)
             .localCheckpoint(true)
-          val nGate = gateAdm.count()
           // history = whatever segments are LIVE (committed, not yet
           // folded into a generation) — a directory listing, not a
           // batch-id range, so compaction is transparent to the probe
