@@ -60,13 +60,33 @@ object Prof {
         }
       })
 
+    // per-micro-batch phase breakdown for streaming queries: collects
+    // every progress event's durationMs map (queryPlanning, addBatch,
+    // walCommit, ...) so family-wide planning overhead is measurable
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          val p = e.progress
+          import scala.jdk.CollectionConverters._
+          val dm = p.durationMs.asScala.toSeq.sortBy(-_._2)
+            .map { case (k, v) => s"$k=$v" }.mkString(" ")
+          batches.add(s"batch ${p.batchId} rows=${p.numInputRows} $dm")
+        }
+      })
+
     def time(name: String)(df: => DataFrame): Unit = {
       stages.clear()
+      batches.clear()
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       println(f"PROF $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
       Thread.sleep(200)
       import scala.jdk.CollectionConverters._
+      batches.asScala.foreach(b => println(s"PROF   $b"))
       stages.asScala.toSeq.sortBy(_._1).foreach {
         case (id, n, ms, run, deser, gc) =>
           println(s"PROF   stage $id: $n tasks, wall $ms ms, " +

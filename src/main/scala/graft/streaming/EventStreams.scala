@@ -454,7 +454,9 @@ object EventStreams {
     */
   def dedupStreamAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
     val name = "graft_stream_dedup_" + runCounter.incrementAndGet()
-    withStatePartitions(spark, 8) {
+    // first-sight emission: the finalization batch would only evict
+    // state, never emit ([[withoutNoDataBatch]])
+    withoutNoDataBatch(spark) { withStatePartitions(spark, 8) {
       val ev = readEventStream(spark, sfDir, glob = Some("events.parquet"))
       val q = dedupStream(ev.unionByName(ev))
         .writeStream.format("memory").queryName(name)
@@ -462,7 +464,7 @@ object EventStreams {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    }
+    } }
     spark.table(name)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -538,7 +540,9 @@ object EventStreams {
     // on executors and the batch read back is spread, which is also
     // the production topology)
     val sinkDir = streamSinkDir(spark, sfDir, "pairs")
-    withStatePartitions(spark, 8) {
+    // INNER join: pairs emit when both rows are present; the
+    // finalization batch would only evict join state, never emit
+    withoutNoDataBatch(spark) { withStatePartitions(spark, 8) {
       val ev = readEventStream(spark, sfDir, glob = Some("events.parquet"))
       val q = errorClickPairsStream(ev)
         .select(col("error_id"), col("click_id"))
@@ -550,7 +554,7 @@ object EventStreams {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    }
+    } }
     spark.read.parquet(new java.io.File(sinkDir, "out").getPath)
       .smallSorted("error_id", "click_id")
   }
@@ -1174,6 +1178,36 @@ object EventStreams {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** Run `body` with the no-data FINALIZATION micro-batch disabled
+    * (`spark.sql.streaming.noDataMicroBatches.enabled=false`, restored
+    * after). A bounded AvailableNow replay with a watermark runs one
+    * extra batch after the last file solely to advance the watermark —
+    * needed ONLY where that advance EMITS (append-mode windowed aggs:
+    * the final windows; outer/semi/anti joins: the unmatched rows).
+    * Where the finalization provably emits nothing it is pure per-batch
+    * machinery (~0.3-0.7 s at the harness scale, measured via Prof's
+    * per-batch durationMs): Complete mode re-emits an identical table,
+    * Update mode emits only on data, inner joins emit only on matches,
+    * and dropDuplicates emits each key on FIRST sight — for those the
+    * watermark's one job, state EVICTION, already ran on the later data
+    * batches (each batch evicts with the watermark computed from the
+    * previous batch's max event time). Callers that assert eviction
+    * (q157's numRowsRemoved) still observe it on the data batches.
+    * NEVER wrap an append-mode windowed agg or an outer-ish join — rows
+    * would be withheld (q125/q134/q143/q146/q163/q170/q177/q180 keep
+    * the finalization batch).
+    */
+  private def withoutNoDataBatch[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** q124 — the streaming engine made driver-visible: runs
     * [[hourlyByType]] as a REAL Structured Streaming job (file source
     * → watermark → stateful windowed aggregation → memory sink) under
@@ -1281,7 +1315,7 @@ object EventStreams {
     * constant, not data-scaled).
     */
   def sessionWindowsBatchedReplay(spark: SparkSession, sfDir: String,
-      nFiles: Int = 3): DataFrame = {
+      nFiles: Int = 2): DataFrame = {
     val staging = stageChronologicalEvents(spark, sfDir, nFiles)
     // ---- replay: one file per trigger, real watermark advancement ----
     val name = "graft_stream_batched_" + runCounter.incrementAndGet()
@@ -1444,7 +1478,7 @@ object EventStreams {
     * "curation keeps up with ingest" path — cost strictly ∝ new bytes.
     */
   def corpusGateStreamAvailableNow(spark: SparkSession, sfDir: String,
-      nFiles: Int = 3): DataFrame = {
+      nFiles: Int = 2): DataFrame = {
     val staging = stageDocumentBatches(spark, sfDir, nFiles)
     val base = new java.io.File("/tmp/graft_stream_sink",
       "corpgate_" + graft.sources.Tables.pathKey(sfDir))
@@ -1747,7 +1781,7 @@ object EventStreams {
     * batches (`spark.sql.streaming.fileSink.log.compactInterval`).
     */
   def sessionWindowsDurableRestart(spark: SparkSession, sfDir: String,
-      nFiles: Int = 3, maxAttempts: Int = 3): DataFrame = {
+      nFiles: Int = 2, maxAttempts: Int = 3): DataFrame = {
     val staging = stageChronologicalEvents(spark, sfDir, nFiles)
     val base = new java.io.File("/tmp/graft_stream_sink",
       "restart_" + graft.sources.Tables.pathKey(sfDir))
@@ -1813,6 +1847,14 @@ object EventStreams {
     */
   def sessionWindowsLateReplay(spark: SparkSession, sfDir: String,
       nFiles: Int = 3): DataFrame = {
+    // nFiles MUST stay >= 3: the late-row filter for batch N uses the
+    // watermark as of batch N-1, which was computed from data through
+    // batch N-2 (one more lag than the eviction watermark — measured
+    // round 14: with a 2+1 split the tail was filtered by a watermark
+    // that had only seen bucket 0, so boundary-session copies within
+    // gap+delay of bucket 0's end MERGED into live sessions and
+    // doubled their counts). The middle file is the pacer that pushes
+    // the filter watermark past the whole copied bucket.
     val staging = stageChronologicalEvents(spark, sfDir, nFiles,
       lateTail = true)
     val name = "graft_stream_late_" + runCounter.incrementAndGet()
@@ -1836,7 +1878,9 @@ object EventStreams {
 
   def hourlyByTypeAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
     val name = "graft_stream_hourly_" + runCounter.incrementAndGet()
-    withStatePartitions(spark, 8) {
+    // Complete mode: the finalization batch would re-emit an identical
+    // table ([[withoutNoDataBatch]])
+    withoutNoDataBatch(spark) { withStatePartitions(spark, 8) {
       val q = hourlyByType(
         readEventStream(spark, sfDir, glob = Some("events.parquet")))
         .writeStream.format("memory").queryName(name)
@@ -1844,7 +1888,7 @@ object EventStreams {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    }
+    } }
     spark.table(name).smallSorted("window_start", "event_type")
   }
 
@@ -1869,10 +1913,15 @@ object EventStreams {
     * configured.
     */
   def hourlyByTypeUpdateReplay(spark: SparkSession, sfDir: String,
-      nFiles: Int = 3): DataFrame = {
+      nFiles: Int = 2): DataFrame = {
     val staging = stageChronologicalEvents(spark, sfDir, nFiles)
     val name = "graft_stream_update_" + runCounter.incrementAndGet()
-    val nDataBatches = withStatePartitions(spark, 8) {
+    // Update mode emits only on data; the finalization batch would
+    // only evict state. Two chronological files are the minimal
+    // cross-batch-update fixture (the fold and oracle are
+    // split-invariant: n_events is monotone per key whatever the split)
+    val nDataBatches = withoutNoDataBatch(spark) {
+        withStatePartitions(spark, 8) {
       val q = hourlyByType(
         readEventStream(spark, staging, maxFilesPerTrigger = Some(1)))
         .writeStream.format("memory").queryName(name)
@@ -1881,7 +1930,7 @@ object EventStreams {
         .start()
       q.awaitTermination()
       q.recentProgress.count(_.numInputRows > 0)
-    }
+    } }
     require(nDataBatches >= 2,
       s"update replay ran $nDataBatches data batches - the multi-batch " +
         "update path was NOT exercised")
@@ -1944,7 +1993,7 @@ object EventStreams {
     * cannot affect the Complete-mode rollup).
     */
   def segmentRollupStream(spark: SparkSession, sfDir: String,
-      nFiles: Int = 3): DataFrame = {
+      nFiles: Int = 2): DataFrame = {
     val staging = stageChronologicalEvents(spark, sfDir, nFiles)
     val name = "graft_stream_enrich_" + runCounter.incrementAndGet()
     val nData = withStatePartitions(spark, 8) {
@@ -1999,7 +2048,7 @@ object EventStreams {
     * version-chain idiom shared with q154.
     */
   def dimSwapEnrichReplay(spark: SparkSession, sfDir: String,
-      nFiles: Int = 3): DataFrame = {
+      nFiles: Int = 2): DataFrame = {
     val staging = stageChronologicalEvents(spark, sfDir, nFiles)
     val base = new java.io.File("/tmp/graft_stream_sink",
       "dimswap_" + graft.sources.Tables.pathKey(sfDir))
@@ -2075,7 +2124,7 @@ object EventStreams {
     * rollup folds exact decimals before one double cast, exactly as
     * the per-batch contributions do.
     */
-  def dimSwapEnrichReplaySql(nFiles: Int = 3): String =
+  def dimSwapEnrichReplaySql(nFiles: Int = 2): String =
     s"""WITH ev AS (
        |  SELECT user_id, value,
        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
@@ -2150,7 +2199,8 @@ object EventStreams {
   def hourlyDistinctKmvAvailableNow(spark: SparkSession,
       sfDir: String, k: Int = 256): DataFrame = {
     val name = "graft_stream_kmvdist_" + runCounter.incrementAndGet()
-    withStatePartitions(spark, 8) {
+    // Complete mode: finalization would re-emit an identical table
+    withoutNoDataBatch(spark) { withStatePartitions(spark, 8) {
       val q = withKmvScalars(
         readEventStream(spark, sfDir, glob = Some("events.parquet"))
           .withColumn("h", expr(kmvUserHashExpr))
@@ -2167,7 +2217,7 @@ object EventStreams {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    }
+    } }
     spark.table(name).smallSorted("window_start", "event_type")
   }
 
@@ -2234,10 +2284,15 @@ object EventStreams {
     * additionally asserts streaming == batch cell-exactly.
     */
   def hourlyDistinctKmvUpdateReplay(spark: SparkSession, sfDir: String,
-      k: Int = 256, nFiles: Int = 3): DataFrame = {
+      k: Int = 256, nFiles: Int = 2): DataFrame = {
     val staging = stageChronologicalEvents(spark, sfDir, nFiles)
     val name = "graft_stream_kmvevict_" + runCounter.incrementAndGet()
-    val (nData, removed) = withStatePartitions(spark, 8) {
+    // Update mode emits only on data; eviction (the asserted
+    // numRowsRemoved) happens on the LATER DATA batches — each batch
+    // evicts with the watermark computed from the previous batch's max
+    // event time — so the finalization batch adds nothing observable
+    val (nData, removed) = withoutNoDataBatch(spark) {
+        withStatePartitions(spark, 8) {
       val q = withKmvScalars(
         readEventStream(spark, staging, maxFilesPerTrigger = Some(1))
           .withColumn("h", expr(kmvUserHashExpr))
@@ -2257,7 +2312,7 @@ object EventStreams {
       (q.recentProgress.count(_.numInputRows > 0),
         q.recentProgress.flatMap(_.stateOperators)
           .map(_.numRowsRemoved).sum)
-    }
+    } }
     require(nData >= 2,
       s"kmv evict replay ran $nData data batches - the multi-batch " +
         "eviction path was NOT exercised")
@@ -2306,7 +2361,7 @@ object EventStreams {
     * batches; one batch would make the merge path trivial).
     */
   def latestByUserUpsertReplay(spark: SparkSession, sfDir: String,
-      nFiles: Int = 3): DataFrame = {
+      nFiles: Int = 2): DataFrame = {
     val staging = stageChronologicalEvents(spark, sfDir, nFiles)
     // md5 of the full path, not String.hashCode: 32-bit hash collisions
     // between two sfDirs would interleave their version chains (ADVICE r8)
