@@ -901,7 +901,7 @@ object Corpus {
     * is "by history" when any duplicate partner sits in an earlier
     * batch — the property that makes the replay genuinely incremental.
     */
-  def streamingNeardupAdmissionSql(nBatches: Int = 3): String =
+  def streamingNeardupAdmissionSql(nBatches: Int = 2): String =
     s"""@BANDED@,
        |gate AS MATERIALIZED (${docGateScoresSql}),
        |mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents),

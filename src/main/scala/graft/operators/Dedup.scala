@@ -938,7 +938,8 @@ object Dedup {
     * DuckDB compute identical md5-60 values on both sides.
     */
   def ngramJaccardPairs(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.8, blockLocalCeiling: Long = 512L): DataFrame = {
+      threshold: Double = 0.8, blockLocalCeiling: Long = 512L,
+      maxScoredPairs: Long = 64L * 1000 * 1000): DataFrame = {
     // one fused scan computes block + hash set, materialized ONCE
     // (eager checkpoint = the generator barrier AND the reuse point
     // for the cardinality probe + both scoring plans)
@@ -961,8 +962,26 @@ object Dedup {
     // (the sf3 near-dup-dense regime: top block 1272 docs) the
     // doc-grain plan spreads scoring with pair volume. Same rows and
     // values either way (PlanSpec pins the flip + equality).
-    val maxBlock = base.groupBy("block").agg(count(lit(1)).as("n"))
-      .agg(coalesce(max("n"), lit(0L))).head().getLong(0)
+    // the same metadata-cheap agg also measures the TOTAL pair volume
+    // Σ n·(n−1)/2 the block self-join will emit — the q185 guard
+    // transplanted (round-14 sf10 probe: the synthetic corpus densifies
+    // with its replication factor, and at 100× the unguarded volume
+    // filled 78 GB of sort spill before any result; real corpora don't
+    // densify with scale). Measured volumes: sf0.1 29k, sf1 2.0M, sf3
+    // 18.7M pairs — the 64M default clears the densest intended corpus
+    // ~3.4× and refuses the quadratic regime LOUDLY, with the dial in
+    // the message (graft.devtools.SoakJaccard is the escape hatch run).
+    val blockStats = base.groupBy("block").agg(count(lit(1)).as("n"))
+      .agg(coalesce(max("n"), lit(0L)),
+        coalesce(sum(expr("n * (n - 1) div 2")), lit(0L))).head()
+    val maxBlock = blockStats.getLong(0)
+    val nPairs = blockStats.getLong(1)
+    require(nPairs <= maxScoredPairs,
+      f"ngramJaccard pair blowup: the block partition would score " +
+        f"$nPairs%d candidate pairs (> $maxScoredPairs%d) — the corpus " +
+        "is too near-dup-dense for single-key blocking at this scale; " +
+        "pre-shard the corpus, tighten the block key, or raise " +
+        "maxScoredPairs deliberately")
     val scored =
       if (maxBlock <= blockLocalCeiling) {
         base.as("a").join(base.as("b"),

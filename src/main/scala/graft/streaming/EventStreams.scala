@@ -1157,6 +1157,12 @@ object EventStreams {
 
   private val runCounter = new java.util.concurrent.atomic.AtomicInteger()
 
+  /** q148's boundary-spanning-key count, keyed by (sfDir, events
+    * mtime, nFiles) — see the inline note at its one use site.
+    */
+  private val spanningKeyMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Int), Long]()
+
   /** Run `body` with the session's shuffle partitions temporarily
     * lowered: a bounded replay commits every state-store partition on
     * every micro-batch (data batch + no-data finalization), and that
@@ -1588,13 +1594,22 @@ object EventStreams {
     * `distinct()`s away — admissions are identical either way
     * (StreamingSpec pins never-compact == compact-every-batch on the
     * cross-batch fixture; q208 carries the batch-side oracle of the
-    * same property). The registered replay uses maxLiveSegments = 1 so
-    * the driver-checked row itself probes a compacted generation; a
-    * production deployment sets it higher (compacting every K batches
+    * same property). Probing a compacted GENERATION is driver-checked
+    * by q209 (maxLiveSegments = 2, whose last batch probes the folded
+    * generation); a production deployment sets the dial higher
+    * (compacting every K batches
     * amortizes the fold to corpus/K per batch — the single-level
     * scheme q199 uses; size-tiered folding would make total rewrite
     * O(n log n) and drops in without changing the probe, which just
     * lists live segments).
+    *
+    * Registered dials (round 14): q205 runs the MINIMAL incremental
+    * fixture — 2 staged batches, fold every batch — so the driver row
+    * pins per-batch admission, the cross-batch history drop, and one
+    * executed fold; q209 (nFiles = 4, maxLiveSegments = 2) carries the
+    * production-amortization properties on its own oracle: a batch
+    * probing TWO live segments, a batch probing the folded GENERATION,
+    * and a replay that ends amortized (live = {generation, tail}).
     *
     * Output per batch: docs seen (train split), gate admits, dup drops
     * (split out: dropped by a HISTORY partner), final admits.
@@ -1610,7 +1625,7 @@ object EventStreams {
       .sortBy(_.getName).toSeq
 
   def streamingNeardupAdmission(spark: SparkSession, sfDir: String,
-      nFiles: Int = 3, maxLiveSegments: Int = 1,
+      nFiles: Int = 2, maxLiveSegments: Int = 1,
       foldTargetBytes: Long = 64L << 20): DataFrame = {
     val staging = stageDocumentBatches(spark, sfDir, nFiles)
     // dir keyed by the dials too: the registered q205 (fold every
@@ -1947,20 +1962,26 @@ object EventStreams {
     // have events in >1 staged time bucket? If so its key MUST appear
     // more than once in the update log; if the fixture is too sparse
     // for any key to span a boundary (sf0.001), there is nothing to
-    // assert — the check is structural, not fixture-tuned
-    val ev = graft.sources.Tables.events(spark, sfDir)
-    val bounds = ev.agg(min(expr("unix_micros(ts)")).as("lo"),
-      max(expr("unix_micros(ts)")).as("hi")).head()
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    val span = hi - lo + 1
-    val spanningKeys = ev
-      .select(window(col("ts"), "1 hour").as("w"), col("event_type"),
-        expr(s"CAST(((unix_micros(ts) - ${lo}L) * $nFiles) div ${span}L AS INT)")
-          .as("b"))
-      .groupBy("w", "event_type")
-      .agg(countDistinct(col("b")).as("nb"))
-      .filter(col("nb") > 1)
-      .count()
+    // assert — the check is structural, not fixture-tuned. A pure
+    // function of (events content, nFiles), so it is memoized per JVM
+    // on the source mtime (the q187 staging-memo economics: the probe
+    // is assertion input, not query output)
+    val spanningKeys = spanningKeyMemo.computeIfAbsent(
+      (sfDir, new java.io.File(sfDir, "events.parquet").lastModified,
+        nFiles), { _ =>
+      val ev = graft.sources.Tables.events(spark, sfDir)
+      val bounds = ev.agg(min(expr("unix_micros(ts)")).as("lo"),
+        max(expr("unix_micros(ts)")).as("hi")).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val span = hi - lo + 1
+      ev.select(window(col("ts"), "1 hour").as("w"), col("event_type"),
+          expr(s"CAST(((unix_micros(ts) - ${lo}L) * $nFiles) div ${span}L AS INT)")
+            .as("b"))
+        .groupBy("w", "event_type")
+        .agg(countDistinct(col("b")).as("nb"))
+        .filter(col("nb") > 1)
+        .count()
+    })
     require(spanningKeys == 0 || logRows > keyRows,
       s"$spanningKeys keys span a file boundary but the update log has " +
         s"$logRows rows for $keyRows keys - cross-batch updates were " +

@@ -442,6 +442,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(local.nonEmpty)
   }
 
+  test("q33 pair-volume guard refuses a dense corpus; the dial is the escape (round-14)") {
+    // ceiling 0 must refuse ANY corpus with at least one 2-doc block
+    // (the sf0.001 corpus has duplicate pairs, so pair volume > 0)...
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(spark, sf0001, maxScoredPairs = 0L).collect()
+    }
+    assert(e.getMessage.contains("maxScoredPairs"),
+      s"guard message must prescribe the dial, got: ${e.getMessage}")
+    // ...and raising the dial (the message's prescription) must yield
+    // exactly the default run's rows — a dial, not a different query
+    val dialed = Dedup.ngramJaccardPairs(spark, sf0001,
+      maxScoredPairs = Long.MaxValue).collect()
+    val default = Dedup.ngramJaccardPairs(spark, sf0001).collect()
+    assert(dialed.map(_.toSeq).toSeq === default.map(_.toSeq).toSeq)
+  }
+
   test("knn ranks are 1..k per query with non-increasing cosine") {
     val r = Similarity.knnBruteForce(spark, sf0001, nQueries = 3, k = 4)
       .select("query_id", "rank", "cosine")

@@ -303,7 +303,10 @@ class StreamingSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite")
       .parquet(new java.io.File(fix, "documents.parquet").getPath)
-    val led = EventStreams.streamingNeardupAdmission(spark, fix.getPath)
+    // explicit nFiles = 3: the fixture ids are laid out for the
+    // [0,10)/[10,20)/[20,30) ranges (the registered q205 default is 2)
+    val led = EventStreams.streamingNeardupAdmission(spark, fix.getPath,
+        nFiles = 3)
       .collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
@@ -336,7 +339,7 @@ class StreamingSpec extends SparkSpec {
       .parquet(new java.io.File(fix, "documents.parquet").getPath)
     def run(maxLive: Int): Seq[Seq[Long]] =
       EventStreams.streamingNeardupAdmission(spark, fix.getPath,
-          maxLiveSegments = maxLive)
+          nFiles = 3, maxLiveSegments = maxLive)
         .collect().map(r => (0 to 5).map(r.getLong)).toSeq
     val compacted = run(1)
     // after the compacting run, history is folded: only generation
@@ -395,7 +398,7 @@ class StreamingSpec extends SparkSpec {
       .parquet(new java.io.File(fix, "documents.parquet").getPath)
     def run(target: Long): Seq[Seq[Long]] =
       EventStreams.streamingNeardupAdmission(spark, fix.getPath,
-          maxLiveSegments = 1, foldTargetBytes = target)
+          nFiles = 3, maxLiveSegments = 1, foldTargetBytes = target)
         .collect().map(r => (0 to 5).map(r.getLong)).toSeq
     val parallel = run(1024L)
     val segBase = new java.io.File("/tmp/graft_stream_sink",
