@@ -976,6 +976,7 @@ object Dedup {
         coalesce(sum(expr("n * (n - 1) div 2")), lit(0L))).head()
     val maxBlock = blockStats.getLong(0)
     val nPairs = blockStats.getLong(1)
+    System.err.println(s"jaccard-pair-volume: $nPairs")
     require(nPairs <= maxScoredPairs,
       f"ngramJaccard pair blowup: the block partition would score " +
         f"$nPairs%d candidate pairs (> $maxScoredPairs%d) — the corpus " +

@@ -285,8 +285,10 @@ object Similarity {
     * one cosine.
     */
   def mutualKnnGraph(spark: SparkSession, sfDir: String, k: Int = 3,
-      nBands: Int = 2, bitsPerBand: Int = 8): DataFrame = {
-    val (_, edges) = ensureKnnArtifacts(spark, sfDir, k, nBands, bitsPerBand)
+      nBands: Int = 2, bitsPerBand: Int = 8,
+      maxCandPairs: Long = 100L * 1000 * 1000): DataFrame = {
+    val (_, edges) = ensureKnnArtifacts(spark, sfDir, k, nBands,
+      bitsPerBand, maxCandPairs)
     // presentation sort with the strategy derived from the edge count
     // (round-13: k·n/2 edges outgrow the one-task sort at scale)
     Tables.presentationSorted(spark.read.parquet(edges),
@@ -306,7 +308,8 @@ object Similarity {
     * the graph inside every consumer would be the anti-pattern.
     */
   private def ensureKnnArtifacts(spark: SparkSession, sfDir: String,
-      k: Int, nBands: Int, bitsPerBand: Int): (String, String) = {
+      k: Int, nBands: Int, bitsPerBand: Int,
+      maxCandPairs: Long = 100L * 1000 * 1000): (String, String) = {
     val mt = new java.io.File(sfDir, "embeddings.parquet").lastModified
     require(mt > 0, s"embeddings.parquet missing under $sfDir " +
       "(mtime 0 would freeze the artifact key - round-10 ADVICE)")
@@ -324,7 +327,8 @@ object Similarity {
       org.apache.commons.io.FileUtils.deleteQuietly(base)
       // parquet committer writes _SUCCESS last: a crashed build leaves
       // no marker and the next call rebuilds both
-      val topk = computeKnnTopk(spark, sfDir, k, nBands, bitsPerBand)
+      val topk = computeKnnTopk(spark, sfDir, k, nBands, bitsPerBand,
+        maxCandPairs)
       topk.write.parquet(topkDir.getPath)
       mutualEdgesOf(topk).write.parquet(edgesDir.getPath)
     }
@@ -351,7 +355,8 @@ object Similarity {
     * list, rank ties broken (cosine DESC, dst ASC).
     */
   private def computeKnnTopk(spark: SparkSession, sfDir: String,
-      k: Int, nBands: Int, bitsPerBand: Int): DataFrame = {
+      k: Int, nBands: Int, bitsPerBand: Int,
+      maxCandPairs: Long = 100L * 1000 * 1000): DataFrame = {
     val mask = (1 << bitsPerBand) - 1
     // spread the scan (single-row-group inputs) and checkpoint the
     // ids-only banded frame: lsh_sig runs ONCE per vector instead of
@@ -367,6 +372,28 @@ object Similarity {
     val banded = emb
       .select(col("vec_id"), explode(expr(bandExpr)).as("band_key"))
       .localCheckpoint(true)
+    // CANDIDATE-VOLUME GUARD (round-14 sf10 probe, the q185/q33
+    // discipline): the band self-join emits Σ c·(c−1) ordered pairs
+    // over the bucket sizes — data-dependent, and a replication-
+    // densified corpus degrades toward quadratic SILENTLY (the
+    // unguarded sf10 build spilled >60 GB ranking ~300M candidates,
+    // each momentarily carrying two embedding payloads). The bound is
+    // metadata-cheap on the checkpointed banded frame; measured
+    // volumes at the shipped dials: sf0.01 2.6k, sf0.1 31k, sf1 3.2M,
+    // sf3 ~29M — the 100M default clears the densest intended corpus
+    // ~3.4× and refuses loudly with the dial in the message
+    // (graft.devtools.SoakKnn is the escape-hatch run; production
+    // raises bitsPerBand instead, shrinking buckets geometrically).
+    val candVolume = banded.groupBy("band_key")
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(expr("c * (c - 1)")), lit(0L))).head().getLong(0)
+    System.err.println(s"knn-cand-volume: $candVolume")
+    require(candVolume <= maxCandPairs,
+      f"kNN candidate blowup: the band buckets would emit $candVolume%d " +
+        f"ordered candidate pairs (> $maxCandPairs%d) — the corpus is " +
+        "too near-dup-dense for these LSH dials; raise bitsPerBand " +
+        "(geometrically smaller buckets) or raise maxCandPairs " +
+        "deliberately")
     val cands = banded.select(col("vec_id").as("src"), col("band_key"))
       .join(banded.select(col("vec_id").as("dst"), col("band_key")),
         Seq("band_key"))
@@ -375,10 +402,19 @@ object Similarity {
     val vecs = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
     val w = Window.partitionBy("src").orderBy(desc("cosine"), asc("dst"))
+    // size-gated broadcast of the vector table (round-14): under the
+    // threshold the candidate stream flows map-side through both
+    // lookups — no sort-merge exchange ever SORTS pair rows carrying
+    // embedding payloads (the spill shape the sf10 probe measured).
+    // Above the gate (cluster-scale embeddings) the join reverts to
+    // the shuffled topology a real cluster wants, and the guard above
+    // has already bounded the pair volume it must carry.
     val topk = cands
-      .join(vecs.select(col("vec_id").as("src"), col("embedding").as("e_a")),
+      .join(Joins.broadcastIfSmall(
+          vecs.select(col("vec_id").as("src"), col("embedding").as("e_a"))),
         Seq("src"))
-      .join(vecs.select(col("vec_id").as("dst"), col("embedding").as("e_b")),
+      .join(Joins.broadcastIfSmall(
+          vecs.select(col("vec_id").as("dst"), col("embedding").as("e_b"))),
         Seq("dst"))
       .withColumn("cosine",
         graft.functions.cosine_sim(col("e_a"), col("e_b")))
