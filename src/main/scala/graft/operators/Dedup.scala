@@ -1192,6 +1192,34 @@ object Dedup {
       .filter(col("pos") <=
         expr(s"sz - ((sz * $tauNum + ${tauDen - 1}) div $tauDen) + 1"))
       .select(col("doc_id"), col("t"), col("sz"))
+    // EARLY VOLUME BOUND (round-14 sf10 probe): the exact guard below
+    // counts candidates only AFTER the prefix self-join materializes
+    // them — at 100× the materialization itself is the blowup (the
+    // probe spilled >45 GB before the count could run and had to be
+    // killed). The prefix-token document frequencies upper-bound the
+    // join's output without joining: Σ p_t·(p_t−1)/2 over per-token
+    // prefix counts ≥ nCand (every candidate shares ≥1 prefix token;
+    // multi-token repeats and length-filter rejects only make the
+    // bound looser). Token-grain aggregate, no pair ever exists.
+    // Measured bound/exact ratios: sf0.1 312,306/193,192 = 1.62×,
+    // sf1 34.08M/19.85M = 1.72× — so factor 4 can never refuse a
+    // corpus the exact guard admits (exact ≤ cap ⇒ bound ≲ 1.72×cap,
+    // a 2.3× margin below 4×), while it DOES fire before the join on
+    // the sf10 probe corpus (bound 2.83G = 5.5× the default
+    // cap·nDocs; the exact count there, ~1.6G, is 3.3× over cap —
+    // with a looser factor 8 the join ran anyway and filled the disk
+    // before the post-join guard could count).
+    val nDocs = base.count() // base is checkpointed: near-free
+    val boundPairs = pref.groupBy("t").agg(count(lit(1)).as("p"))
+      .agg(coalesce(sum(expr("p * (p - 1) div 2")), lit(0L)))
+      .head().getLong(0)
+    System.err.println(s"allpairs-cand-bound: $boundPairs")
+    require(boundPairs <= math.max(1000L, 4L * maxCandPerDoc * nDocs),
+      f"allPairsJaccard candidate blowup (early bound): the prefix " +
+        f"tokens bound the candidate join at $boundPairs%d pairs over " +
+        f"$nDocs%d docs (> 4×$maxCandPerDoc%d/doc) — refusing BEFORE " +
+        "the join materializes; raise tau, pre-block the corpus, or " +
+        "raise maxCandPerDoc deliberately")
     // LENGTH FILTER (the AllPairs/PPJoin companion bound): J >= tau
     // forces tau·|A| <= |B| <= |A|/tau, applied DURING pair generation
     // so size-mismatched pairs never reach the dedup exchange (~35% of
@@ -1210,8 +1238,8 @@ object Dedup {
       // array-intersect join below reads them back instead of replaying
       // the prefix self-join
       .localCheckpoint(true)
-    val nDocs = base.count() // base is already checkpointed: near-free
     val nCand = cand.count()
+    System.err.println(s"allpairs-cand-exact: $nCand")
     require(nCand <= math.max(1000L, maxCandPerDoc * nDocs),
       f"allPairsJaccard candidate blowup: $nCand%d candidate pairs over " +
         f"$nDocs%d docs (${nCand.toDouble / math.max(nDocs, 1)}%.1f/doc > " +
