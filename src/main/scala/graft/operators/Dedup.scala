@@ -967,10 +967,11 @@ object Dedup {
     // transplanted (round-14 sf10 probe: the synthetic corpus densifies
     // with its replication factor, and at 100× the unguarded volume
     // filled 78 GB of sort spill before any result; real corpora don't
-    // densify with scale). Measured volumes: sf0.1 29k, sf1 2.0M, sf3
-    // 18.7M pairs — the 64M default clears the densest intended corpus
-    // ~3.4× and refuses the quadratic regime LOUDLY, with the dial in
-    // the message (graft.devtools.SoakJaccard is the escape hatch run).
+    // densify with scale). Measured volumes: sf0.1 10,954, sf1
+    // 1,323,932, sf3 18,703,894, sf10 269,130,714 pairs — the 64M
+    // default clears the densest intended corpus ~3.4× and refuses the
+    // quadratic regime LOUDLY, with the dial in the message
+    // (graft.devtools.SoakJaccard is the escape hatch run).
     val blockStats = base.groupBy("block").agg(count(lit(1)).as("n"))
       .agg(coalesce(max("n"), lit(0L)),
         coalesce(sum(expr("n * (n - 1) div 2")), lit(0L))).head()

@@ -379,9 +379,10 @@ object Similarity {
     // unguarded sf10 build spilled >60 GB ranking ~300M candidates,
     // each momentarily carrying two embedding payloads). The bound is
     // metadata-cheap on the checkpointed banded frame; measured
-    // volumes at the shipped dials: sf0.01 2.6k, sf0.1 31k, sf1 3.2M,
-    // sf3 ~29M — the 100M default clears the densest intended corpus
-    // ~3.4× and refuses loudly with the dial in the message
+    // volumes at the shipped dials: sf0.01 2,446, sf0.1 36,884,
+    // sf1 3,709,398, sf3 33,054,520, sf10 365,987,486 — the 100M
+    // default clears the densest intended corpus ~3× and refuses
+    // loudly with the dial in the message
     // (graft.devtools.SoakKnn is the escape-hatch run; production
     // raises bitsPerBand instead, shrinking buckets geometrically).
     val candVolume = banded.groupBy("band_key")

@@ -1498,7 +1498,14 @@ object EventStreams {
         .parquet(staging)
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          graft.operators.Corpus.withGateScore(batch)
+          // spread the fused gate scan: a micro-batch frame inherits
+          // the arriving FILE's split count (7 tasks at sf10 for a
+          // 32-core session, Prof round-14), not defaultParallelism —
+          // the round-6 withMinParallelism rule applies to foreachBatch
+          // frames too
+          graft.operators.Corpus.withGateScore(
+              graft.sources.Tables.withMinParallelism(batch,
+                batch.sparkSession.sparkContext.defaultParallelism))
             .groupBy(col("source"))
             .agg(count(lit(1)).as("n_docs"),
               sum((col("score") === 4).cast("long")).as("n_admitted"),
@@ -1653,8 +1660,14 @@ object EventStreams {
           // train checkpoint, train stats, gate checkpoint, gate
           // count — where the gate score can ride the same
           // materialization and ALL three ledger stats one agg)
+          // spread the fused gate+shingle scan (the q202 note): the
+          // batch frame arrives with the FILE's split count — 7 tasks
+          // at sf10 made the scan stage 9.4 s where 32 spread tasks
+          // take ~2 s (Prof round-14)
           val scored = graft.operators.Corpus.withGateScore(
-              batch.filter(pmod(col("doc_id"), lit(5)) =!= 0))
+              graft.sources.Tables.withMinParallelism(
+                batch.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+                spark.sparkContext.defaultParallelism))
             .localCheckpoint(true)
           val trainStats = scored
             .agg(count(lit(1)), coalesce(min("doc_id"), lit(Long.MaxValue)),
@@ -1683,9 +1696,16 @@ object EventStreams {
             .localCheckpoint(true)
           val ids = pairs.select(col("doc_a").as("doc_id"))
             .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+          // semi-join FIRST (round-11 order), then spread: the join
+          // lands on the 8 state partitions (withStatePartitions
+          // scope), which serialized the expensive shingle exprs into
+          // 8 tasks at sf10 — the repartition only moves the few
+          // surviving candidate docs' text
           val sh = graft.operators.Corpus.shinglesOf(
-            graft.sources.Tables.documents(spark, sfDir)
-              .join(ids, Seq("doc_id"), "left_semi"))
+            graft.sources.Tables.withMinParallelism(
+              graft.sources.Tables.documents(spark, sfDir)
+                .join(ids, Seq("doc_id"), "left_semi"),
+              spark.sparkContext.defaultParallelism))
           val dropped = pairs
             .join(sh.select(col("doc_id").as("doc_a"),
               col("sh").as("sh_a")), Seq("doc_a"))
