@@ -794,7 +794,11 @@ object EventStreams {
   def errorClickSemiAvailableNow(spark: SparkSession,
       sfDir: String, windowMinutes: Int = 5): DataFrame = {
     val name = "graft_stream_semi_" + runCounter.incrementAndGet()
-    withStatePartitions(spark, 8) {
+    // LEFT SEMI emits a left row the moment a match arrives (data
+    // batches); eviction of never-matched rows emits NOTHING — unlike
+    // ANTI (q177), where eviction IS the emission. Finalization is
+    // therefore pure machinery here ([[withoutNoDataBatch]]).
+    withoutNoDataBatch(spark) { withStatePartitions(spark, 8) {
       val ev = readEventStream(spark, sfDir, glob = Some("events.parquet"))
       val q = errorClickPairsStream(ev, windowMinutes,
           joinType = "left_semi")
@@ -804,7 +808,7 @@ object EventStreams {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    }
+    } }
     spark.table(name).distinct().smallSorted("error_id")
   }
 
@@ -1199,9 +1203,10 @@ object EventStreams {
     * batches (each batch evicts with the watermark computed from the
     * previous batch's max event time). Callers that assert eviction
     * (q157's numRowsRemoved) still observe it on the data batches.
-    * NEVER wrap an append-mode windowed agg or an outer-ish join — rows
-    * would be withheld (q125/q134/q143/q146/q163/q170/q177/q180 keep
-    * the finalization batch).
+    * NEVER wrap an append-mode windowed agg, an outer join, or an
+    * ANTI join — rows would be withheld
+    * (q125/q134/q143/q146/q163/q170/q177 keep the finalization
+    * batch). SEMI (q180) is inner-like: emission happens on match.
     */
   private def withoutNoDataBatch[A](spark: SparkSession)(body: => A): A = {
     val key = "spark.sql.streaming.noDataMicroBatches.enabled"
