@@ -542,7 +542,7 @@ object EventStreams {
     val sinkDir = streamSinkDir(spark, sfDir, "pairs")
     // INNER join: pairs emit when both rows are present; the
     // finalization batch would only evict join state, never emit
-    withoutNoDataBatch(spark) { withStatePartitions(spark, 8) {
+    withoutNoDataBatch(spark) { withStatePartitions(spark, 4) {
       val ev = readEventStream(spark, sfDir, glob = Some("events.parquet"))
       val q = errorClickPairsStream(ev)
         .select(col("error_id"), col("click_id"))
@@ -609,7 +609,7 @@ object EventStreams {
     // durable parquet sink (the q133 round-13 note: the match log is
     // stream-scaled; a memory sink driver-collects it)
     val sinkDir = streamSinkDir(spark, sfDir, "louter")
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, 4) {
       val ev = readEventStream(spark, sfDir, glob = Some("events.parquet"))
       val q = errorClickPairsStream(ev, windowMinutes,
           joinType = "left_outer")
@@ -697,7 +697,7 @@ object EventStreams {
     // stream-scaled; a memory sink driver-collects it — at sf3 the old
     // memory sink blew spark.driver.maxResultSize)
     val sinkDir = streamSinkDir(spark, sfDir, "fouter")
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, 4) {
       val ev = readEventStream(spark, sfDir, glob = Some("events.parquet"))
       val q = errorClickPairsStream(ev, windowMinutes,
           joinType = "full_outer")
@@ -798,7 +798,7 @@ object EventStreams {
     // batches); eviction of never-matched rows emits NOTHING — unlike
     // ANTI (q177), where eviction IS the emission. Finalization is
     // therefore pure machinery here ([[withoutNoDataBatch]]).
-    withoutNoDataBatch(spark) { withStatePartitions(spark, 8) {
+    withoutNoDataBatch(spark) { withStatePartitions(spark, 4) {
       val ev = readEventStream(spark, sfDir, glob = Some("events.parquet"))
       val q = errorClickPairsStream(ev, windowMinutes,
           joinType = "left_semi")
@@ -1170,10 +1170,15 @@ object EventStreams {
   /** Run `body` with the session's shuffle partitions temporarily
     * lowered: a bounded replay commits every state-store partition on
     * every micro-batch (data batch + no-data finalization), and that
-    * per-partition commit IO dominates a small run — 8 state
-    * partitions is the right grain here, where a production deployment
-    * sizes state partitions to its key cardinality independently of
-    * the batch engine's shuffle width.
+    * per-partition commit IO dominates a small run. Measured grains
+    * (Prof A/B via SPARK_GRAFT_STATE_PARTS): 8 for the windowed-agg
+    * replays (round 12: 4 serialized their per-row work, 32 paid
+    * commit IO), 4 for the chunked-interval stream-stream joins
+    * (round 14: best-of-2 q133 2.10 vs 2.22 s, q180 2.27 vs 2.46,
+    * q163 2.48 vs 3.12 at 8; 16 strictly worse — the join's work is
+    * map-heavy on the chunk key, so fewer state commits win). A
+    * production deployment sizes state partitions to its key
+    * cardinality independently of the batch engine's shuffle width.
     */
   private def withStatePartitions[A](spark: SparkSession, n: Int)(
       body: => A): A = {
