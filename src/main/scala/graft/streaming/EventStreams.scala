@@ -1663,7 +1663,6 @@ object EventStreams {
         .parquet(staging)
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          import spark.implicits._
           // ONE checkpoint + ONE stats action per batch front half
           // (round-14 action fusion: each action at micro-batch grain
           // pays fixed scheduling cost, and the old shape spent four —
@@ -1690,10 +1689,31 @@ object EventStreams {
             .select("doc_id", "text")
           val batchBands = graft.operators.Corpus.bandsOf(gateAdm)
             .localCheckpoint(true)
+          // commit the segment up front FROM the checkpoint blocks
+          // (idempotent overwrite, the q154 re-delivery discipline).
+          // File count derived from the gate-admit count, never a
+          // fixed coalesce(1): one file at harness scale keeps the
+          // next batches' probe listing cheap, and the write spreads
+          // once a batch's band rows are big enough to matter
+          // (~500k rows/file; a probe-side readback of a 32-file
+          // micro-segment costs more than the checkpoint it replaces —
+          // measured round-14, which is why the probe below keeps the
+          // in-memory blocks and only HISTORY comes from parquet)
+          val segDir = new java.io.File(segBase, s"b$batchId")
+          val segParts = math.max(1L, math.min(64L,
+            nGate * graft.operators.Dedup.Bands / 500000L + 1L)).toInt
+          (if (segParts > 1) batchBands.repartition(segParts)
+           else batchBands.coalesce(1))
+            .write.mode("overwrite").parquet(segDir.getPath)
           // history = whatever segments are LIVE (committed, not yet
           // folded into a generation) — a directory listing, not a
-          // batch-id range, so compaction is transparent to the probe
+          // batch-id range, so compaction is transparent to the probe;
+          // this batch's just-committed segment is excluded by NAME
+          // (which also covers a crashed attempt's stale copy on
+          // re-delivery — previously that copy rode the probe union
+          // and was neutralized by doc_a < doc_b + distinct)
           val priorSegs = liveSegments(segBase)
+            .filterNot(_.getName == segDir.getName)
           val probe = priorSegs.foldLeft(batchBands)((acc, d) =>
             acc.unionByName(spark.read.parquet(d.getPath)))
           val pairs = probe.select(col("doc_id").as("doc_a"),
@@ -1729,14 +1749,6 @@ object EventStreams {
             .filter(col("n_inter") * 2 >= col("n_union"))
             .groupBy(col("doc_b").as("doc_id"))
             .agg(max((col("doc_a") < batchLo).cast("long")).as("by_hist"))
-          val dupStats = dropped
-            .agg(count(lit(1)), coalesce(sum("by_hist"), lit(0L))).head()
-          val nDup = dupStats.getLong(0)
-          val nHist = dupStats.getLong(1)
-          // commit this batch's index segment, then its ledger (both
-          // idempotent overwrites - the q154 re-delivery discipline)
-          batchBands.write.mode("overwrite")
-            .parquet(new java.io.File(segBase, s"b$batchId").getPath)
           // fold live segments into one generation when they exceed
           // the dial: _SUCCESS-committed BEFORE inputs are deleted
           // (crash between = double-listed rows the probe distinct()s)
@@ -1767,9 +1779,17 @@ object EventStreams {
               .write.mode("overwrite").parquet(gen.getPath)
             live.foreach(org.apache.commons.io.FileUtils.deleteQuietly)
           }
-          Seq((batchId, nDocs, nGate, nDup, nHist, nGate - nDup))
-            .toDF("batch_idx", "n_docs", "n_gate", "n_dup_dropped",
-              "n_dropped_by_history", "n_admitted")
+          // ledger: ONE action — the dup-stats agg IS the ledger row
+          // (round-14 fusion: previously a head() collect plus a
+          // separate one-row toDF write, two scheduled jobs per batch)
+          dropped
+            .agg(count(lit(1)).as("n_dup_dropped"),
+              coalesce(sum("by_hist"), lit(0L))
+                .as("n_dropped_by_history"))
+            .select(lit(batchId).as("batch_idx"),
+              lit(nDocs).as("n_docs"), lit(nGate).as("n_gate"),
+              col("n_dup_dropped"), col("n_dropped_by_history"),
+              (lit(nGate) - col("n_dup_dropped")).as("n_admitted"))
             .coalesce(1).write.mode("overwrite")
             .parquet(new java.io.File(outBase, s"b$batchId").getPath)
           ()
