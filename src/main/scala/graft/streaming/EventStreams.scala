@@ -1628,6 +1628,18 @@ object EventStreams {
     * probing TWO live segments, a batch probing the folded GENERATION,
     * and a replay that ends amortized (live = {generation, tail}).
     *
+    * PROBE-VOLUME GUARD (round 14): the per-batch band probe is a
+    * join this loop runs forever, so it gets the q185/q33 discipline —
+    * bound BEFORE materializing. Tier 0 is action-free (exact history
+    * row counts from per-segment `_graft_rows` sidecars × the known
+    * batch band rows, worst-case single-bucket product vs
+    * `maxProbePairs`); only when that can't clear does tier 1 pay one
+    * bucket-grain agg for the exact pre-filter join cardinality and
+    * refuse loudly above the cap. A degenerate near-identical inflow
+    * is therefore refused with the dial in the message instead of
+    * spilling the executor (StreamingSpec pins refusal AND
+    * dial-equality: the forced-through run admits identically).
+    *
     * Output per batch: docs seen (train split), gate admits, dup drops
     * (split out: dropped by a HISTORY partner), final admits.
     */
@@ -1641,9 +1653,30 @@ object EventStreams {
         new java.io.File(d, "_SUCCESS").exists)
       .sortBy(_.getName).toSeq
 
+  /** Exact row count of a committed band segment, from its `_graft_rows`
+    * sidecar (written at commit time — band rows are admits × Bands, a
+    * number the committer knows without any action). A segment whose
+    * sidecar is missing (crash in the tiny window between parquet
+    * commit and sidecar write) reports a count that FORCES the exact
+    * tier-1 bound — never an undercount.
+    */
+  private def segRowMeta(d: java.io.File): Long = {
+    val f = new java.io.File(d, "_graft_rows")
+    if (!f.exists) return Long.MaxValue / 8
+    try new String(java.nio.file.Files.readAllBytes(f.toPath),
+      "UTF-8").trim.toLong
+    catch { case _: Exception => Long.MaxValue / 8 }
+  }
+
+  private def writeSegRowMeta(d: java.io.File, rows: Long): Unit =
+    java.nio.file.Files.write(
+      new java.io.File(d, "_graft_rows").toPath,
+      rows.toString.getBytes("UTF-8"))
+
   def streamingNeardupAdmission(spark: SparkSession, sfDir: String,
       nFiles: Int = 2, maxLiveSegments: Int = 1,
-      foldTargetBytes: Long = 64L << 20): DataFrame = {
+      foldTargetBytes: Long = 64L << 20,
+      maxProbePairs: Long = 64L << 20): DataFrame = {
     val staging = stageDocumentBatches(spark, sfDir, nFiles)
     // dir keyed by the dials too: the registered q205 (fold every
     // batch) and q209 (amortized, maxLive=2) variants must not share
@@ -1705,6 +1738,11 @@ object EventStreams {
           (if (segParts > 1) batchBands.repartition(segParts)
            else batchBands.coalesce(1))
             .write.mode("overwrite").parquet(segDir.getPath)
+          // exact row-count sidecar: band rows per segment are
+          // admits × Bands by construction, so the probe guard below
+          // can bound the join without any extra scan (overwrite mode
+          // clears the dir, so a re-delivered batch rewrites it too)
+          writeSegRowMeta(segDir, nGate * graft.operators.Dedup.Bands)
           // history = whatever segments are LIVE (committed, not yet
           // folded into a generation) — a directory listing, not a
           // batch-id range, so compaction is transparent to the probe;
@@ -1716,6 +1754,42 @@ object EventStreams {
             .filterNot(_.getName == segDir.getName)
           val probe = priorSegs.foldLeft(batchBands)((acc, d) =>
             acc.unionByName(spark.read.parquet(d.getPath)))
+          // ---- probe-volume guard (round-14: count BEFORE the join
+          // materializes — the q185/q33/kNN discipline applied to the
+          // one self-join this loop runs forever). Tier 0 is FREE:
+          // exact history row counts come from the segments' sidecars
+          // and the batch side is nGate × Bands, so when even the
+          // worst case (every row in ONE bucket) clears the cap, no
+          // extra action runs — the bench/driver path at harness
+          // scale. Tier 1 (only when tier 0 can't clear) pays one
+          // bucket-grain agg over the probe scan for the exact
+          // pre-filter join cardinality Σ_bucket c·c_batch and
+          // refuses loudly above the cap, dial in the message.
+          val bandRows = nGate * graft.operators.Dedup.Bands
+          val histRows = priorSegs.map(segRowMeta).sum
+          // overflow-safe: skip only when (hist+batch)·batch provably
+          // ≤ cap under floor division
+          val tier0Clears = bandRows == 0L ||
+            (histRows < Long.MaxValue / 8 &&
+              histRows + bandRows <= maxProbePairs / bandRows)
+          if (!tier0Clears) {
+            val exactCand = probe
+              .groupBy("band_idx", "band_key")
+              .agg(count(lit(1)).as("c"),
+                sum((col("doc_id") >= batchLo).cast("long")).as("cb"))
+              .agg(coalesce(sum(col("c") * col("cb")), lit(0L)))
+              .head().getLong(0)
+            System.err.println(s"probe-pair-volume: batch=$batchId " +
+              s"histRows=$histRows batchRows=$bandRows " +
+              s"exact=$exactCand cap=$maxProbePairs")
+            require(exactCand <= maxProbePairs,
+              s"streaming near-dup probe at batch $batchId would " +
+                s"materialize $exactCand candidate rows " +
+                s"(cap $maxProbePairs). A bucket this hot means a " +
+                "degenerate near-identical inflow; raise " +
+                "maxProbePairs to force it through, or shard the " +
+                "band key upstream.")
+          }
           val pairs = probe.select(col("doc_id").as("doc_a"),
               col("band_idx"), col("band_key"))
             .join(batchBands.select(col("doc_id").as("doc_b"),
@@ -1777,6 +1851,14 @@ object EventStreams {
             (if (nOut > 1) folded.repartition(nOut)
              else folded.coalesce(1))
               .write.mode("overwrite").parquet(gen.getPath)
+            // generation sidecar = Σ folded sidecars (a fold is a pure
+            // row copy); a poisoned input sidecar stays poisoned so
+            // the guard keeps taking the exact tier
+            val liveMetas = live.map(segRowMeta)
+            writeSegRowMeta(gen,
+              if (liveMetas.exists(_ >= Long.MaxValue / 8))
+                Long.MaxValue / 8
+              else liveMetas.sum)
             live.foreach(org.apache.commons.io.FileUtils.deleteQuietly)
           }
           // ledger: ONE action — the dup-stats agg IS the ledger row

@@ -415,6 +415,42 @@ class StreamingSpec extends SparkSpec {
       "fold parallelism changed an admission/attribution decision")
   }
 
+  test("q205 probe-volume guard: degenerate inflow refuses with the dial; raised dial admits identically") {
+    import spark.implicits._
+    // 3 batches × 8 IDENTICAL gate-passing docs: every band row of
+    // every batch lands in the same 4 buckets, the worst case the
+    // guard exists for. cap=10 must refuse at batch 0 (exact tier-1
+    // bound 4·8·8 = 256); cap=5000 runs the exact tier on every batch
+    // and passes; the default cap clears tier 0 action-free — and the
+    // two completing runs must ledger identically (dial equality).
+    val text = graft.operators.Corpus.withGateScore(
+        Tables.documents(spark, sf0001))
+      .filter(col("score") === 4).orderBy("doc_id")
+      .limit(1).collect().head.getAs[String]("text")
+    val fix = new java.io.File("/tmp/graft_fixture/q205guard")
+    org.apache.commons.io.FileUtils.deleteQuietly(fix)
+    fix.mkdirs()
+    val ids = Seq(1L, 2L, 3L, 4L, 6L, 7L, 8L, 9L)
+    (ids ++ ids.map(_ + 10L) ++ ids.map(_ + 20L))
+      .map(id => (id, text, "en", "fix", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite")
+      .parquet(new java.io.File(fix, "documents.parquet").getPath)
+    def run(cap: Long): Seq[Seq[Long]] =
+      EventStreams.streamingNeardupAdmission(spark, fix.getPath,
+          nFiles = 3, maxLiveSegments = 1, maxProbePairs = cap)
+        .collect().map(r => (0 to 5).map(r.getLong)).toSeq
+    val refusal = intercept[Throwable] { run(10L) }
+    val messages = Iterator.iterate(refusal)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(messages.contains("maxProbePairs"),
+      s"guard refusal must carry the dial name; got:\n$messages")
+    val forced = run(5000L)
+    assert(forced === run(64L << 20),
+      "probe guard tier changed an admission/attribution decision")
+  }
+
   test("q172 transformWithState: RocksDB state persists across micro-batches") {
     // the 4-file chronological replay self-asserts >=2 data batches AND
     // >=1 user re-emitting (accumulated state), then folds the Update
