@@ -1766,7 +1766,10 @@ object EventStreams {
           // pre-filter join cardinality Σ_bucket c·c_batch and
           // refuses loudly above the cap, dial in the message.
           val bandRows = nGate * graft.operators.Dedup.Bands
-          val histRows = priorSegs.map(segRowMeta).sum
+          val histMetas = priorSegs.map(segRowMeta)
+          val histRows =
+            if (histMetas.exists(_ >= Long.MaxValue / 8)) Long.MaxValue / 8
+            else histMetas.sum
           // overflow-safe: skip only when (hist+batch)·batch provably
           // ≤ cap under floor division
           val tier0Clears = bandRows == 0L ||
