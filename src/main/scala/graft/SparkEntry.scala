@@ -589,6 +589,12 @@ object SparkEntry {
     "q209_streaming_neardup_amortized" -> ((s, d) =>
       graft.streaming.EventStreams.streamingNeardupAdmission(s, d,
         nFiles = 4, maxLiveSegments = 2)),
+    // the sign-LSH dedup family's live path (q25 on the stream): per-
+    // batch band-probe against committed signature segments, exact-
+    // cosine verify on ids-only pairs, q205's compaction + two-tier
+    // probe guard machinery verbatim on the vector table
+    "q210_streaming_embedding_neardup" -> ((s, d) =>
+      graft.streaming.EventStreams.streamingEmbeddingNeardup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -693,6 +699,8 @@ object SparkEntry {
     "q208_band_index_compact" -> Dedup.bandIndexCompactSql(),
     "q209_streaming_neardup_amortized" ->
       Corpus.streamingNeardupAdmissionSql(nBatches = 4),
+    "q210_streaming_embedding_neardup" ->
+      Similarity.streamingEmbeddingNeardupSql(),
     // round 12: KMV cells are engine-portable (md5-60 bottom-k), so
     // BOTH streaming distinct queries carry the one full oracle — the
     // q157 fold reconstructs the q141 per-window finals by design

@@ -2115,6 +2115,68 @@ object Similarity {
        |WHERE ${cosineExprDuck("e_a", "e_b")} >= $threshold
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Oracle for [[graft.streaming.EventStreams.streamingEmbeddingNeardup]]
+    * (q210): the whole replay restated per batch. Batch membership is
+    * the deterministic `vec_id·n div (max+1)` range split; bands are
+    * the FIXED 2×8-bit split of the same md5-derived 16-bit signature;
+    * the cosine tree is the one q25 hash-matches with. Ascending id
+    * ranges make `vec_a < vec_b` equivalent to "a admitted at or
+    * before b's batch", so the batch-at-a-time probe folds to this
+    * single global statement (the q205 oracle argument verbatim).
+    * Threshold in e-notation so DuckDB keeps the comparison in the
+    * same IEEE double tree Spark evaluates.
+    */
+  def streamingEmbeddingNeardupSql(nBatches: Int = 2,
+      threshold: String = "0.35e0"): String =
+    s"""WITH sigs AS MATERIALIZED (
+       |  SELECT vec_id, embedding, ${lshSigExprDuck("embedding")} AS sig
+       |  FROM embeddings),
+       |mx AS (SELECT MAX(vec_id) + 1 AS m FROM sigs),
+       |vb AS MATERIALIZED (
+       |  SELECT s.vec_id,
+       |    CAST((s.vec_id * $nBatches) // mx.m AS BIGINT) AS batch_idx
+       |  FROM sigs s CROSS JOIN mx),
+       |banded AS MATERIALIZED (
+       |  SELECT vec_id, r.b AS band_idx,
+       |    (sig >> (r.b * 8)) & 255 AS band_v
+       |  FROM sigs, (SELECT unnest(range(0, 2)) AS b) r),
+       |cands AS MATERIALIZED (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band_idx = b.band_idx AND a.band_v = b.band_v
+       |   AND a.vec_id < b.vec_id),
+       |sc AS MATERIALIZED (
+       |  SELECT c.vec_a, c.vec_b,
+       |    ${cosineExprDuck("x.embedding", "y.embedding")} AS cosine
+       |  FROM cands c
+       |  JOIN sigs x ON x.vec_id = c.vec_a
+       |  JOIN sigs y ON y.vec_id = c.vec_b),
+       |pv AS MATERIALIZED (
+       |  SELECT vbb.batch_idx, s.vec_b,
+       |    COUNT(*) AS n_pairs_b,
+       |    MAX(CASE WHEN s.cosine >= $threshold THEN 1 ELSE 0 END)
+       |      AS is_dup,
+       |    MAX(CASE WHEN s.cosine >= $threshold
+       |          AND vba.batch_idx < vbb.batch_idx
+       |        THEN 1 ELSE 0 END) AS by_hist
+       |  FROM sc s
+       |  JOIN vb vba ON vba.vec_id = s.vec_a
+       |  JOIN vb vbb ON vbb.vec_id = s.vec_b
+       |  GROUP BY 1, 2),
+       |led AS (SELECT batch_idx, COUNT(*) AS n_vecs FROM vb GROUP BY 1),
+       |agg AS (
+       |  SELECT batch_idx, SUM(n_pairs_b) AS n_cand,
+       |    SUM(is_dup) AS n_dup, SUM(by_hist) AS n_hist
+       |  FROM pv GROUP BY 1)
+       |SELECT l.batch_idx,
+       |  CAST(l.n_vecs AS BIGINT) AS n_vecs,
+       |  CAST(COALESCE(a.n_cand, 0) AS BIGINT) AS n_cand_pairs,
+       |  CAST(COALESCE(a.n_dup, 0) AS BIGINT) AS n_dup_dropped,
+       |  CAST(COALESCE(a.n_hist, 0) AS BIGINT) AS n_dropped_by_history,
+       |  CAST(l.n_vecs - COALESCE(a.n_dup, 0) AS BIGINT) AS n_admitted
+       |FROM led l LEFT JOIN agg a USING (batch_idx)
+       |ORDER BY l.batch_idx""".stripMargin
+
   /** Recall@k of the LSH index against brute-force ground truth — the
     * "measure, don't guess" gate every ANN deployment needs before it
     * replaces exact search. Per query: how many of the true top-k the

@@ -1673,6 +1673,83 @@ object EventStreams {
       new java.io.File(d, "_graft_rows").toPath,
       rows.toString.getBytes("UTF-8"))
 
+  /** The two-tier probe-volume bound shared by both streaming
+    * admission loops (text bands and embedding signatures): tier 0 is
+    * action-free — exact history row counts from the segments'
+    * sidecars × the known batch band rows, worst-case single-bucket
+    * product vs the cap under overflow-safe floor division; tier 1
+    * (only when tier 0 can't clear) pays one bucket-grain agg over the
+    * probe scan for the exact pre-filter join cardinality
+    * Σ_bucket c·c_batch and refuses loudly above the cap, dial in the
+    * message. `batchLo` separates batch from history rows — sound
+    * because staged replays commit ascending id ranges.
+    */
+  private def guardProbeVolume(probe: DataFrame,
+      priorSegs: Seq[java.io.File], bandRows: Long, batchLo: Long,
+      idCol: String, bucketCols: Seq[String], maxProbePairs: Long,
+      batchId: Long, tag: String): Unit = {
+    val histMetas = priorSegs.map(segRowMeta)
+    val histRows =
+      if (histMetas.exists(_ >= Long.MaxValue / 8)) Long.MaxValue / 8
+      else histMetas.sum
+    val tier0Clears = bandRows == 0L ||
+      (histRows < Long.MaxValue / 8 &&
+        histRows + bandRows <= maxProbePairs / bandRows)
+    if (!tier0Clears) {
+      val exactCand = probe
+        .groupBy(bucketCols.map(col): _*)
+        .agg(count(lit(1)).as("c"),
+          sum((col(idCol) >= batchLo).cast("long")).as("cb"))
+        .agg(coalesce(sum(col("c") * col("cb")), lit(0L)))
+        .head().getLong(0)
+      System.err.println(s"$tag: batch=$batchId histRows=$histRows " +
+        s"batchRows=$bandRows exact=$exactCand cap=$maxProbePairs")
+      require(exactCand <= maxProbePairs,
+        s"streaming near-dup probe at batch $batchId would " +
+          s"materialize $exactCand candidate rows (cap " +
+          s"$maxProbePairs). A bucket this hot means a degenerate " +
+          "near-identical inflow; raise maxProbePairs to force it " +
+          "through, or shard the band key upstream.")
+    }
+  }
+
+  /** Fold live segments into one `gen<batchId>` generation when they
+    * exceed the dial — shared by both streaming admission loops.
+    * Output file count derives from input bytes (never an
+    * unconditional coalesce(1) — round-13 verdict ask #1): one file at
+    * harness scale, parallelism growing with the index. `_SUCCESS` is
+    * committed before inputs are deleted (a crash between = double-
+    * listed rows the probe's distinct() absorbs); the generation's
+    * row-count sidecar is the sum of its inputs' (a fold is a pure row
+    * copy), with a poisoned input staying poisoned so the probe guard
+    * keeps taking its exact tier.
+    */
+  private def foldLiveSegmentsPastDial(spark: SparkSession,
+      segBase: java.io.File, batchId: Long, maxLiveSegments: Int,
+      foldTargetBytes: Long): Unit = {
+    val live = liveSegments(segBase)
+    if (live.length > maxLiveSegments) {
+      val gen = new java.io.File(segBase, s"gen$batchId")
+      val liveBytes = live.map { d =>
+        Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(_.getName.endsWith(".parquet"))
+          .map(_.length()).sum
+      }.sum
+      val nOut = math.max(1L,
+        (liveBytes + foldTargetBytes - 1) / foldTargetBytes).toInt
+      val folded = live.map(d => spark.read.parquet(d.getPath))
+        .reduce(_ unionByName _) // pure band-row copy
+      (if (nOut > 1) folded.repartition(nOut)
+       else folded.coalesce(1))
+        .write.mode("overwrite").parquet(gen.getPath)
+      val liveMetas = live.map(segRowMeta)
+      writeSegRowMeta(gen,
+        if (liveMetas.exists(_ >= Long.MaxValue / 8)) Long.MaxValue / 8
+        else liveMetas.sum)
+      live.foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    }
+  }
+
   def streamingNeardupAdmission(spark: SparkSession, sfDir: String,
       nFiles: Int = 2, maxLiveSegments: Int = 1,
       foldTargetBytes: Long = 64L << 20,
@@ -1754,45 +1831,13 @@ object EventStreams {
             .filterNot(_.getName == segDir.getName)
           val probe = priorSegs.foldLeft(batchBands)((acc, d) =>
             acc.unionByName(spark.read.parquet(d.getPath)))
-          // ---- probe-volume guard (round-14: count BEFORE the join
-          // materializes — the q185/q33/kNN discipline applied to the
-          // one self-join this loop runs forever). Tier 0 is FREE:
-          // exact history row counts come from the segments' sidecars
-          // and the batch side is nGate × Bands, so when even the
-          // worst case (every row in ONE bucket) clears the cap, no
-          // extra action runs — the bench/driver path at harness
-          // scale. Tier 1 (only when tier 0 can't clear) pays one
-          // bucket-grain agg over the probe scan for the exact
-          // pre-filter join cardinality Σ_bucket c·c_batch and
-          // refuses loudly above the cap, dial in the message.
-          val bandRows = nGate * graft.operators.Dedup.Bands
-          val histMetas = priorSegs.map(segRowMeta)
-          val histRows =
-            if (histMetas.exists(_ >= Long.MaxValue / 8)) Long.MaxValue / 8
-            else histMetas.sum
-          // overflow-safe: skip only when (hist+batch)·batch provably
-          // ≤ cap under floor division
-          val tier0Clears = bandRows == 0L ||
-            (histRows < Long.MaxValue / 8 &&
-              histRows + bandRows <= maxProbePairs / bandRows)
-          if (!tier0Clears) {
-            val exactCand = probe
-              .groupBy("band_idx", "band_key")
-              .agg(count(lit(1)).as("c"),
-                sum((col("doc_id") >= batchLo).cast("long")).as("cb"))
-              .agg(coalesce(sum(col("c") * col("cb")), lit(0L)))
-              .head().getLong(0)
-            System.err.println(s"probe-pair-volume: batch=$batchId " +
-              s"histRows=$histRows batchRows=$bandRows " +
-              s"exact=$exactCand cap=$maxProbePairs")
-            require(exactCand <= maxProbePairs,
-              s"streaming near-dup probe at batch $batchId would " +
-                s"materialize $exactCand candidate rows " +
-                s"(cap $maxProbePairs). A bucket this hot means a " +
-                "degenerate near-identical inflow; raise " +
-                "maxProbePairs to force it through, or shard the " +
-                "band key upstream.")
-          }
+          // probe-volume guard: count BEFORE the join materializes —
+          // the q185/q33/kNN discipline on the one self-join this
+          // loop runs forever ([[guardProbeVolume]])
+          guardProbeVolume(probe, priorSegs,
+            nGate * graft.operators.Dedup.Bands, batchLo, "doc_id",
+            Seq("band_idx", "band_key"), maxProbePairs, batchId,
+            "probe-pair-volume")
           val pairs = probe.select(col("doc_id").as("doc_a"),
               col("band_idx"), col("band_key"))
             .join(batchBands.select(col("doc_id").as("doc_b"),
@@ -1826,44 +1871,11 @@ object EventStreams {
             .filter(col("n_inter") * 2 >= col("n_union"))
             .groupBy(col("doc_b").as("doc_id"))
             .agg(max((col("doc_a") < batchLo).cast("long")).as("by_hist"))
-          // fold live segments into one generation when they exceed
-          // the dial: _SUCCESS-committed BEFORE inputs are deleted
-          // (crash between = double-listed rows the probe distinct()s)
-          val live = liveSegments(segBase)
-          if (live.length > maxLiveSegments) {
-            val gen = new java.io.File(segBase, s"gen$batchId")
-            // output file count DERIVED from the input bytes (round-13
-            // verdict: an unconditional coalesce(1) is the q33
-            // single-task shape inside the maintenance job that must
-            // run forever — at 100 TB a generation holds the full
-            // corpus band index and one task rewriting it is the
-            // bottleneck). ceil(bytes/target) files: one file at
-            // harness scale (listing + next read stay cheap), and the
-            // rewrite parallelism grows with the index, never the
-            // batch count. repartition (not coalesce) above one file
-            // so the SCAN side keeps its own parallelism too.
-            val liveBytes = live.map { d =>
-              Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
-                .filter(_.getName.endsWith(".parquet"))
-                .map(_.length()).sum
-            }.sum
-            val nOut = math.max(1L,
-              (liveBytes + foldTargetBytes - 1) / foldTargetBytes).toInt
-            val folded = live.map(d => spark.read.parquet(d.getPath))
-              .reduce(_ unionByName _) // pure band-row copy
-            (if (nOut > 1) folded.repartition(nOut)
-             else folded.coalesce(1))
-              .write.mode("overwrite").parquet(gen.getPath)
-            // generation sidecar = Σ folded sidecars (a fold is a pure
-            // row copy); a poisoned input sidecar stays poisoned so
-            // the guard keeps taking the exact tier
-            val liveMetas = live.map(segRowMeta)
-            writeSegRowMeta(gen,
-              if (liveMetas.exists(_ >= Long.MaxValue / 8))
-                Long.MaxValue / 8
-              else liveMetas.sum)
-            live.foreach(org.apache.commons.io.FileUtils.deleteQuietly)
-          }
+          // fold live segments past the dial (bytes-derived write
+          // parallelism, _SUCCESS before delete, sidecar = Σ inputs —
+          // [[foldLiveSegmentsPastDial]])
+          foldLiveSegmentsPastDial(spark, segBase, batchId,
+            maxLiveSegments, foldTargetBytes)
           // ledger: ONE action — the dup-stats agg IS the ledger row
           // (round-14 fusion: previously a head() collect plus a
           // separate one-row toDF write, two scheduled jobs per batch)
@@ -1892,6 +1904,203 @@ object EventStreams {
     }
     require(nData >= 2,
       s"neardup admission replay ran $nData data batches - the " +
+        "batch-vs-history probe path was not exercised")
+    spark.read.parquet(new java.io.File(outBase, "b*").getPath)
+      .smallSorted("batch_idx")
+  }
+
+  /** Stage `embeddings` as `nFiles` flat, id-ranged parquet files
+    * (the [[stageDocumentBatches]] idiom on the vector table: hoisted
+    * part files, pinned mtimes, mtime+key+files freshness).
+    */
+  def stageEmbeddingBatches(spark: SparkSession, sfDir: String,
+      nFiles: Int = 2): String = {
+    val staging = new java.io.File("/tmp/graft_stage",
+      "batched_embs_" + graft.sources.Tables.pathKey(sfDir))
+    val srcMtime =
+      try new java.io.File(sfDir, "embeddings.parquet").lastModified
+      catch { case _: Exception => 0L }
+    val marker = new java.io.File(staging, "_graft_stage_key")
+    val key = s"$srcMtime#$nFiles"
+    val fresh = srcMtime > 0L && marker.exists && {
+      try new String(java.nio.file.Files.readAllBytes(marker.toPath),
+        "UTF-8") == key
+      catch { case _: Exception => false }
+    } && (0 until nFiles).forall(i =>
+      new java.io.File(staging, f"b$i%04d.parquet").exists)
+    if (fresh) return staging.getPath
+    org.apache.commons.io.FileUtils.deleteQuietly(staging)
+    staging.mkdirs()
+    val vecs = graft.sources.Tables.embeddings(spark, sfDir)
+    val maxId = vecs.agg(max("vec_id")).head().getLong(0)
+    val ds = vecs.withColumn("_b",
+        expr(s"CAST((vec_id * $nFiles) div ${maxId + 1}L AS INT)"))
+      .localCheckpoint(true)
+    (0 until nFiles).foreach { i =>
+      val tmp = new java.io.File(staging, s"_w$i")
+      ds.filter(col("_b") === i).drop("_b")
+        .coalesce(1).write.parquet(tmp.getPath)
+      val part = tmp.listFiles.find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(staging, f"b$i%04d.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+      dest.setLastModified(1000000L * (i + 1))
+    }
+    java.nio.file.Files.write(marker.toPath, key.getBytes("UTF-8"))
+    staging.getPath
+  }
+
+  /** q210 — STREAMING EMBEDDING NEAR-DUP ADMISSION: the sign-LSH
+    * dedup family's live path, the exact counterpart of [[
+    * streamingNeardupAdmission]] on the vector table. Staged id-ranged
+    * embedding batches replay one file per trigger; each micro-batch
+    * (a) signs its vectors with the SHARED 16-bit hyperplane signature
+    * (`graft.functions.lsh_sig` under `Similarity.planeSigns` — the
+    * q25 definition, so stream and batch can never drift), (b) bands
+    * the signature at a FIXED 2×8-bit dial (a stream cannot re-derive
+    * q25's whole-corpus adaptive dial per batch without rebanding
+    * history; 2×8 is the rung the q25 ladder picks for the dense
+    * corpora this path exists for, and the oracle bands identically),
+    * (c) probes the union of all prior committed band segments plus
+    * its own bands for candidates, verifies them with the EXACT cosine
+    * (`cosine_sim`, id-keyed joins on ids-only pairs — payloads never
+    * ride the pair exchange; the vector lookup broadcasts under the
+    * size gate), and drops the larger id of every pair at or above the
+    * threshold — ascending staged ranges make every earlier-batch
+    * vec_id smaller, the q196/q205 "compares against all below it"
+    * rule — then (d) commits its own band rows as a `_SUCCESS` segment
+    * (row-count sidecar included) and its ledger to an idempotent
+    * per-batch dir. Segment compaction and the two-tier probe-volume
+    * guard are the [[streamingNeardupAdmission]] machinery verbatim.
+    *
+    * The DuckDB oracle restates the whole replay per batch (batch
+    * membership is the deterministic `vec_id·n div (max+1)` split;
+    * banding, cosine, and threshold are the same expressions q25
+    * hash-matches with), so every ledger cell is cross-engine checked.
+    *
+    * Output per batch: vectors seen, candidate pairs probed, dup
+    * drops (split out: dropped by a HISTORY partner), final admits.
+    */
+  def streamingEmbeddingNeardup(spark: SparkSession, sfDir: String,
+      nFiles: Int = 2, maxLiveSegments: Int = 1,
+      foldTargetBytes: Long = 64L << 20,
+      maxProbePairs: Long = 64L << 20,
+      threshold: Double = 0.35): DataFrame = {
+    val nBandsDial = 2
+    val bitsPerBand = 8
+    val mask = (1 << bitsPerBand) - 1
+    val staging = stageEmbeddingBatches(spark, sfDir, nFiles)
+    val base = new java.io.File("/tmp/graft_stream_sink",
+      "embneardup_" + graft.sources.Tables.pathKey(sfDir) +
+        s"_n${nFiles}m$maxLiveSegments")
+    org.apache.commons.io.FileUtils.deleteQuietly(base)
+    val outBase = new java.io.File(base, "out")
+    val segBase = new java.io.File(base, "seg")
+    outBase.mkdirs()
+    segBase.mkdirs()
+    val nData = withStatePartitions(spark, 8) {
+      val stream = spark.readStream
+        .schema(graft.sources.Tables.embeddingsSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // sign + band in one spread scan (lsh_sig is native but the
+          // arriving file's split count would still serialize it at
+          // scale — the round-14 foreachBatch parallelism rule), then
+          // ONE checkpoint feeds the stats agg, the segment write, and
+          // both sides of the probe join
+          val bands = graft.sources.Tables.withMinParallelism(batch,
+              spark.sparkContext.defaultParallelism)
+            .select(col("vec_id"),
+              graft.functions.lsh_sig(col("embedding"),
+                graft.operators.Similarity.planeSigns)
+                .cast("long").as("sig"))
+            .select(col("vec_id"), explode(expr(
+              s"""transform(sequence(0, ${nBandsDial - 1}), b ->
+                 |  named_struct('band_idx', b,
+                 |    'band_v', (sig >> (b * $bitsPerBand)) & $mask))"""
+                .stripMargin)).as("bv"))
+            .select(col("vec_id"), col("bv.band_idx").as("band_idx"),
+              col("bv.band_v").as("band_v"))
+            .localCheckpoint(true)
+          val st = bands
+            .agg(count(lit(1)),
+              coalesce(min("vec_id"), lit(Long.MaxValue)))
+            .head()
+          val bandRows = st.getLong(0)
+          val nVecs = bandRows / nBandsDial
+          val batchLo = st.getLong(1)
+          val segDir = new java.io.File(segBase, s"b$batchId")
+          val segParts = math.max(1L,
+            math.min(64L, bandRows / 500000L + 1L)).toInt
+          (if (segParts > 1) bands.repartition(segParts)
+           else bands.coalesce(1))
+            .write.mode("overwrite").parquet(segDir.getPath)
+          writeSegRowMeta(segDir, bandRows)
+          val priorSegs = liveSegments(segBase)
+            .filterNot(_.getName == segDir.getName)
+          val probe = priorSegs.foldLeft(bands)((acc, d) =>
+            acc.unionByName(spark.read.parquet(d.getPath)))
+          // two-tier probe-volume guard — [[guardProbeVolume]]
+          guardProbeVolume(probe, priorSegs, bandRows, batchLo,
+            "vec_id", Seq("band_idx", "band_v"), maxProbePairs,
+            batchId, "emb-probe-pair-volume")
+          val pairs = probe.select(col("vec_id").as("vec_a"),
+              col("band_idx"), col("band_v"))
+            .join(bands.select(col("vec_id").as("vec_b"),
+              col("band_idx"), col("band_v")),
+              Seq("band_idx", "band_v"))
+            .filter(col("vec_a") < col("vec_b"))
+            .select("vec_a", "vec_b").distinct()
+            .localCheckpoint(true)
+          // exact-cosine verify on ids-only pairs: vectors attach via
+          // size-gated broadcast lookups, never ride the pair exchange
+          val vecs = graft.operators.Joins.broadcastIfSmall(
+            graft.sources.Tables.embeddings(spark, sfDir)
+              .select(col("vec_id"), col("embedding")))
+          val scoredPairs = pairs
+            .join(vecs.select(col("vec_id").as("vec_a"),
+              col("embedding").as("e_a")), Seq("vec_a"))
+            .join(vecs.select(col("vec_id").as("vec_b"),
+              col("embedding").as("e_b")), Seq("vec_b"))
+            .withColumn("cosine",
+              graft.functions.cosine_sim(col("e_a"), col("e_b")))
+          // ledger: ONE action — per-vec fold then the global row
+          scoredPairs
+            .groupBy(col("vec_b"))
+            .agg(count(lit(1)).as("n_pairs_b"),
+              max((col("cosine") >= threshold).cast("long"))
+                .as("is_dup"),
+              max((col("cosine") >= threshold &&
+                col("vec_a") < batchLo).cast("long")).as("by_hist"))
+            .agg(coalesce(sum("n_pairs_b"), lit(0L)).as("n_cand_pairs"),
+              coalesce(sum("is_dup"), lit(0L)).as("n_dup_dropped"),
+              coalesce(sum("by_hist"), lit(0L))
+                .as("n_dropped_by_history"))
+            .select(lit(batchId).as("batch_idx"),
+              lit(nVecs).as("n_vecs"), col("n_cand_pairs"),
+              col("n_dup_dropped"), col("n_dropped_by_history"),
+              (lit(nVecs) - col("n_dup_dropped")).as("n_admitted"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(new java.io.File(outBase, s"b$batchId").getPath)
+          // fold live segments past the dial — the q205 compaction
+          // machinery ([[foldLiveSegmentsPastDial]])
+          foldLiveSegmentsPastDial(spark, segBase, batchId,
+            maxLiveSegments, foldTargetBytes)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      System.err.println("embneardup-batch-ms: " + q.recentProgress
+        .filter(_.numInputRows > 0)
+        .map(p => p.durationMs.getOrDefault("triggerExecution", -1L))
+        .mkString(","))
+      q.recentProgress.count(_.numInputRows > 0)
+    }
+    require(nData >= 2,
+      s"embedding neardup replay ran $nData data batches - the " +
         "batch-vs-history probe path was not exercised")
     spark.read.parquet(new java.io.File(outBase, "b*").getPath)
       .smallSorted("batch_idx")

@@ -451,6 +451,32 @@ class StreamingSpec extends SparkSpec {
       "probe guard tier changed an admission/attribution decision")
   }
 
+  test("q210 cross-batch drop: a later batch's duplicate vector drops BY HISTORY") {
+    // v11 is a verbatim copy of v1 (cosine 1, identical signature —
+    // band-agree guaranteed); v2 is orthogonal. nFiles = 2 splits ids
+    // [0,6) / [6,12): batch 1 must drop v11 against batch 0's segment.
+    val mk = (hot: Int) => Array.tabulate(64)(i =>
+      if (i == hot) 1.0f else 0.0f)
+    val rows = Seq((1L, mk(0), 1), (2L, mk(7), 2), (11L, mk(0), 1))
+      .map { case (id, e, l) =>
+        org.apache.spark.sql.Row(id, e.toSeq, l) }
+    val fix = new java.io.File("/tmp/graft_fixture/q210")
+    org.apache.commons.io.FileUtils.deleteQuietly(fix)
+    fix.mkdirs()
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        Tables.embeddingsSchema)
+      .write.mode("overwrite")
+      .parquet(new java.io.File(fix, "embeddings.parquet").getPath)
+    val led = EventStreams.streamingEmbeddingNeardup(spark, fix.getPath)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    // (n_vecs, n_dup_dropped, n_dropped_by_history, n_admitted)
+    assert(led(0L) === ((2L, 0L, 0L, 2L)))
+    assert(led(1L) === ((1L, 1L, 1L, 0L)))
+  }
+
   test("q172 transformWithState: RocksDB state persists across micro-batches") {
     // the 4-file chronological replay self-asserts >=2 data batches AND
     // >=1 user re-emitting (accumulated state), then folds the Update
