@@ -1985,9 +1985,15 @@ object EventStreams {
       nFiles: Int = 2, maxLiveSegments: Int = 1,
       foldTargetBytes: Long = 64L << 20,
       maxProbePairs: Long = 64L << 20,
-      threshold: Double = 0.35): DataFrame = {
-    val nBandsDial = 2
-    val bitsPerBand = 8
+      threshold: Double = 0.35,
+      // the banding rung (q25 ladder grain): candidates scale with
+      // history·batch / 2^bits, so a denser inflow takes a tighter
+      // rung — the registered row pins 2×8 (the oracle bands
+      // identically); the sf10 soak demonstrates 1×16 as the
+      // dense-corpus operating point (SOAK.md round-14)
+      nBandsDial: Int = 2, bitsPerBand: Int = 8): DataFrame = {
+    require(nBandsDial * bitsPerBand <= 16,
+      s"dial ${nBandsDial}x$bitsPerBand exceeds the 16-bit signature")
     val mask = (1 << bitsPerBand) - 1
     val staging = stageEmbeddingBatches(spark, sfDir, nFiles)
     val base = new java.io.File("/tmp/graft_stream_sink",
@@ -2053,9 +2059,11 @@ object EventStreams {
               Seq("band_idx", "band_v"))
             .filter(col("vec_a") < col("vec_b"))
             .select("vec_a", "vec_b").distinct()
-            .localCheckpoint(true)
           // exact-cosine verify on ids-only pairs: vectors attach via
-          // size-gated broadcast lookups, never ride the pair exchange
+          // size-gated broadcast lookups, never ride the pair exchange.
+          // No checkpoint on pairs — unlike the text path (two
+          // consumers), the ledger agg is its only consumer and it
+          // runs BEFORE the fold deletes any probed segment
           val vecs = graft.operators.Joins.broadcastIfSmall(
             graft.sources.Tables.embeddings(spark, sfDir)
               .select(col("vec_id"), col("embedding")))
