@@ -477,6 +477,40 @@ class StreamingSpec extends SparkSpec {
     assert(led(1L) === ((1L, 1L, 1L, 0L)))
   }
 
+  test("q210 banding rung is recall-invariant for exact-copy vectors") {
+    // identical vectors have identical 16-bit signatures, so they
+    // band-agree at EVERY rung — the drop set must not depend on the
+    // dial (the production claim behind the sf10 1×16 operating
+    // point; SOAK.md round-14). Two copy pairs spanning the batch
+    // boundary plus one non-dup: 2×8 and 1×16 must ledger identically.
+    val mk = (hot: Int) => Array.tabulate(64)(i =>
+      if (i == hot) 1.0f else 0.0f)
+    val rows = Seq((1L, mk(0), 1), (2L, mk(7), 2), (3L, mk(11), 3),
+        (11L, mk(0), 1), (12L, mk(11), 3))
+      .map { case (id, e, l) =>
+        org.apache.spark.sql.Row(id, e.toSeq, l) }
+    val fix = new java.io.File("/tmp/graft_fixture/q210dial")
+    org.apache.commons.io.FileUtils.deleteQuietly(fix)
+    fix.mkdirs()
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        Tables.embeddingsSchema)
+      .write.mode("overwrite")
+      .parquet(new java.io.File(fix, "embeddings.parquet").getPath)
+    def run(nb: Int, bits: Int): Seq[(Long, Long, Long, Long, Long)] =
+      EventStreams.streamingEmbeddingNeardup(spark, fix.getPath,
+          nBandsDial = nb, bitsPerBand = bits)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSeq
+    val loose = run(2, 8)
+    // both copies land in batch 1 and drop by history against batch 0
+    assert(loose.map(t => (t._1, t._3, t._4, t._5)) ===
+      Seq((0L, 0L, 0L, 3L), (1L, 2L, 2L, 0L)))
+    assert(loose === run(1, 16),
+      "exact-copy drops must be banding-rung-invariant")
+  }
+
   test("q172 transformWithState: RocksDB state persists across micro-batches") {
     // the 4-file chronological replay self-asserts >=2 data batches AND
     // >=1 user re-emitting (accumulated state), then folds the Update
