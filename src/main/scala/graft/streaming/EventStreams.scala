@@ -1683,11 +1683,21 @@ object EventStreams {
     * Σ_bucket c·c_batch and refuses loudly above the cap, dial in the
     * message. `batchLo` separates batch from history rows — sound
     * because staged replays commit ascending id ranges.
+    *
+    * Returns the probe frame the CALLER should join on: at production
+    * scale tier 1 runs on essentially every batch (tier 0 clears only
+    * while history ≤ cap/batch), and its agg would re-scan the same
+    * history the pairs join is about to scan — so once the probe
+    * exceeds `ckptProbeRows` (sidecar-derived, no action) it is
+    * localCheckpointed ONCE and both the bound agg and the join read
+    * the blocks; below the threshold two small scans are cheaper than
+    * a checkpoint and the frame passes through untouched.
     */
-  private def guardProbeVolume(probe: DataFrame,
+  private[graft] def guardProbeVolume(probe: DataFrame,
       priorSegs: Seq[java.io.File], bandRows: Long, batchLo: Long,
       idCol: String, bucketCols: Seq[String], maxProbePairs: Long,
-      batchId: Long, tag: String): Unit = {
+      batchId: Long, tag: String,
+      ckptProbeRows: Long = 4000000L): DataFrame = {
     val histMetas = priorSegs.map(segRowMeta)
     val histRows =
       if (histMetas.exists(_ >= Long.MaxValue / 8)) Long.MaxValue / 8
@@ -1695,22 +1705,27 @@ object EventStreams {
     val tier0Clears = bandRows == 0L ||
       (histRows < Long.MaxValue / 8 &&
         histRows + bandRows <= maxProbePairs / bandRows)
-    if (!tier0Clears) {
-      val exactCand = probe
-        .groupBy(bucketCols.map(col): _*)
-        .agg(count(lit(1)).as("c"),
-          sum((col(idCol) >= batchLo).cast("long")).as("cb"))
-        .agg(coalesce(sum(col("c") * col("cb")), lit(0L)))
-        .head().getLong(0)
-      System.err.println(s"$tag: batch=$batchId histRows=$histRows " +
-        s"batchRows=$bandRows exact=$exactCand cap=$maxProbePairs")
-      require(exactCand <= maxProbePairs,
-        s"streaming near-dup probe at batch $batchId would " +
-          s"materialize $exactCand candidate rows (cap " +
-          s"$maxProbePairs). A bucket this hot means a degenerate " +
-          "near-identical inflow; raise maxProbePairs to force it " +
-          "through, or shard the band key upstream.")
-    }
+    if (tier0Clears) return probe
+    val probeShared: DataFrame =
+      if (histRows < Long.MaxValue / 8 &&
+          histRows + bandRows > ckptProbeRows)
+        probe.localCheckpoint(true)
+      else probe
+    val exactCand = probeShared
+      .groupBy(bucketCols.map(col): _*)
+      .agg(count(lit(1)).as("c"),
+        sum((col(idCol) >= batchLo).cast("long")).as("cb"))
+      .agg(coalesce(sum(col("c") * col("cb")), lit(0L)))
+      .head().getLong(0)
+    System.err.println(s"$tag: batch=$batchId histRows=$histRows " +
+      s"batchRows=$bandRows exact=$exactCand cap=$maxProbePairs")
+    require(exactCand <= maxProbePairs,
+      s"streaming near-dup probe at batch $batchId would " +
+        s"materialize $exactCand candidate rows (cap " +
+        s"$maxProbePairs). A bucket this hot means a degenerate " +
+        "near-identical inflow; raise maxProbePairs to force it " +
+        "through, or shard the band key upstream.")
+    probeShared
   }
 
   /** Fold live segments into one `gen<batchId>` generation when they
@@ -1833,12 +1848,14 @@ object EventStreams {
             acc.unionByName(spark.read.parquet(d.getPath)))
           // probe-volume guard: count BEFORE the join materializes —
           // the q185/q33/kNN discipline on the one self-join this
-          // loop runs forever ([[guardProbeVolume]])
-          guardProbeVolume(probe, priorSegs,
+          // loop runs forever; the returned frame shares one probe
+          // scan between the bound agg and the join at scale
+          // ([[guardProbeVolume]])
+          val probeG = guardProbeVolume(probe, priorSegs,
             nGate * graft.operators.Dedup.Bands, batchLo, "doc_id",
             Seq("band_idx", "band_key"), maxProbePairs, batchId,
             "probe-pair-volume")
-          val pairs = probe.select(col("doc_id").as("doc_a"),
+          val pairs = probeG.select(col("doc_id").as("doc_a"),
               col("band_idx"), col("band_key"))
             .join(batchBands.select(col("doc_id").as("doc_b"),
               col("band_idx"), col("band_key")),
@@ -2048,11 +2065,13 @@ object EventStreams {
             .filterNot(_.getName == segDir.getName)
           val probe = priorSegs.foldLeft(bands)((acc, d) =>
             acc.unionByName(spark.read.parquet(d.getPath)))
-          // two-tier probe-volume guard — [[guardProbeVolume]]
-          guardProbeVolume(probe, priorSegs, bandRows, batchLo,
-            "vec_id", Seq("band_idx", "band_v"), maxProbePairs,
-            batchId, "emb-probe-pair-volume")
-          val pairs = probe.select(col("vec_id").as("vec_a"),
+          // two-tier probe-volume guard — [[guardProbeVolume]]; the
+          // returned frame shares one probe scan between the bound
+          // agg and the join at scale
+          val probeG = guardProbeVolume(probe, priorSegs, bandRows,
+            batchLo, "vec_id", Seq("band_idx", "band_v"),
+            maxProbePairs, batchId, "emb-probe-pair-volume")
+          val pairs = probeG.select(col("vec_id").as("vec_a"),
               col("band_idx"), col("band_v"))
             .join(bands.select(col("vec_id").as("vec_b"),
               col("band_idx"), col("band_v")),

@@ -477,6 +477,31 @@ class StreamingSpec extends SparkSpec {
     assert(led(1L) === ((1L, 1L, 1L, 0L)))
   }
 
+  test("probe guard shares one scan past the checkpoint threshold, rows unchanged") {
+    import spark.implicits._
+    // tier 1 with a sub-cap exact bound and ckptProbeRows = 0: the
+    // helper must hand back a CHECKPOINTED frame (the bound agg and
+    // the downstream join then read one materialization instead of
+    // scanning history twice) carrying exactly the input rows
+    val probe = Seq((5L, 0, 1L), (6L, 0, 1L))
+      .toDF("doc_id", "band_idx", "band_key")
+    val shared = EventStreams.guardProbeVolume(probe, Seq.empty,
+      bandRows = 4L, batchLo = 5L, idCol = "doc_id",
+      bucketCols = Seq("band_idx", "band_key"), maxProbePairs = 10L,
+      batchId = 0L, tag = "spec-probe-volume", ckptProbeRows = 0L)
+    assert(shared ne probe)
+    assert(shared.queryExecution.analyzed.getClass.getSimpleName
+      .contains("LogicalRDD"),
+      s"expected a checkpointed frame, got ${shared.queryExecution.analyzed.getClass}")
+    assert(shared.collect().toSet === probe.collect().toSet)
+    // below the threshold the frame passes through untouched
+    val passthrough = EventStreams.guardProbeVolume(probe, Seq.empty,
+      bandRows = 4L, batchLo = 5L, idCol = "doc_id",
+      bucketCols = Seq("band_idx", "band_key"), maxProbePairs = 10L,
+      batchId = 0L, tag = "spec-probe-volume")
+    assert(passthrough eq probe)
+  }
+
   test("q210 banding rung is recall-invariant for exact-copy vectors") {
     // identical vectors have identical 16-bit signatures, so they
     // band-agree at EVERY rung — the drop set must not depend on the
