@@ -1781,19 +1781,6 @@ object EventStreams {
     val segBase = new java.io.File(base, "seg")
     outBase.mkdirs()
     segBase.mkdirs()
-    // cardinality-derived checkpoint flip (the presentationSorted
-    // discipline at batch grain): the scored frame has two consumers
-    // (stats agg + banding), so below ~1 MiB/batch recomputing the
-    // fused gate battery is cheaper than a checkpoint's scheduled
-    // job; above it (sf1+ grains, where the battery is seconds of
-    // task time) the checkpoint wins. Derived from staged bytes —
-    // zero actions, value-identical either way (the battery is
-    // deterministic).
-    val perBatchBytes = Option(new java.io.File(staging).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(_.getName.endsWith(".parquet"))
-      .map(_.length()).sum / math.max(nFiles, 1)
-    val ckptScored = perBatchBytes > (1L << 20)
     val nData = withStatePartitions(spark, 8) {
       val stream = spark.readStream
         .schema(graft.sources.Tables.documentsSchema)
@@ -1811,12 +1798,17 @@ object EventStreams {
           // batch frame arrives with the FILE's split count — 7 tasks
           // at sf10 made the scan stage 9.4 s where 32 spread tasks
           // take ~2 s (Prof round-14)
-          val scoredRaw = graft.operators.Corpus.withGateScore(
+          // scored is ALWAYS checkpointed: its two consumers would
+          // otherwise each replay the withMinParallelism SHUFFLE plus
+          // the gate battery — a round-14 A/B of skipping below
+          // 1 MiB/batch measured q205 ~1 s SLOWER at sf0.1 (the
+          // recompute cost is fixed shuffle machinery, not data size,
+          // so the checkpoint wins at every scale)
+          val scored = graft.operators.Corpus.withGateScore(
               graft.sources.Tables.withMinParallelism(
                 batch.filter(pmod(col("doc_id"), lit(5)) =!= 0),
                 spark.sparkContext.defaultParallelism))
-          val scored =
-            if (ckptScored) scoredRaw.localCheckpoint(true) else scoredRaw
+            .localCheckpoint(true)
           val trainStats = scored
             .agg(count(lit(1)), coalesce(min("doc_id"), lit(Long.MaxValue)),
               sum((col("score") === 4).cast("long")))
