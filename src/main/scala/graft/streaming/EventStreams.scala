@@ -1439,8 +1439,12 @@ object EventStreams {
     */
   def stageDocumentBatches(spark: SparkSession, sfDir: String,
       nFiles: Int = 3): String = {
+    // dir name carries nFiles (the stageChronologicalEvents rule):
+    // q205 (n=2) and q209 (n=4) otherwise thrash one shared memo,
+    // rebuilding the split twice per bench/Verify pass
     val staging = new java.io.File("/tmp/graft_stage",
-      "batched_docs_" + graft.sources.Tables.pathKey(sfDir))
+      "batched_docs_" + graft.sources.Tables.pathKey(sfDir) +
+        s"_n$nFiles")
     val srcMtime =
       try new java.io.File(sfDir, "documents.parquet").lastModified
       catch { case _: Exception => 0L }
@@ -1939,7 +1943,8 @@ object EventStreams {
   def stageEmbeddingBatches(spark: SparkSession, sfDir: String,
       nFiles: Int = 2): String = {
     val staging = new java.io.File("/tmp/graft_stage",
-      "batched_embs_" + graft.sources.Tables.pathKey(sfDir))
+      "batched_embs_" + graft.sources.Tables.pathKey(sfDir) +
+        s"_n$nFiles")
     val srcMtime =
       try new java.io.File(sfDir, "embeddings.parquet").lastModified
       catch { case _: Exception => 0L }
