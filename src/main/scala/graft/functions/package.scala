@@ -30,6 +30,13 @@ package object functions {
   def mingram_fp(c: Column): Column =
     toColumn(MinGramFpExpr(toExpression(c)))
 
+  /** |A ∩ B| (long) of two sorted distinct array<long> columns —
+    * value-identical to `size(array_intersect(a, b))` under the
+    * [[ShingleHashesExpr]] sorted+distinct output contract.
+    */
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    toColumn(SortedIntersectCountExpr(toExpression(a), toExpression(b)))
+
   /** Cosine similarity (double) of two array<float> columns. */
   def cosine_sim(a: Column, b: Column): Column =
     toColumn(CosineSimExpr(toExpression(a), toExpression(b)))

@@ -1005,8 +1005,13 @@ object Dedup {
             Seq("doc_b"))
       }
     scored
+      // merge-walk count (round-15): sh comes from shingle_hashes
+      // (sorted distinct longs), so sorted_intersect_count is
+      // value-identical to size(array_intersect) at ~1/10 the per-pair
+      // cost — and the jaccard threshold Catalyst pushes into the join
+      // condition re-evaluates a cheap walk, not a hash-set build
       .withColumn("n_inter",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        graft.functions.sorted_intersect_count(col("sh_a"), col("sh_b")))
       .withColumn("jaccard", col("n_inter").cast("double") /
         (size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long")
           - col("n_inter")))
@@ -1184,15 +1189,25 @@ object Dedup {
       .localCheckpoint(true)
     val sets = base.select(col("doc_id"), col("hs"),
       size(col("hs")).cast("long").as("sz"))
-    val tk = base.select(col("doc_id"), explode(col("hs")).as("t"))
-    val dft = tk.groupBy("t").agg(count(lit(1)).as("df_t"))
-    val pref = tk.join(dft, Seq("t"))
+    // Posting view with sz carried THROUGH the explode (round-15): the
+    // old shape joined sz back at doc grain and computed df_t with a
+    // separate aggregate + token-grain join — three exchanges and a
+    // join of the 1.8M-row posting frame. df_t as an entire-partition
+    // window count over t (identical values) and sz as a free explode
+    // passenger collapse pref to exactly two exchanges (t, then
+    // doc_id) with zero joins. pref is then CHECKPOINTED: both its
+    // consumers (the early volume bound and the candidate self-join)
+    // are separate actions that each re-executed the ~13 s-CPU chain.
+    val tk = base.select(col("doc_id"),
+      size(col("hs")).cast("long").as("sz"), explode(col("hs")).as("t"))
+    val pref = tk
+      .withColumn("df_t", count(lit(1)).over(Window.partitionBy("t")))
       .withColumn("pos", row_number().over(
         Window.partitionBy("doc_id").orderBy("df_t", "t")))
-      .join(sets.select("doc_id", "sz"), Seq("doc_id"))
       .filter(col("pos") <=
         expr(s"sz - ((sz * $tauNum + ${tauDen - 1}) div $tauDen) + 1"))
       .select(col("doc_id"), col("t"), col("sz"))
+      .localCheckpoint(true)
     // EARLY VOLUME BOUND (round-14 sf10 probe): the exact guard below
     // counts candidates only AFTER the prefix self-join materializes
     // them — at 100× the materialization itself is the blowup (the
@@ -1247,19 +1262,41 @@ object Dedup {
         f"$maxCandPerDoc%d/doc) — the corpus is too near-dup-dense for " +
         "prefix filtering at this tau; raise tau, pre-block the corpus, " +
         "or raise maxCandPerDoc deliberately")
-    cand
+    // SPREAD the verify stage (round-15): cand's checkpoint inherits
+    // AQE's coalesced post-distinct partitioning — at sf0.1 that is ONE
+    // partition, so the whole intersect verify ran single-task on a
+    // 32-core session (guide §2.5 straggler shape, measured: the two
+    // tail stages were 1.4 s + 1.2 s serial). The repartition moves
+    // only (doc_a, doc_b) id pairs; scoring parallelism then follows
+    // pair volume (the round-13 q33 discipline).
+    val candSpread = Tables.withMinParallelism(cand,
+      docs.sparkSession.sparkContext.defaultParallelism)
+    // verify: one merge-walk intersect count per pair
+    // (sorted_intersect_count over ShingleHashesExpr's sorted distinct
+    // arrays — value-identical to size(array_intersect), ~10x cheaper,
+    // and cheap enough that Catalyst pushing the admission threshold
+    // into the join condition no longer matters). The scored result is
+    // eagerly checkpointed BEFORE the presentation sort: a global
+    // orderBy's range-exchange SAMPLES ITS CHILD with a separate job,
+    // which re-executed the entire verify join a second time (both
+    // tail stages measured near-equal cost); sorting the checkpoint
+    // pays the verify exactly once, and presentationSorted picks the
+    // one-task sort while the admitted-pair count is presentation-
+    // sized (identical total order either way).
+    val scored = candSpread
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
         col("sz").as("sz_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
         col("sz").as("sz_b")), Seq("doc_b"))
-      .withColumn("o", size(array_intersect(col("ha"), col("hb")))
-        .cast("long"))
+      .withColumn("o",
+        graft.functions.sorted_intersect_count(col("ha"), col("hb")))
       .filter(col("o") * (tauNum + tauDen) >=
         lit(tauNum) * (col("sz_a") + col("sz_b")))
       .select(col("doc_a"), col("doc_b"), col("o"),
         col("sz_a"), col("sz_b"),
         expr("o * 1000000 div (sz_a + sz_b - o)").as("jaccard_ppm"))
-      .orderBy("doc_a", "doc_b")
+      .localCheckpoint(true)
+    Tables.presentationSorted(scored, col("doc_a"), col("doc_b"))
   }
 
   /** Oracle for [[allPairsJaccard]]: the identical prefix index and
