@@ -106,8 +106,43 @@ object Bench {
       case (k, v) if harness(k) && v >= 0 => v }.sum)
     val analyticTotal = r3(total - diagTotal - harnessTotal)
     val split = s""""analytic":$analyticTotal,"diagnostics":$diagTotal,"harness":$harnessTotal"""
+    // Machine-drift self-normalization (round-15, the round-14 verdict's
+    // bench-hygiene ask): this VM class drifts 0.97-1.2x within a day,
+    // so cross-round per-query deltas only mean something relative to
+    // the committed same-code control. Emit the median per-query ratio
+    // against the newest committed BENCH_LOCAL_r*.json so the
+    // normalization is in the bench line itself instead of a manual
+    // post-pass. Median over all shared queries (>=50 ms in the
+    // control): at most a handful change per round, so code wins/losses
+    // cannot move the median — it measures the HOST. Non-fatal and
+    // omitted when no control file is present (e.g. the driver's bare
+    // checkout runs from the repo root, where the controls live).
+    val drift: Option[Double] = try {
+      val ctrl = Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .filter(f => f.getName.matches("BENCH_LOCAL_r\\d+\\.json"))
+        .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
+        .lastOption
+      ctrl.flatMap { f =>
+        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
+          "UTF-8")
+        val entry = "\"(q[0-9]\\w+)\":([0-9.]+)".r
+        // take per-query times from the control's "queries" object only
+        val qsTxt = txt.indexOf("\"queries\":")
+        val old = if (qsTxt < 0) Map.empty[String, Double]
+          else entry.findAllMatchIn(txt.substring(qsTxt))
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val cur = results.toMap
+        val ratios = old.toSeq.collect {
+          case (k, v) if v >= 0.05 && cur.getOrElse(k, -1.0) > 0 =>
+            cur(k) / v
+        }.sorted
+        if (ratios.size < 20) None
+        else Some(math.rint(ratios(ratios.size / 2) * 1000) / 1000)
+      }
+    } catch { case _: Throwable => None }
+    val driftField = drift.map(d => s""","drift_ratio":$d""").getOrElse("")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec",$split,"queries":$qs,"sf":"$sfDir","passes":$passes}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$split$driftField,"queries":$qs,"sf":"$sfDir","passes":$passes}"""
     println(line)
     // The driver keeps only the last ~2000 chars of output; with 100+
     // queries the detail line above overflows that window and the head
@@ -115,7 +150,7 @@ object Bench {
     // always carries the headline numbers, and persist the full line.
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(8)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec",$split,"nqueries":${results.size},"slowest":$slowest,"sf":"$sfDir","passes":$passes}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",$split$driftField,"nqueries":${results.size},"slowest":$slowest,"sf":"$sfDir","passes":$passes}""")
     try {
       val p = java.nio.file.Paths.get("bench_detail.json")
       java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))

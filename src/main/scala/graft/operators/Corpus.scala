@@ -642,11 +642,22 @@ object Corpus {
     val train = docGateScores(spark, sfDir)
       .filter(pmod(col("doc_id"), lit(5)) =!= 0)
       .localCheckpoint(true)
-    val nTrain = train.count()
-    val gateDetail = train.agg(sum("score")).head().getLong(0)
+    // ledger-scalar FUSION (round-15): each ledger action is a full
+    // driver job (~0.15-0.25 s of scheduling/planning floor each on a
+    // warm session — the stage walls of this query sum to ~1.9 s of a
+    // ~5 s wall, the rest being exactly this per-action floor). The
+    // three stage-1 scalars collapse into ONE aggregate over the
+    // checkpointed train frame: nTrain = count, gateDetail = Σscore,
+    // n1 = Σ(score==4) — n1 equals count(s1) by construction (s1 IS
+    // the score==4 filter). Same fusion per stage below; every ledger
+    // value is bit-identical to the per-frame count it replaces
+    // (PipelineSpec's telescoping assertions pin them).
+    val t = train.agg(count(lit(1)), coalesce(sum("score"), lit(0L)),
+      coalesce(sum((col("score") === 4).cast("long")), lit(0L))).head()
+    val (nTrain, gateDetail, n1) =
+      (t.getLong(0), t.getLong(1), t.getLong(2))
     val s1 = train.filter(col("score") === 4).select("doc_id")
       .localCheckpoint(true)
-    val n1 = s1.count()
     // ---- stage 2: near-dup drop among the admits ----
     // SEMI-JOIN BEFORE the expensive per-row expressions: a join does
     // not reorder below a project, so `minhashSignaturesRaw(...).join`
@@ -678,11 +689,15 @@ object Corpus {
       .filter(col("n_inter") * 2 >= col("n_union"))
       .select("doc_a", "doc_b")
       .localCheckpoint(true)
-    val dupDetail = dupPairs.count()
+    // one job for both stage-2 scalars: every dropped doc_b is an
+    // admit (pairs form among s1 members only), so
+    // n2 = n1 - countDistinct(doc_b) — identical to count(s2)
+    val d2 = dupPairs.agg(count(lit(1)),
+      coalesce(countDistinct(col("doc_b")), lit(0L))).head()
+    val (dupDetail, n2) = (d2.getLong(0), n1 - d2.getLong(1))
     val s2 = s1.join(dupPairs.select(col("doc_b").as("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
-    val n2 = s2.count()
     // ---- stage 3: eval-set decontamination (5-shingle hashes) ----
     // each side's shingle explode runs on a pre-restricted scan: the
     // doc_id % 5 filter pushes to the eval side's scan, and the
@@ -700,11 +715,14 @@ object Corpus {
       .join(Joins.broadcastIfSmall(evalH, Tables.documents(spark, sfDir)),
         Seq("h"))
       .localCheckpoint(true)
-    val contamDetail = contamHits.count()
+    // same fusion: contaminated doc_ids are all s2 members, so
+    // n3 = n2 - countDistinct(doc_id) — identical to count(s3)
+    val d3 = contamHits.agg(count(lit(1)),
+      coalesce(countDistinct(col("doc_id")), lit(0L))).head()
+    val (contamDetail, n3) = (d3.getLong(0), n2 - d3.getLong(1))
     val s3 = s2.join(contamHits.select("doc_id").distinct(),
         Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
-    val n3 = s3.count()
     // ---- stage 4: cluster-balanced diversity sample ----
     val centroids = Similarity.ivfQuantizer(spark, sfDir, nClusters)
       .map(_._2)
@@ -729,8 +747,10 @@ object Corpus {
       .filter(col("pick_rank") <= col("quota"))
       .select(col("vec_id").as("doc_id"), col("cluster"))
       .localCheckpoint(true)
-    val n4 = s4.count()
-    val divDetail = s4.select("cluster").distinct().count()
+    // one job for both stage-4 scalars
+    val d4 = s4.agg(count(lit(1)),
+      coalesce(countDistinct(col("cluster")), lit(0L))).head()
+    val (n4, divDetail) = (d4.getLong(0), d4.getLong(1))
     // ---- stage 5: sequence packing over the sample ----
     val toks = Tables.documents(spark, sfDir)
       .join(s4.select("doc_id"), Seq("doc_id"))

@@ -66,7 +66,12 @@ object Graph {
     val keep = 1000000L - dampPpm
     val ed = e.join(deg, Seq("src")).localCheckpoint(true)
     if (assumeNoDangling) {
+      // node set materialized ONCE (round-15): the lazy 3-iteration
+      // plan references n1 per iteration plus the rank seed, and each
+      // reference re-ran the distinct exchange over the edge list
+      // (4 duplicate subtrees in the executed q129 plan, zero reuse)
       val nodes = e.select(col("src").as("node")).distinct()
+        .localCheckpoint(true)
       val n1 = broadcast(nodes.agg(count(lit(1)).as("n")))
       var ranks = nodes.crossJoin(n1)
         .select(col("node"), expr(s"${Scale}L div n").as("r"))
@@ -132,10 +137,15 @@ object Graph {
         pairs.select(col("part_b").as("src"), col("part_a").as("dst")))
     // the mirror union makes every dst also a src BY CONSTRUCTION, so
     // the symmetrized fast path applies: no node-set union, no
-    // per-iteration dangling-mass pass (~20% of the query at sf0.1)
-    pagerank(edges, iters, assumeNoDangling = true)
-      .select(col("node").as("part"), col("r").as("rank_e12"))
-      .orderBy(desc("rank_e12"), asc("part"))
+    // per-iteration dangling-mass pass (~20% of the query at sf0.1).
+    // presentationSorted (round-15): the bare orderBy's range-exchange
+    // sampling re-executed the whole lazy 3-iteration chain a second
+    // time; the node-grain result checkpoints once and takes the
+    // one-task sort
+    Tables.presentationSorted(
+      pagerank(edges, iters, assumeNoDangling = true)
+        .select(col("node").as("part"), col("r").as("rank_e12")),
+      desc("rank_e12"), asc("part"))
   }
 
   /** q135 — PageRank over a genuinely DIRECTED graph with dangling
@@ -152,9 +162,13 @@ object Graph {
       RetailBi.baskets(Tables.lineitem(spark, sfDir)),
       minPairs = minPairs, maxItems = 64)
     val edges = pairs.select(col("part_a").as("src"), col("part_b").as("dst"))
-    pagerank(edges, iters)
-      .select(col("node").as("part"), col("r").as("rank_e12"))
-      .orderBy(desc("rank_e12"), asc("part"))
+    // general path ranks are already checkpointed per iteration, so the
+    // sort input is node-grain materialized blocks — presentationSorted
+    // takes the one-task sort instead of the fixed range-exchange
+    Tables.presentationSorted(
+      pagerank(edges, iters)
+        .select(col("node").as("part"), col("r").as("rank_e12")),
+      desc("rank_e12"), asc("part"))
   }
 
   /** DuckDB oracle for [[directedRank]]: the identical general-path

@@ -104,7 +104,14 @@ object Insights {
       .select(col("s_suppkey"), col("s_name").as("store_name"),
         col("r_name").as("region"))
     Tables.lineitem(spark, sfDir)
-      .join(Joins.broadcastIfSmall(store),
+      // size-gate by the SUPPLIER SCAN, not the joined dim (round-15):
+      // Catalyst's join-cardinality estimate for supplier x nation x
+      // region overshoots the broadcast threshold at every scale, so
+      // the bare gate never fired and a ~1000-row dim was sort-merge
+      // joined against the fact; the proxy is the side that actually
+      // scales (guide §3.1: estimates are often badly wrong after
+      // joins -- hint explicitly when you know the side is small)
+      .join(Joins.broadcastIfSmall(store, Tables.supplier(spark, sfDir)),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy("store_name", "region")
       .agg(sumRev)
@@ -1048,7 +1055,8 @@ object Insights {
       .join(Joins.broadcastIfSmall(
           Tables.part(spark, sfDir).select("p_partkey", "p_brand")),
         col("l_partkey") === col("p_partkey"))
-      .join(Joins.broadcastIfSmall(storeRegion(spark, sfDir)),
+      .join(Joins.broadcastIfSmall(storeRegion(spark, sfDir),
+          Tables.supplier(spark, sfDir)),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("r_name").as("region"), col("p_brand").as("brand"))
       .agg(sum(revenueDec).as("rev"))
@@ -1133,7 +1141,8 @@ object Insights {
       .join(Joins.broadcastIfSmall(
           Tables.part(spark, sfDir).select("p_partkey", "p_brand")),
         col("l_partkey") === col("p_partkey"))
-      .join(Joins.broadcastIfSmall(storeRegion(spark, sfDir)),
+      .join(Joins.broadcastIfSmall(storeRegion(spark, sfDir),
+          Tables.supplier(spark, sfDir)),
         col("l_suppkey") === col("s_suppkey"))
       .rollup(col("r_name"), col("p_brand"))
       .agg(sum(revenueDec).cast("double").as("revenue"),
@@ -1174,7 +1183,8 @@ object Insights {
       .join(Joins.broadcastIfSmall(
           Tables.part(spark, sfDir).select("p_partkey", "p_brand")),
         col("l_partkey") === col("p_partkey"))
-      .join(Joins.broadcastIfSmall(storeRegion(spark, sfDir)),
+      .join(Joins.broadcastIfSmall(storeRegion(spark, sfDir),
+          Tables.supplier(spark, sfDir)),
         col("l_suppkey") === col("s_suppkey"))
       .groupingSets(
         Seq(Seq(col("r_name"), col("p_brand")), Seq(col("p_brand")), Seq()),
@@ -1367,7 +1377,8 @@ object Insights {
     */
   def revenueCube(spark: SparkSession, sfDir: String): DataFrame = {
     val base = Tables.lineitem(spark, sfDir)
-      .join(Joins.broadcastIfSmall(storeRegion(spark, sfDir)),
+      .join(Joins.broadcastIfSmall(storeRegion(spark, sfDir),
+          Tables.supplier(spark, sfDir)),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("r_name"), col("l_returnflag"))
       .agg(sum(revenueDec).as("rev_dec"), count(lit(1)).as("n_base"))
