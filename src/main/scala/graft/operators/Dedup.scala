@@ -711,6 +711,9 @@ object Dedup {
       .localCheckpoint(true)
     val labels = propagateMinLabels(und, maxIters)
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+    // round-15 A/B: presentationSorted (checkpoint-first) measured a
+    // wash here — labels is already checkpointed, so the range
+    // sampling only re-runs the cheap sizes agg; the plain sort stays
     labels.join(sizes, "lbl")
       .select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
         col("cluster_size"),

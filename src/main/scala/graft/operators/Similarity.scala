@@ -597,7 +597,10 @@ object Similarity {
         col("m.score").as("keep_score"),
         col("cluster_size"),
         (col("cluster_size") - 1).as("n_discarded"))
-      .orderBy("cluster_id")
+      // cluster-grain presentation sort via the checkpoint-first path:
+      // the range sampling otherwise re-ran the gate-score kernel join
+      .transform(df => graft.sources.Tables.presentationSorted(df,
+        col("cluster_id")))
   }
 
   /** Oracle for [[semanticDedupEndgame]]: q203's edge SQL, the q60
