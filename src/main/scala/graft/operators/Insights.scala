@@ -1137,7 +1137,18 @@ object Insights {
     * bitmask (0 detail, 1 brand rolled, 3 both rolled).
     */
   def revenueRollup(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.lineitem(spark, sfDir)
+    // scan spread (round-15): with both dims broadcast the whole
+    // scan -> join -> Expand(x3) -> decimal partial-agg pipeline fuses
+    // into the scan stage, which is 3 single-row-group tasks on this
+    // testdata — the rollup's heavy per-row work serialized 3-wide on
+    // a 32-core session (the SMJ it replaced was accidentally
+    // providing the spread). Project to the 4 needed columns BEFORE
+    // the spread exchange (guide §2.3). At real scale the scan has
+    // thousands of splits and withMinParallelism is a no-op.
+    Tables.withMinParallelism(Tables.lineitem(spark, sfDir)
+        .select("l_partkey", "l_suppkey", "l_extendedprice",
+          "l_discount"),
+        spark.sparkContext.defaultParallelism)
       .join(Joins.broadcastIfSmall(
           Tables.part(spark, sfDir).select("p_partkey", "p_brand")),
         col("l_partkey") === col("p_partkey"))
