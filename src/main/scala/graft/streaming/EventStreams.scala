@@ -1898,11 +1898,15 @@ object EventStreams {
             .filter(col("n_inter") * 2 >= col("n_union"))
             .groupBy(col("doc_b").as("doc_id"))
             .agg(max((col("doc_a") < batchLo).cast("long")).as("by_hist"))
-          // fold live segments past the dial (bytes-derived write
-          // parallelism, _SUCCESS before delete, sidecar = Σ inputs —
-          // [[foldLiveSegmentsPastDial]])
-          foldLiveSegmentsPastDial(spark, segBase, batchId,
-            maxLiveSegments, foldTargetBytes)
+          // ledger BEFORE the fold (round-15, round-14 ADVICE #1): the
+          // ledger derives from the eagerly-checkpointed `pairs`, so
+          // running it after the fold deleted prior segment parquet was
+          // safe only through that checkpoint — if the checkpoint were
+          // ever made lazy, the ledger job would read deleted files
+          // mid-stream. Ordering it first (as streamingEmbeddingNeardup
+          // does) removes the latent hazard; the fold touches only
+          // segment files and the ledger only outBase, so the reorder
+          // changes no value.
           // ledger: ONE action — the dup-stats agg IS the ledger row
           // (round-14 fusion: previously a head() collect plus a
           // separate one-row toDF write, two scheduled jobs per batch)
@@ -1916,6 +1920,11 @@ object EventStreams {
               (lit(nGate) - col("n_dup_dropped")).as("n_admitted"))
             .coalesce(1).write.mode("overwrite")
             .parquet(new java.io.File(outBase, s"b$batchId").getPath)
+          // fold live segments past the dial (bytes-derived write
+          // parallelism, _SUCCESS before delete, sidecar = Σ inputs —
+          // [[foldLiveSegmentsPastDial]])
+          foldLiveSegmentsPastDial(spark, segBase, batchId,
+            maxLiveSegments, foldTargetBytes)
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -140,6 +140,29 @@ class ClusterJoinSpec extends SparkSpec {
         s"(${pruned.count()}) or the fixture is degenerate")
   }
 
+  test("sorted_intersect_count == size(array_intersect) on real shingle kernels") {
+    // the round-15 merge-walk kernel's contract (sorted distinct long
+    // arrays, the ShingleHashesExpr output): value-identical to the
+    // built-in on every cross pair of the real corpus' shingle arrays
+    val hs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), graft.functions.shingle_hashes(col("text")).as("hs"))
+      .localCheckpoint(true)
+    val pairs = hs.select(col("doc_id").as("a"), col("hs").as("ha"))
+      .join(hs.select(col("doc_id").as("b"), col("hs").as("hb")),
+        col("a") < col("b"))
+    val diff = pairs.filter(
+      graft.functions.sorted_intersect_count(col("ha"), col("hb")) =!=
+        size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .count()
+    assert(diff === 0L,
+      "merge-walk intersect count diverged from array_intersect")
+    // non-vacuous: some pair must actually intersect
+    val some = pairs.filter(
+      graft.functions.sorted_intersect_count(col("ha"), col("hb")) > 0)
+      .count()
+    assert(some > 0L, "no intersecting pairs - vacuous fixture")
+  }
+
   test("q197 deletion-neighborhood blocking is COMPLETE for distance <= 1") {
     // The FastSS lemma the operator rests on: strings at edit distance
     // <= 1 always share a key in K(s) = {s} ∪ D(s). Brute-force twin:

@@ -13,6 +13,24 @@ import graft.streaming.EventStreams.Event
 
 /** Batch/stream parity: the streaming operators must produce the same
   * buckets as their batch twins in operators.Events (SURVEY.md §7.5).
+  *
+  * STREAMING-FAMILY FLOOR (round-15 decision, closing the "≤38 s"
+  * bench ask carried since round 12): the family's residual per-query
+  * seconds are platform micro-batch machinery, not plan cost. Measured
+  * decomposition (Prof per-batch durationMs, rounds 14-15): ~230 ms of
+  * WAL/offset/planning floor per micro-batch plus state-store get/put
+  * at ~70 µs/row (HDFSBackedStateStore), times the batch counts the
+  * ORACLES pin (restart fixtures need two query startups, late-tail
+  * proofs need ≥3 staged files + a pacer batch, outer joins emit only
+  * on finalization batches). Dials A/B'd and exhausted: state
+  * partitions 8 optimal (vs 4/16/32), tmpfs checkpoints neutral,
+  * sessionWindow local-merge no win, RocksDB provider on the
+  * q143/q148/q157 trio a wash inside host noise (round-15:
+  * 5.61/3.63/3.52 s HDFSBacked vs 5.30/3.16/3.83 s RocksDB warm), AQE
+  * on the foreachBatch dedup trio likewise. Any further reduction
+  * requires renegotiating fixture semantics the oracles hash — i.e. it
+  * is not an optimization, and the ask is retired. (See
+  * OPTIMIZATION_r15.md "Streaming family".)
   */
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -420,9 +438,14 @@ class StreamingSpec extends SparkSpec {
     // 3 batches × 8 IDENTICAL gate-passing docs: every band row of
     // every batch lands in the same 4 buckets, the worst case the
     // guard exists for. cap=10 must refuse at batch 0 (exact tier-1
-    // bound 4·8·8 = 256); cap=5000 runs the exact tier on every batch
-    // and passes; the default cap clears tier 0 action-free — and the
-    // two completing runs must ledger identically (dial equality).
+    // bound 4·8·8 = 256); cap=800 forces the EXACT tier on every batch
+    // (tier 0 clears only when hist+batch band rows <= cap/32 = 25 —
+    // batches carry 32/64/96 rows, so all three take tier 1, and the
+    // per-batch exact bounds 256/512/768 all clear 800; the round-14
+    // 5000 cap let batches 1-2 clear tier 0 and the dial-equality
+    // assertion covered only batch 0, round-14 ADVICE #5);
+    // the default cap clears tier 0 action-free — and the two
+    // completing runs must ledger identically (dial equality).
     val text = graft.operators.Corpus.withGateScore(
         Tables.documents(spark, sf0001))
       .filter(col("score") === 4).orderBy("doc_id")
@@ -446,7 +469,7 @@ class StreamingSpec extends SparkSpec {
       .mkString("\n")
     assert(messages.contains("maxProbePairs"),
       s"guard refusal must carry the dial name; got:\n$messages")
-    val forced = run(5000L)
+    val forced = run(800L)
     assert(forced === run(64L << 20),
       "probe guard tier changed an admission/attribution decision")
   }
