@@ -1064,7 +1064,13 @@ object Insights {
     * presentation-only.
     */
   def topBrandsPerRegion(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
-    val agg = Tables.lineitem(spark, sfDir)
+    // projected scan spread under all-broadcast joins (the q44 shape:
+    // without it the scan -> 2 joins -> decimal partial agg fuses into
+    // the 3-task scan stage); no-op at real scan split counts
+    val agg = Tables.withMinParallelism(Tables.lineitem(spark, sfDir)
+        .select("l_partkey", "l_suppkey", "l_extendedprice",
+          "l_discount"),
+        spark.sparkContext.defaultParallelism)
       .join(Joins.broadcastIfSmall(
           Tables.part(spark, sfDir).select("p_partkey", "p_brand")),
         col("l_partkey") === col("p_partkey"))
