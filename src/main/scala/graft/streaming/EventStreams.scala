@@ -1710,8 +1710,12 @@ object EventStreams {
       (histRows < Long.MaxValue / 8 &&
         histRows + bandRows <= maxProbePairs / bandRows)
     if (tier0Clears) return probe
+    // a POISONED sidecar (histRows pinned to MaxValue/8) is exactly the
+    // degraded mode where tier 1 runs on every batch — treat unknown
+    // history as over the checkpoint threshold instead of rescanning
+    // the full history twice per batch (round-14 ADVICE #2)
     val probeShared: DataFrame =
-      if (histRows < Long.MaxValue / 8 &&
+      if (histRows >= Long.MaxValue / 8 ||
           histRows + bandRows > ckptProbeRows)
         probe.localCheckpoint(true)
       else probe
