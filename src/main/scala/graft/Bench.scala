@@ -125,19 +125,28 @@ object Bench {
       ctrl.flatMap { f =>
         val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
           "UTF-8")
-        val entry = "\"(q[0-9]\\w+)\":([0-9.]+)".r
-        // take per-query times from the control's "queries" object only
-        val qsTxt = txt.indexOf("\"queries\":")
-        val old = if (qsTxt < 0) Map.empty[String, Double]
-          else entry.findAllMatchIn(txt.substring(qsTxt))
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        val cur = results.toMap
-        val ratios = old.toSeq.collect {
-          case (k, v) if v >= 0.05 && cur.getOrElse(k, -1.0) > 0 =>
-            cur(k) / v
-        }.sorted
-        if (ratios.size < 20) None
-        else Some(math.rint(ratios(ratios.size / 2) * 1000) / 1000)
+        // scale-factor guard (round-15 ADVICE #3): a sf1/sf3 soak run
+        // compared against an sf0.1 control would emit a large,
+        // meaningless ratio — omit the field unless the control's sf
+        // matches this run's
+        val ctrlSf = "\"sf\":\"([^\"]+)\"".r
+          .findFirstMatchIn(txt).map(_.group(1))
+        if (!ctrlSf.contains(sfDir)) None
+        else {
+          val entry = "\"(q[0-9]\\w+)\":([0-9.]+)".r
+          // take per-query times from the control's "queries" object only
+          val qsTxt = txt.indexOf("\"queries\":")
+          val old = if (qsTxt < 0) Map.empty[String, Double]
+            else entry.findAllMatchIn(txt.substring(qsTxt))
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          val cur = results.toMap
+          val ratios = old.toSeq.collect {
+            case (k, v) if v >= 0.05 && cur.getOrElse(k, -1.0) > 0 =>
+              cur(k) / v
+          }.sorted
+          if (ratios.size < 20) None
+          else Some(math.rint(ratios(ratios.size / 2) * 1000) / 1000)
+        }
       }
     } catch { case _: Throwable => None }
     val driftField = drift.map(d => s""","drift_ratio":$d""").getOrElse("")

@@ -36,14 +36,21 @@ object DumpPlans {
       try {
         spark.sparkContext.setJobDescription(s"dumpplans: $n")
         val df = SparkEntry.queries(n)(spark, sfDir)
-        df.write.format("noop").mode("overwrite").save()
-        // formatted mode on the EXECUTED frame: adaptive plans render
-        // their final shape once executed
+        // Execute THIS QueryExecution (round-15 ADVICE: a noop write
+        // plans a SEPARATE QueryExecution, so the dumped adaptive plan
+        // stayed isFinalPlan=false and the exchange counts were
+        // pre-AQE). Driving the executedPlan's RDD runs the very
+        // AdaptiveSparkPlanExec the explain below renders, so AQE
+        // finalizes join strategies / coalesced exchanges in it.
+        df.queryExecution.executedPlan.execute().foreach(_ => ())
         val txt = df.queryExecution.explainString(
           ExplainMode.fromString("formatted"))
         Files.write(Paths.get(outDir, s"${n}_$tag.txt"),
           txt.getBytes("UTF-8"))
         val plan = df.queryExecution.executedPlan.toString
+        if (plan.contains("AdaptiveSparkPlan") &&
+            !plan.contains("isFinalPlan=true"))
+          println(s"[dumpplans] $n WARN adaptive plan NOT finalized")
         val ex = "Exchange".r.findAllIn(plan).length
         val reused = "ReusedExchange".r.findAllIn(plan).length
         println(s"[dumpplans] $n exchanges=$ex reused=$reused")
