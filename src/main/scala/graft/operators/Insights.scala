@@ -498,7 +498,16 @@ object Insights {
     // driver calls them sequentially; the scheduler is thread-safe
     // and job descriptions are thread-local). Serial before: ~1 s HLL
     // + ~2.5 s digest/exact; overlapped they cost max(), not sum().
-    val hllPool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    // daemon thread (round-15 ADVICE #2): if a main-thread action
+    // between submit and get throws, the pool must not keep the JVM
+    // from exiting — shutdown still runs in the finally below on the
+    // normal path
+    val hllPool = java.util.concurrent.Executors.newFixedThreadPool(1,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-hll-overlap")
+        t.setDaemon(true)
+        t
+      })
     val hllBaseF = hllPool.submit(
       new java.util.concurrent.Callable[DataFrame] {
         def call(): DataFrame =
@@ -1064,13 +1073,16 @@ object Insights {
     * presentation-only.
     */
   def topBrandsPerRegion(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
-    // projected scan spread under all-broadcast joins (the q44 shape:
-    // without it the scan -> 2 joins -> decimal partial agg fuses into
-    // the 3-task scan stage); no-op at real scan split counts
-    val agg = Tables.withMinParallelism(Tables.lineitem(spark, sfDir)
-        .select("l_partkey", "l_suppkey", "l_extendedprice",
-          "l_discount"),
-        spark.sparkContext.defaultParallelism)
+    // round-16 A/B: the round-15 q44-shape scan spread (projected
+    // withMinParallelism under the all-broadcast plan) measured a
+    // LOSS here — best-of-6 1.32 s unspread vs 1.80 s spread on one
+    // host — because this agg's per-row work is one decimal
+    // multiply-add, too cheap to pay a round-robin exchange of the
+    // fact scan for (q44 keeps its spread: its Expand×3 rollup is the
+    // expensive-pipeline case the spread exists for). Reverted to the
+    // plain scan; the storeRegion/part broadcasts (one less fact
+    // exchange, plan-verified) stay.
+    val agg = Tables.lineitem(spark, sfDir)
       .join(Joins.broadcastIfSmall(
           Tables.part(spark, sfDir).select("p_partkey", "p_brand")),
         col("l_partkey") === col("p_partkey"))

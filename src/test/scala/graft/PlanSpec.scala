@@ -601,4 +601,41 @@ class PlanSpec extends SparkSpec {
         s"a Window ranks the raw embeddings scan (no top-n below it):\n$w")
     }
   }
+
+  test("q136 sketch sweep: HLL materialization overlaps the digest jobs (thread overlap pinned)") {
+    // round-15 put the HLL base materialization on a second driver
+    // thread so it OVERLAPS the independent t-digest/exact jobs (guide
+    // §2.6); a refactor that silently serializes it back would show up
+    // here as strictly disjoint job intervals. Listener events are
+    // async — timestamps are taken at delivery, but the overlap window
+    // is hundreds of ms wide, far above bus latency.
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val intervals =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        starts.put(j.jobId, System.nanoTime)
+      override def onJobEnd(
+          j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        Option(starts.get(j.jobId))
+          .foreach(s => intervals.add((s, System.nanoTime)))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Insights.sketchAccuracySweepChecked(spark, sf0001)
+        .write.format("noop").mode("overwrite").save()
+      // drain the async listener bus before reading the intervals
+      Thread.sleep(500)
+      import scala.jdk.CollectionConverters._
+      val iv = intervals.asScala.toSeq
+      val overlapping = iv.combinations(2).exists {
+        case Seq((s1, e1), (s2, e2)) => s1 < e2 && s2 < e1
+        case _ => false
+      }
+      assert(overlapping,
+        s"expected at least two concurrent jobs in the sketch sweep " +
+          s"(HLL off-thread overlap); saw ${iv.size} strictly serial jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
