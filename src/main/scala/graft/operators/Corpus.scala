@@ -651,7 +651,7 @@ object Corpus {
     // n1 = Σ(score==4) — n1 equals count(s1) by construction (s1 IS
     // the score==4 filter). Same fusion per stage below; every ledger
     // value is bit-identical to the per-frame count it replaces
-    // (PipelineSpec's telescoping assertions pin them).
+    // (CorpusSpec's "q196 pipeline: ledger telescopes" test pins them).
     val t = train.agg(count(lit(1)), coalesce(sum("score"), lit(0L)),
       coalesce(sum((col("score") === 4).cast("long")), lit(0L))).head()
     val (nTrain, gateDetail, n1) =
@@ -958,9 +958,16 @@ object Corpus {
        |  JOIN s1 sa ON sa.doc_id = d.doc_a
        |  GROUP BY 1, 2),
        |led AS (
-       |  SELECT batch_idx, COUNT(*) AS n_docs,
-       |    SUM(CASE WHEN score = 4 THEN 1 ELSE 0 END) AS n_gate
-       |  FROM train GROUP BY 1),
+       |  -- one row per staged batch index, even when a range bucket
+       |  -- holds zero train docs (round-14 ADVICE #4: the Scala replay
+       |  -- writes a ledger row for EVERY staged file, so an empty
+       |  -- bucket's all-zero row needs this oracle twin)
+       |  SELECT r.batch_idx, COUNT(t.doc_id) AS n_docs,
+       |    COALESCE(SUM(CASE WHEN t.score = 4 THEN 1 ELSE 0 END), 0)
+       |      AS n_gate
+       |  FROM (SELECT unnest(range(0, $nBatches)) AS batch_idx) r
+       |  LEFT JOIN train t ON t.batch_idx = r.batch_idx
+       |  GROUP BY 1),
        |drops AS (
        |  SELECT batch_idx, COUNT(*) AS n_dup,
        |    SUM(by_hist) AS n_hist

@@ -418,11 +418,25 @@ object Dedup {
     val compacted = spark.read.parquet(genDir.getPath)
     // ---- the SAME probe against compacted vs union, equality executed
     val bands3 = batchBands(3).localCheckpoint(true)
-    val a = bestMatchAgainstIndex(bands3, asIndex(compacted), sh, threshold)
-      .localCheckpoint(true)
-    val b = bestMatchAgainstIndex(bands3, asIndex(union), sh, threshold)
-      .localCheckpoint(true)
-    val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+    // OVERLAP (round-16, guide §2.6): the two probes are independent
+    // (same batch, compacted vs union index) — materialize the
+    // compacted-side probe on a pool thread while the main thread
+    // materializes the union-side one; both read only checkpointed
+    // bands / committed parquet.
+    val pool = Tables.overlapPool()
+    val (a, b) = try {
+      val aF = Tables.submitJob(pool, spark, "q208: probe compacted")(
+        bestMatchAgainstIndex(bands3, asIndex(compacted), sh, threshold)
+          .localCheckpoint(true))
+      val bEager =
+        bestMatchAgainstIndex(bands3, asIndex(union), sh, threshold)
+          .localCheckpoint(true)
+      (aF.get(), bEager)
+    } finally pool.shutdown()
+    // ONE action for the equality bit (round-16 fusion): a count of
+    // the UNION of both exceptAll branches equals the sum of their
+    // counts (union is bag semantics), halving the driver jobs here
+    val diff = a.exceptAll(b).union(b.exceptAll(a)).count()
     a.withColumn("probes_equal", lit(if (diff == 0) 1L else 0L))
       .orderBy("doc_id")
   }

@@ -1201,12 +1201,27 @@ object Similarity {
     def search(codes: DataFrame): DataFrame =
       pqSearch(spark, sfDir, cb, nQueries, k, shortlistK,
         coarse = Some((nClusters, nprobe)), storedCodes = Some(codes))
-    val a = search(compacted).localCheckpoint(true)
-    val b = search(union).localCheckpoint(true)
-    val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
-    val nBase = spark.read.parquet(baseDir).count()
-    val nSeg = spark.read.parquet(segDir).count()
-    val nComp = compacted.count()
+    // OVERLAP (round-16, guide §2.6): the two searches are independent
+    // (same queries, compacted vs union codes) — materialize the
+    // compacted-side search on a pool thread while the main thread
+    // materializes the union-side one; then the three metadata-cheap
+    // code counts ride the pool while the equality diff runs. The two
+    // exceptAll branches fuse into ONE count (union is bag semantics,
+    // so count(a\b ∪ b\a) = count(a\b) + count(b\a)).
+    val pool = Tables.overlapPool()
+    val (nBase, nSeg, nComp, diff) = try {
+      val aF = Tables.submitJob(pool, spark, "q199: search compacted")(
+        search(compacted).localCheckpoint(true))
+      val b = search(union).localCheckpoint(true)
+      val a = aF.get()
+      val countsF = Tables.submitJob(pool, spark, "q199: code counts")(
+        (spark.read.parquet(baseDir).count(),
+          spark.read.parquet(segDir).count(),
+          compacted.count()))
+      val d = a.exceptAll(b).union(b.exceptAll(a)).count()
+      val (nb, ns, nc) = countsF.get()
+      (nb, ns, nc, d)
+    } finally pool.shutdown()
     Seq((nBase, nSeg, nComp, if (diff == 0) 1L else 0L))
       .toDF("n_codes_base", "n_codes_seg", "n_codes_compacted",
         "searches_equal")
@@ -2130,7 +2145,15 @@ object Similarity {
     * same IEEE double tree Spark evaluates.
     */
   def streamingEmbeddingNeardupSql(nBatches: Int = 2,
-      threshold: String = "0.35e0"): String =
+      threshold: String = "0.35e0",
+      // banding dial mirrored from streamingEmbeddingNeardup's Scala
+      // defaults (round-14 ADVICE #3: the 2x8 rung was hardcoded here,
+      // so a q210 variant registered at another rung would silently
+      // hash-mismatch instead of banding identically)
+      nBandsDial: Int = 2, bitsPerBand: Int = 8): String = {
+    require(nBandsDial * bitsPerBand <= 16,
+      s"dial ${nBandsDial}x$bitsPerBand exceeds the 16-bit signature")
+    val mask = (1 << bitsPerBand) - 1
     s"""WITH sigs AS MATERIALIZED (
        |  SELECT vec_id, embedding, ${lshSigExprDuck("embedding")} AS sig
        |  FROM embeddings),
@@ -2141,8 +2164,8 @@ object Similarity {
        |  FROM sigs s CROSS JOIN mx),
        |banded AS MATERIALIZED (
        |  SELECT vec_id, r.b AS band_idx,
-       |    (sig >> (r.b * 8)) & 255 AS band_v
-       |  FROM sigs, (SELECT unnest(range(0, 2)) AS b) r),
+       |    (sig >> (r.b * $bitsPerBand)) & $mask AS band_v
+       |  FROM sigs, (SELECT unnest(range(0, $nBandsDial)) AS b) r),
        |cands AS MATERIALIZED (
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM banded a JOIN banded b
@@ -2166,7 +2189,11 @@ object Similarity {
        |  JOIN vb vba ON vba.vec_id = s.vec_a
        |  JOIN vb vbb ON vbb.vec_id = s.vec_b
        |  GROUP BY 1, 2),
-       |led AS (SELECT batch_idx, COUNT(*) AS n_vecs FROM vb GROUP BY 1),
+       |led AS (
+       |  SELECT r.batch_idx, COUNT(vb.vec_id) AS n_vecs
+       |  FROM (SELECT unnest(range(0, $nBatches)) AS batch_idx) r
+       |  LEFT JOIN vb ON vb.batch_idx = r.batch_idx
+       |  GROUP BY 1),
        |agg AS (
        |  SELECT batch_idx, SUM(n_pairs_b) AS n_cand,
        |    SUM(is_dup) AS n_dup, SUM(by_hist) AS n_hist
@@ -2179,6 +2206,7 @@ object Similarity {
        |  CAST(l.n_vecs - COALESCE(a.n_dup, 0) AS BIGINT) AS n_admitted
        |FROM led l LEFT JOIN agg a USING (batch_idx)
        |ORDER BY l.batch_idx""".stripMargin
+  }
 
   /** Recall@k of the LSH index against brute-force ground truth — the
     * "measure, don't guess" gate every ANN deployment needs before it

@@ -595,6 +595,32 @@ object Tables {
   def withMinParallelism(df: DataFrame, min: Int): DataFrame =
     if (df.rdd.getNumPartitions >= min) df else df.repartition(min)
 
+  /** Daemon-thread pool for overlapping INDEPENDENT driver actions
+    * inside one query (guide §2.6: jobs are only sequential because
+    * the caller invokes them sequentially; the scheduler is
+    * thread-safe and job descriptions are thread-local). Daemon
+    * threads so a failure between submit and get can never keep the
+    * JVM from exiting; callers still `shutdown()` in a finally.
+    */
+  def overlapPool(threads: Int = 2): java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(threads,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-overlap")
+        t.setDaemon(true)
+        t
+      })
+
+  /** Submit a thunk to an [[overlapPool]] with its own job description. */
+  def submitJob[T](pool: java.util.concurrent.ExecutorService,
+      spark: SparkSession, desc: String)(thunk: => T)
+      : java.util.concurrent.Future[T] =
+    pool.submit(new java.util.concurrent.Callable[T] {
+      def call(): T = {
+        spark.sparkContext.setJobDescription(desc)
+        thunk
+      }
+    })
+
   /** Rows at or below which a presentation sort takes the
     * single-partition path. Measured round 12/13: a global orderBy
     * pays ~0.45 s of fixed range-exchange machinery (sampling pass +

@@ -1747,6 +1747,16 @@ object EventStreams {
     * copy), with a poisoned input staying poisoned so the probe guard
     * keeps taking its exact tier.
     */
+  /** Daemon-thread pool for overlapping INDEPENDENT per-batch jobs
+    * inside foreachBatch (guide §2.6: actions are only sequential
+    * because the caller invokes them sequentially; the scheduler is
+    * thread-safe and job-description state is thread-local). Daemon
+    * threads so a failed batch can never keep the JVM from exiting;
+    * callers shut the pool down in a finally regardless.
+    */
+  private def batchOverlapPool(): java.util.concurrent.ExecutorService =
+    graft.sources.Tables.overlapPool()
+
   private def foldLiveSegmentsPastDial(spark: SparkSession,
       segBase: java.io.File, batchId: Long, maxLiveSegments: Int,
       foldTargetBytes: Long): Unit = {
@@ -1812,22 +1822,36 @@ object EventStreams {
           // 1 MiB/batch measured q205 ~1 s SLOWER at sf0.1 (the
           // recompute cost is fixed shuffle machinery, not data size,
           // so the checkpoint wins at every scale)
+          val pool = batchOverlapPool()
+          try {
           val scored = graft.operators.Corpus.withGateScore(
               graft.sources.Tables.withMinParallelism(
                 batch.filter(pmod(col("doc_id"), lit(5)) =!= 0),
                 spark.sparkContext.defaultParallelism))
             .localCheckpoint(true)
-          val trainStats = scored
-            .agg(count(lit(1)), coalesce(min("doc_id"), lit(Long.MaxValue)),
-              sum((col("score") === 4).cast("long")))
-            .head()
-          val nDocs = trainStats.getLong(0)
-          val batchLo = trainStats.getLong(1)
-          val nGate = if (trainStats.isNullAt(2)) 0L else trainStats.getLong(2)
+          // OVERLAP 1 (round-16, guide §2.6): the ledger-stats agg and
+          // the band construction both read the scored checkpoint
+          // blocks and are independent — run the tiny agg on the pool
+          // thread while the main thread builds+checkpoints the bands
+          val trainStatsF = pool.submit(
+            new java.util.concurrent.Callable[org.apache.spark.sql.Row] {
+              def call(): org.apache.spark.sql.Row = {
+                spark.sparkContext.setJobDescription(
+                  s"neardup b$batchId: train stats")
+                scored.agg(count(lit(1)),
+                    coalesce(min("doc_id"), lit(Long.MaxValue)),
+                    sum((col("score") === 4).cast("long")))
+                  .head()
+              }
+            })
           val gateAdm = scored.filter(col("score") === 4)
             .select("doc_id", "text")
           val batchBands = graft.operators.Corpus.bandsOf(gateAdm)
             .localCheckpoint(true)
+          val trainStats = trainStatsF.get()
+          val nDocs = trainStats.getLong(0)
+          val batchLo = trainStats.getLong(1)
+          val nGate = if (trainStats.isNullAt(2)) 0L else trainStats.getLong(2)
           // commit the segment up front FROM the checkpoint blocks
           // (idempotent overwrite, the q154 re-delivery discipline).
           // File count derived from the gate-admit count, never a
@@ -1839,16 +1863,29 @@ object EventStreams {
           // measured round-14, which is why the probe below keeps the
           // in-memory blocks and only HISTORY comes from parquet)
           val segDir = new java.io.File(segBase, s"b$batchId")
-          val segParts = math.max(1L, math.min(64L,
-            nGate * graft.operators.Dedup.Bands / 500000L + 1L)).toInt
-          (if (segParts > 1) batchBands.repartition(segParts)
-           else batchBands.coalesce(1))
-            .write.mode("overwrite").parquet(segDir.getPath)
+          // OVERLAP 2 (round-16): the segment commit writes from the
+          // band checkpoint blocks and is consumed only by FUTURE
+          // batches (the probe below excludes it by name) and by the
+          // fold — run it on the pool thread while the main thread
+          // probes history and checkpoints the candidate pairs; joined
+          // before the fold, which needs the segment committed.
           // exact row-count sidecar: band rows per segment are
           // admits × Bands by construction, so the probe guard below
           // can bound the join without any extra scan (overwrite mode
           // clears the dir, so a re-delivered batch rewrites it too)
-          writeSegRowMeta(segDir, nGate * graft.operators.Dedup.Bands)
+          val segF = pool.submit(new java.lang.Runnable {
+            def run(): Unit = {
+              spark.sparkContext.setJobDescription(
+                s"neardup b$batchId: segment commit")
+              val segParts = math.max(1L, math.min(64L,
+                nGate * graft.operators.Dedup.Bands / 500000L + 1L)).toInt
+              (if (segParts > 1) batchBands.repartition(segParts)
+               else batchBands.coalesce(1))
+                .write.mode("overwrite").parquet(segDir.getPath)
+              writeSegRowMeta(segDir,
+                nGate * graft.operators.Dedup.Bands)
+            }
+          })
           // history = whatever segments are LIVE (committed, not yet
           // folded into a generation) — a directory listing, not a
           // batch-id range, so compaction is transparent to the probe;
@@ -1902,33 +1939,43 @@ object EventStreams {
             .filter(col("n_inter") * 2 >= col("n_union"))
             .groupBy(col("doc_b").as("doc_id"))
             .agg(max((col("doc_a") < batchLo).cast("long")).as("by_hist"))
-          // ledger BEFORE the fold (round-15, round-14 ADVICE #1): the
-          // ledger derives from the eagerly-checkpointed `pairs`, so
-          // running it after the fold deleted prior segment parquet was
-          // safe only through that checkpoint — if the checkpoint were
-          // ever made lazy, the ledger job would read deleted files
-          // mid-stream. Ordering it first (as streamingEmbeddingNeardup
-          // does) removes the latent hazard; the fold touches only
-          // segment files and the ledger only outBase, so the reorder
-          // changes no value.
           // ledger: ONE action — the dup-stats agg IS the ledger row
           // (round-14 fusion: previously a head() collect plus a
-          // separate one-row toDF write, two scheduled jobs per batch)
-          dropped
-            .agg(count(lit(1)).as("n_dup_dropped"),
-              coalesce(sum("by_hist"), lit(0L))
-                .as("n_dropped_by_history"))
-            .select(lit(batchId).as("batch_idx"),
-              lit(nDocs).as("n_docs"), lit(nGate).as("n_gate"),
-              col("n_dup_dropped"), col("n_dropped_by_history"),
-              (lit(nGate) - col("n_dup_dropped")).as("n_admitted"))
-            .coalesce(1).write.mode("overwrite")
-            .parquet(new java.io.File(outBase, s"b$batchId").getPath)
+          // separate one-row toDF write, two scheduled jobs per batch).
+          // OVERLAP 3 (round-16): the ledger job reads ONLY the
+          // eagerly-checkpointed `pairs` blocks and the source
+          // documents table — never segment parquet (round-14 ADVICE
+          // #1's hazard analysis) — so it safely overlaps the fold,
+          // which touches only segment files. Submitted BEFORE the
+          // fold starts and joined after; the TEXT path alone does
+          // this (the embedding path's ledger reads probed segment
+          // files when the guard's tier 0 clears, so there the ledger
+          // must complete before the fold deletes them).
+          val ledgerF = pool.submit(new java.lang.Runnable {
+            def run(): Unit = {
+              spark.sparkContext.setJobDescription(
+                s"neardup b$batchId: ledger")
+              dropped
+                .agg(count(lit(1)).as("n_dup_dropped"),
+                  coalesce(sum("by_hist"), lit(0L))
+                    .as("n_dropped_by_history"))
+                .select(lit(batchId).as("batch_idx"),
+                  lit(nDocs).as("n_docs"), lit(nGate).as("n_gate"),
+                  col("n_dup_dropped"), col("n_dropped_by_history"),
+                  (lit(nGate) - col("n_dup_dropped")).as("n_admitted"))
+                .coalesce(1).write.mode("overwrite")
+                .parquet(new java.io.File(outBase, s"b$batchId").getPath)
+            }
+          })
           // fold live segments past the dial (bytes-derived write
           // parallelism, _SUCCESS before delete, sidecar = Σ inputs —
-          // [[foldLiveSegmentsPastDial]])
+          // [[foldLiveSegmentsPastDial]]); needs this batch's segment
+          // committed, so join the segment future first
+          segF.get()
           foldLiveSegmentsPastDial(spark, segBase, batchId,
             maxLiveSegments, foldTargetBytes)
+          ledgerF.get()
+          } finally pool.shutdown()
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -2079,12 +2126,28 @@ object EventStreams {
           val nVecs = bandRows / nBandsDial
           val batchLo = st.getLong(1)
           val segDir = new java.io.File(segBase, s"b$batchId")
-          val segParts = math.max(1L,
-            math.min(64L, bandRows / 500000L + 1L)).toInt
-          (if (segParts > 1) bands.repartition(segParts)
-           else bands.coalesce(1))
-            .write.mode("overwrite").parquet(segDir.getPath)
-          writeSegRowMeta(segDir, bandRows)
+          // OVERLAP (round-16, guide §2.6, the text-path idiom): the
+          // segment commit writes from the band checkpoint blocks and
+          // is consumed only by future batches and the fold — run it
+          // on a pool thread while the main thread probes history and
+          // writes the ledger; joined before the fold. Unlike the
+          // text path the LEDGER here is not overlapped with the
+          // fold: when tier 0 clears, its lineage reads the probed
+          // segment parquet the fold would delete.
+          val pool = batchOverlapPool()
+          try {
+          val segF = pool.submit(new java.lang.Runnable {
+            def run(): Unit = {
+              spark.sparkContext.setJobDescription(
+                s"embneardup b$batchId: segment commit")
+              val segParts = math.max(1L,
+                math.min(64L, bandRows / 500000L + 1L)).toInt
+              (if (segParts > 1) bands.repartition(segParts)
+               else bands.coalesce(1))
+                .write.mode("overwrite").parquet(segDir.getPath)
+              writeSegRowMeta(segDir, bandRows)
+            }
+          })
           val priorSegs = liveSegments(segBase)
             .filterNot(_.getName == segDir.getName)
           val probe = priorSegs.foldLeft(bands)((acc, d) =>
@@ -2136,9 +2199,12 @@ object EventStreams {
             .coalesce(1).write.mode("overwrite")
             .parquet(new java.io.File(outBase, s"b$batchId").getPath)
           // fold live segments past the dial — the q205 compaction
-          // machinery ([[foldLiveSegmentsPastDial]])
+          // machinery ([[foldLiveSegmentsPastDial]]); needs this
+          // batch's segment committed, so join the segment future
+          segF.get()
           foldLiveSegmentsPastDial(spark, segBase, batchId,
             maxLiveSegments, foldTargetBytes)
+          } finally pool.shutdown()
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -557,6 +557,49 @@ class StreamingSpec extends SparkSpec {
       Seq((0L, 0L, 0L, 3L), (1L, 2L, 2L, 0L)))
     assert(loose === run(1, 16),
       "exact-copy drops must be banding-rung-invariant")
+    // the ORACLE side bands at the same rung (round-14 ADVICE #3): the
+    // SQL's banding dial is parameterized to mirror the Scala defaults,
+    // so a variant registered at another rung stays hash-matchable
+    val sql116 = graft.operators.Similarity
+      .streamingEmbeddingNeardupSql(nBandsDial = 1, bitsPerBand = 16)
+    assert(sql116.contains("range(0, 1)"))
+    assert(sql116.contains("(sig >> (r.b * 16)) & 65535"))
+    val sql28 = graft.operators.Similarity.streamingEmbeddingNeardupSql()
+    assert(sql28.contains("range(0, 2)"))
+    assert(sql28.contains("(sig >> (r.b * 8)) & 255"))
+  }
+
+  test("q210 empty staged bucket still emits an all-zero ledger row (oracle series twin)") {
+    // round-14 ADVICE #4: stageEmbeddingBatches writes a (0-row) file
+    // for an empty id-range bucket, the file source fires a batch for
+    // it, and the ledger gets an all-zero row — the oracle now emits
+    // one row per range(0, nBatches) so that row has a twin. Pin the
+    // Scala half here: ids {1,2} land in bucket 0, {9} in bucket 2,
+    // bucket 1 ([4,7) of max+1=10 under id·3 div 10) is EMPTY.
+    val mk = (hot: Int) => Array.tabulate(64)(i =>
+      if (i == hot) 1.0f else 0.0f)
+    val rows = Seq((1L, mk(0), 1), (2L, mk(7), 2), (9L, mk(0), 1))
+      .map { case (id, e, l) =>
+        org.apache.spark.sql.Row(id, e.toSeq, l) }
+    val fix = new java.io.File("/tmp/graft_fixture/q210empty")
+    org.apache.commons.io.FileUtils.deleteQuietly(fix)
+    fix.mkdirs()
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        Tables.embeddingsSchema)
+      .write.mode("overwrite")
+      .parquet(new java.io.File(fix, "embeddings.parquet").getPath)
+    val led = EventStreams.streamingEmbeddingNeardup(spark, fix.getPath,
+        nFiles = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(led.keySet === Set(0L, 1L, 2L))
+    // (n_vecs, n_dup_dropped, n_dropped_by_history, n_admitted)
+    assert(led(0L) === ((2L, 0L, 0L, 2L)))
+    assert(led(1L) === ((0L, 0L, 0L, 0L)),
+      "empty bucket must still ledger an all-zero row")
+    assert(led(2L) === ((1L, 1L, 1L, 0L)))
   }
 
   test("q172 transformWithState: RocksDB state persists across micro-batches") {
