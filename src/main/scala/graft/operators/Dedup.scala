@@ -199,9 +199,14 @@ object Dedup {
       minhashSignaturesRaw(spark, sfDir)
         .filter(pmod(col("doc_id"), lit(2)) === 1)
         .repartition(col("doc_id")))
-    bestMatchAgainstIndex(incoming, index,
-        distinctShingles(spark, sfDir), threshold)
-      .orderBy("doc_id")
+    // round-16 §2.4: the shingle frame feeds TWO joins with DIFFERENT
+    // keys (doc_id, corpus_id) inside the probe, so the expensive
+    // word_shingles scan ran twice — checkpoint it once (blocks are
+    // reclaimed by freeTransientBlocks)
+    val sh = distinctShingles(spark, sfDir).localCheckpoint(true)
+    Tables.presentationSorted(
+      bestMatchAgainstIndex(incoming, index, sh, threshold),
+      col("doc_id"))
   }
 
   /** Distinct 3-shingle sets per doc (the exact-Jaccard verification
@@ -269,7 +274,10 @@ object Dedup {
     val seg0 = spark.read.parquet(corpusBandIndex(spark, sfDir))
       .select(col("doc_id").as("corpus_id"),
         col("band_idx"), col("band_key"))
-    val sh = distinctShingles(spark, sfDir)
+    // round-16 §2.4: consumed lazily FOUR times (two different-key
+    // joins per probe round) — the word_shingles scan ran 4×; compute
+    // it once into checkpoint blocks shared by both rounds
+    val sh = distinctShingles(spark, sfDir).localCheckpoint(true)
     def batchBands(residue: Int): DataFrame = bandedFromSigs(
       minhashSignaturesRaw(spark, sfDir)
         .filter(pmod(col("doc_id"), lit(4)) === residue)
@@ -288,10 +296,14 @@ object Dedup {
         col("band_idx"), col("band_key"))
     val dups2 = bestMatchAgainstIndex(batchBands(3),
       seg0.unionByName(seg1), sh, threshold)
-    dups1.withColumn("batch_round", lit(1L))
-      .unionByName(dups2.withColumn("batch_round", lit(2L)))
-      .select("batch_round", "doc_id", "dup_of", "jaccard")
-      .orderBy("batch_round", "doc_id")
+    // presentation sort (round-16): the global orderBy's range-sampling
+    // pass re-executed the round-2 probe chain; presentationSorted
+    // checkpoints the (small) admission log and one-task-sorts it
+    Tables.presentationSorted(
+      dups1.withColumn("batch_round", lit(1L))
+        .unionByName(dups2.withColumn("batch_round", lit(2L)))
+        .select("batch_round", "doc_id", "dup_of", "jaccard"),
+      col("batch_round"), col("doc_id"))
   }
 
   /** DuckDB oracle for [[incrementalDedupLoop]]: the banded CTE prefix,

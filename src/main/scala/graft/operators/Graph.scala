@@ -286,7 +286,12 @@ object Graph {
       .unionByName(tris.select(col("v").as("part")))
       .unionByName(tris.select(col("w").as("part")))
       .groupBy("part").agg(count(lit(1)).as("tri_cnt"))
-      .orderBy(desc("tri_cnt"), asc("part"))
+      // presentation sort (round-16): the global orderBy's
+      // range-sampling pass re-executed the wedge-join tail a second
+      // time; presentationSorted checkpoints the node-grain counts
+      // (bounded by |parts|) and sorts without the sampling pass
+      .transform(graft.sources.Tables.presentationSorted(_,
+        desc("tri_cnt"), asc("part")))
   }
 
   /** Degree-ordered orientation of an undirected pair frame (`a < b`,

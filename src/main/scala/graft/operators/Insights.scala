@@ -279,6 +279,15 @@ object Insights {
     percentileSummaryOn(
       Tables.lineitem(spark, sfDir)
         .select("l_returnflag", "l_quantity", "l_extendedprice"))
+      // one-task presentation sort (round-16, VERDICT item 8): the
+      // result is bounded by the return-flag DOMAIN (3 rows), so the
+      // former global orderBy's sampled range exchange was pure
+      // overhead; the sort lives HERE, not in percentileSummaryOn —
+      // q119/q136 consume the summary through joins, where Catalyst
+      // eliminated the old orderBy outright but could NOT eliminate a
+      // coalesce(1), so sorting inside the helper would bottleneck
+      // their exact paths
+      .coalesce(1).sortWithinPartitions("l_returnflag")
 
   /** [[percentileSummary]] over an explicit (l_returnflag, l_quantity,
     * l_extendedprice) frame — so multi-consumer queries (q119's
@@ -308,7 +317,6 @@ object Insights {
         max(when(col("vc") === "qty", col("p50"))).as("median_qty"),
         max(when(col("vc") === "qty", col("p90"))).as("p90_qty"),
         max(when(col("vc") === "price", col("p50"))).as("median_price"))
-      .orderBy("l_returnflag")
   }
 
   val percentileSummarySql: String = {
@@ -408,7 +416,9 @@ object Insights {
           |) <= bound_ppm AS BIGINT)""".stripMargin))
       .select("l_returnflag", "median_qty", "p90_qty", "median_price",
         "bound_ppm", "est_within_bound")
-      .orderBy("l_returnflag")
+      // return-flag-domain bound (3 rows): one-task sort, no sampled
+      // range exchange (round-16, same argument as percentileSummary)
+      .coalesce(1).sortWithinPartitions("l_returnflag")
   }
 
   val approxPercentileCheckedSql: String = {

@@ -2277,8 +2277,12 @@ object Similarity {
     */
   def annConfigSweep(spark: SparkSession, sfDir: String,
       nQueries: Int = 10, k: Int = 5): DataFrame = {
+    // round-16 §2.4: the brute-force truth subtree fed FOUR broadcast
+    // builds (one per sweep config); checkpoint its k·nQueries rows
+    // once so every broadcast ships materialized blocks
     val truth = knnBruteForce(spark, sfDir, nQueries, k)
       .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      .localCheckpoint(true)
     SweepConfigs.map { case (nb, bits) =>
       val cand = annLshCandidates(spark, sfDir, nQueries, nb, bits)
       val hits = lshTopK(spark, sfDir, cand, nQueries, k)
@@ -2297,7 +2301,12 @@ object Similarity {
             .as("recall_ppm"),
           col("n_cand_pairs"))
     }.reduce(_.unionByName(_))
-      .orderBy(desc("recall_ppm"), asc("n_cand_pairs"), asc("n_bands"))
+      // presentation sort (round-16): the union of four 1-row
+      // crossJoined aggs has optimizer maxRows = 4, so this takes the
+      // zero-job one-task path instead of a sampled range exchange
+      // that re-executed every config's candidate/topk DAG
+      .transform(Tables.presentationSorted(_,
+        desc("recall_ppm"), asc("n_cand_pairs"), asc("n_bands")))
   }
 
   def annConfigSweepSql(nQueries: Int = 10, k: Int = 5): String = {

@@ -301,7 +301,12 @@ object Validation {
       .unionByName(one("events", Tables.events(spark, sfDir),
         """concat_ws('|', event_id, user_id, event_type,
           |CAST(floor(value * 100) AS BIGINT), unix_micros(ts))""".stripMargin))
-      .orderBy("table_name")
+      // presentation sort (round-16): the union of three global aggs
+      // has optimizer maxRows = 3, so this takes the zero-job one-task
+      // path — the former global orderBy's range-sampling pass paid the
+      // fixed ~0.45 s exchange machinery and re-ran the three final agg
+      // stages a second time
+      .transform(Tables.presentationSorted(_, col("table_name")))
   }
 
   /** Oracle for [[tableChecksums]]: the identical canonical rendering,
