@@ -602,6 +602,47 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("unpartitioned windows rank bounded grains only (q71/q95/q150/q201)") {
+    // round-15 verdict item: every Window.orderBy WITHOUT a partitionBy
+    // funnels its whole input through one task — safe ONLY when the
+    // input is a bounded grain, never raw fact rows. Pin the bound
+    // structurally for all remaining unpartitioned-window queries
+    // (q184's embeddings ranker has its own TakeOrdered pin above):
+    // below every empty-partitionSpec WindowExec there must be an
+    // aggregation (grain collapse: dates/buckets/parts/sources) or a
+    // limit before any file scan. Bounds per site: q71 date grain,
+    // q150 <=nb histogram buckets, q95 part-catalog grain (the
+    // documented q06-pattern dim-sized sort), q201 source grain.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.{BaseAggregateExec}
+    import org.apache.spark.sql.execution.{TakeOrderedAndProjectExec}
+    val dfs = Map(
+      "q71" -> graft.operators.Features.movingRevenue(spark, sf0001),
+      "q95" -> graft.operators.RetailBi.abcClassification(spark, sf0001),
+      "q150" -> Insights.histogramPercentileCells(spark, sf0001),
+      "q201" -> graft.operators.Sampling.tokenApportionment(spark, sf0001))
+    dfs.foreach { case (name, df) =>
+      val windows = df.queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(windows.nonEmpty,
+        s"$name: expected unpartitioned windows (did the shape change?)")
+      windows.foreach { w =>
+        val collapsed = w.child.collect {
+          case a: BaseAggregateExec => a
+          case t: TakeOrderedAndProjectExec => t
+          case l: org.apache.spark.sql.execution.GlobalLimitExec => l
+          // checkpointed inputs are grain-collapsed upstream by
+          // construction (the RDD scan hides the aggregate)
+          case r: org.apache.spark.sql.execution.RDDScanExec => r
+        }
+        assert(collapsed.nonEmpty,
+          s"$name: an unpartitioned Window consumes an un-collapsed " +
+            s"scan (unbounded single-task funnel):\n$w")
+      }
+    }
+  }
+
   test("q136 sketch sweep: HLL materialization overlaps the digest jobs (thread overlap pinned)") {
     // round-15 put the HLL base materialization on a second driver
     // thread so it OVERLAPS the independent t-digest/exact jobs (guide
