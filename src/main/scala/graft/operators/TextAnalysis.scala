@@ -217,7 +217,9 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select("doc_id", "rank", "term", "tf", "df", "score")
-      .orderBy("doc_id", "rank")
+      // presentation sort (round-16): kills the range-sampling pass
+      // that re-executed the per-doc ranking window a second time
+      .transform(Tables.presentationSorted(_, col("doc_id"), col("rank")))
   }
 
   def tfidfSql(topK: Int = 3): String =
@@ -345,8 +347,14 @@ object TextAnalysis {
     */
   def repetition(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = spreadDocs(spark, sfDir)
+    // round-16 §2.4: the tokenized frame feeds TWO consumers (token
+    // stats map-side, bigram explode) whose exchanges differ, so the
+    // regex tokenize pass ran twice over every doc — compute it once
+    // into checkpoint blocks (token arrays ≈ text size; reclaimed by
+    // freeTransientBlocks)
     val tk = docs.select(col("doc_id"),
       expr("filter(split(lower(trim(text)), '\\\\s+'), w -> w <> '')").as("tks"))
+      .localCheckpoint(true)
     val stats = tk.select(col("doc_id"),
       size(col("tks")).as("n_tokens"),
       size(array_distinct(col("tks"))).as("n_distinct"))
@@ -368,7 +376,9 @@ object TextAnalysis {
         (coalesce(col("top_bigram_count"), lit(0L)).cast("double") /
           greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1)))
           .as("top_bigram_frac"))
-      .orderBy("doc_id")
+      // presentation sort (round-16): kills the range-sampling pass
+      // that re-executed the doc-grain join tail
+      .transform(Tables.presentationSorted(_, col("doc_id")))
   }
 
   val repetitionSql: String =
@@ -484,10 +494,19 @@ object TextAnalysis {
     */
   def bigramCoverage(spark: SparkSession, sfDir: String,
       topK: Int = 200): DataFrame = {
-    val bigrams = spreadDocs(spark, sfDir)
+    // round-16 §2.4: both consumers (global top list, per-doc
+    // coverage) explode the SAME tokenized frame — previously each ran
+    // its own regex tokenize pass over every doc. Checkpoint the
+    // doc-grain token arrays once; the explodes stay map-side against
+    // the blocks. (A (doc_id, bigram)-grain pre-collapse was A/B'd and
+    // LOST — word-soup bigrams barely repeat within a doc, so the
+    // extra exchange carried ~instance-grain rows: 1.56 vs 1.72 s.)
+    val tk = spreadDocs(spark, sfDir)
       .select(col("doc_id"),
         expr("filter(split(lower(trim(text)), '\\\\s+'), w -> w <> '')")
           .as("tks"))
+      .localCheckpoint(true)
+    val bigrams = tk
       .select(col("doc_id"), explode(expr(
         """transform(slice(tks, 1, greatest(size(tks) - 1, 0)),
           |  (w, i) -> concat(w, ' ', element_at(tks, i + 2)))""".stripMargin))
@@ -504,7 +523,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"), col("n_covered"),
         expr("CAST(n_covered * 1000000 div n_bigrams AS BIGINT)")
           .as("coverage_ppm"))
-      .orderBy("doc_id")
+      .transform(Tables.presentationSorted(_, col("doc_id")))
   }
 
   def bigramCoverageSql(topK: Int = 200): String =
