@@ -99,11 +99,17 @@ object Multimodal {
     * partition-independent-order idiom, bounded by frames-per-media.
     */
   def mediaFeatures(spark: SparkSession, sfDir: String): DataFrame =
-    mediaFeaturesUnordered(spark, sfDir).orderBy("media_id")
+    // presentation sort (round-16): the global orderBy's range-sampling
+    // pass re-executed the whole 3-branch codec union a second time;
+    // presentationSorted checkpoints the media-grain result first
+    graft.sources.Tables.presentationSorted(
+      mediaFeaturesUnordered(spark, sfDir), col("media_id"))
 
   private def mediaFeaturesUnordered(spark: SparkSession,
       sfDir: String): DataFrame = {
-    val media = mediaSpread(spark, sfDir)
+    // round-16 §2.4: three typed filters (image/audio/video) each
+    // re-ran the media synthesis — checkpoint the corpus once
+    val media = mediaSpread(spark, sfDir).localCheckpoint(true)
     val img = bmpDecode(bmpEncode(media.filter(_.kind == "image"))).toDF()
       .select(col("media_id"), lit("image").as("kind"),
         (col("file_size") - BmpHeaderBytes).cast("long").as("n_units"),
