@@ -192,7 +192,10 @@ object StatQa {
       .withColumn("z", (col("revenue") - col("mean")) / col("sd"))
       .withColumn("is_anomaly", (abs(col("z")) > zCut).cast("int"))
       .select("day", "revenue", "mean", "sd", "z", "is_anomaly")
-      .orderBy("day")
+      // presentation sort (round-16): the sampled range exchange
+      // re-executed the day-grain whole-frame moment windows a second
+      // time; presentationSorted checkpoints the date-grain result
+      .transform(graft.sources.Tables.presentationSorted(_, col("day")))
   }
 
   def dailyAnomaliesSql(zCut: Double = 3.0): String =
@@ -265,7 +268,10 @@ object StatQa {
           (col("n_parts").cast("double") *
             Features.decToDouble(col("sx"), 4)))
           .as("gini"))
-      .orderBy("p_type")
+      // one-task presentation sort (round-16): bounded by the p_type
+      // domain (150 type strings) — no sampled range exchange
+      // re-running the ranked-revenue agg tail
+      .coalesce(1).sortWithinPartitions("p_type")
   }
 
   val revenueGiniSql: String =

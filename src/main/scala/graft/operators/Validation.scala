@@ -182,7 +182,10 @@ object Validation {
     audit("customer", cust, tomb)
       .unionByName(audit("orders", orders, deadOrders))
       .unionByName(audit("lineitem", li, deadLi))
-      .orderBy("table_name")
+      // presentation sort (round-16): union of three 1-row crossJoined
+      // aggs has optimizer maxRows = 3 — zero-job one-task path, no
+      // sampled range exchange re-running the audit counts
+      .transform(Tables.presentationSorted(_, col("table_name")))
   }
 
   def gdprErasureSql(tombMod: Int = 97): String =
